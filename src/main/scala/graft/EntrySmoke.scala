@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke for the driver's entry contract: prints the flagship row
+  * count and schema (driver checks rows > 0 on sf0.001).
+  */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    println(s"ENTRY_SCHEMA=${df.columns.mkString(",")}")
+    println(s"ENTRY_ROWS=${df.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ST1 — windowed deduplication, the reference's central operator
+  * (reference: config/glassflow/deduplication_pipeline.json:44-49 — keep the
+  * first occurrence per `id_field` within `time_window`; later duplicates
+  * dropped; oracle: sink rows == unique generated,
+  * src/pipeline_test.py:21-23).
+  *
+  * Batch forms (this file) + streaming form (graft.streaming.StreamingDedup,
+  * `dropDuplicatesWithinWatermark`). All batch variants are single-shuffle:
+  * one exchange on the key, then a per-partition sort or hash-agg — the plan
+  * a 1000-executor cluster wants (state partitions by key; no driver
+  * involvement; AQE can coalesce/split skewed partitions).
+  */
+object Dedup {
+
+  /** Keep the first occurrence per key, globally (the window ≫ data horizon
+    * case — the reference's actual regime: 8h window vs minutes of data).
+    * Implemented as min_by over a deterministic (ts, tiebreak) struct: a
+    * hash-aggregate with partial (map-side) combine — cheaper than a
+    * row_number window, which cannot partial-aggregate.
+    */
+  def keepFirst(df: DataFrame, key: Seq[String], ts: Column,
+                tiebreak: Column): DataFrame = {
+    val ord = struct(ts, tiebreak)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(key.map(col): _*)
+      .agg(min_by(payload, ord).as("__first"))
+      .select(df.columns.map(c => col(s"__first.$c")): _*)
+  }
+
+  /** Exact-duplicate elimination on a full row (training-data exact dedup). */
+  def exact(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** Tumbling-window dedup: keep the first occurrence per (key, window
+    * bucket). The deterministic batch analog of "suppress duplicates within
+    * time_window": duplicates landing in the same `windowMillis` bucket as
+    * the original are dropped; a re-occurrence in a later bucket is kept as
+    * new (matching GlassFlow's bounded dedup horizon).
+    */
+  def tumbling(df: DataFrame, key: Seq[String], ts: Column,
+               windowMillis: Long, tiebreak: Column): DataFrame = {
+    val bucket = floor(unix_millis(ts) / lit(windowMillis)).as("__bucket")
+    val withBucket = df.withColumn("__bucket", bucket)
+    keepFirst(withBucket, key :+ "__bucket", ts, tiebreak).drop("__bucket")
+  }
+
+  /** Keep-first via window-function ranking; used where the full ordered
+    * ranking is also wanted (returns rank column when keepAll). Single
+    * shuffle + sort per key.
+    */
+  def rankDuplicates(df: DataFrame, key: Seq[String], ts: Column,
+                     tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ts, tiebreak)
+    df.withColumn("occurrence", row_number().over(w))
+  }
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.FieldMapping
+import graft.operators.{Dedup, DuplicateInjector, EventGenerator, MappingProjection}
+
+/** Core relational + reference-pipeline operator queries (SURVEY.md §2).
+  *
+  * Decimal-exact aggregation rule: doubles are cast to DECIMAL before SUM so
+  * both engines do exact arithmetic in the same algebra, then the result is
+  * cast back to DOUBLE (an exact conversion) — immune to summation-order
+  * differences between Spark and DuckDB.
+  */
+object CoreQueries extends QueryPack {
+
+  private def d2(c: Column): Column = c.cast("decimal(12,2)")
+  private def one: Column = lit(1).cast("decimal(3,2)")
+
+  /** q01 — TPC-H Q1-style pricing summary: scan → filter → hash agg with
+    * partial (map-side) combine → tiny sort. One shuffle on the 2-col group
+    * key; filter + column pruning push to the parquet scan.
+    */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+          * (one + col("l_tax").cast("decimal(4,2)"))).cast("double").as("sum_charge"),
+        (sum(d2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(4,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — 4-way join → agg: lineitem⋈orders⋈customer⋈nation. nation (25
+    * rows) is broadcast; at 100 TB the li⋈o join shuffles on orderkey and AQE
+    * handles skew. Filter on o_orderstatus pushes below the join.
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q02Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q03 — selective filter + narrow projection; both must reach the scan
+    * (PushedFilters + 6-col ReadSchema in explain).
+    */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp")
+        && col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q03Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00' AND l_quantity >= 49
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q04 — semi-structured extraction: events.props is a JSON string; pull an
+    * int field and aggregate per event_type (codegen'd JSON path, no UDF).
+    */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        sum(d2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  private val q04Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q05 — ST1 batch analog: inject "late duplicates" (every 10th event
+    * re-emitted 1 min later with a corrupted value), dedup keep-first per
+    * event_id. The oracle proves first-occurrence-wins: any late duplicate
+    * surviving would flip value/hash. Dedup.keepFirst is one hash-agg
+    * shuffle with map-side combine — the scalable form.
+    */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val dupes = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("event_id"), (col("ts") + expr("INTERVAL 1 MINUTE")).as("ts"),
+        col("user_id"), col("event_type"), (col("value") * 2).as("value"))
+    val injected = ev.unionAll(dupes)
+    Dedup.keepFirst(injected, Seq("event_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q05Sql =
+    """WITH injected AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts + INTERVAL 1 MINUTE, user_id, event_type, value * 2
+      |  FROM events WHERE event_id % 10 = 0
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, value) AS rn
+      |  FROM injected
+      |)
+      |SELECT event_id, event_type, value FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** q06 — P1 mapping projection: rename + cast per a reference-style
+    * table_mapping (uuid-ish string keys, datetime round-trip). Narrow
+    * projection, folds into the scan.
+    */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("created_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    val mapping = Seq(
+      FieldMapping("event_id", "event_uid", "string"),
+      FieldMapping("user_id", "user_uid", "string"),
+      FieldMapping("event_type", "type_name", "string"),
+      FieldMapping("created_str", "created_at", "datetime"),
+      FieldMapping("value", "metric_value", "double"))
+    MappingProjection(ev, mapping).orderBy(col("event_uid"))
+  }
+
+  private val q06Sql =
+    """SELECT CAST(event_id AS VARCHAR) AS event_uid,
+      | CAST(user_id AS VARCHAR) AS user_uid,
+      | event_type AS type_name,
+      | CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS created_at,
+      | CAST(value AS DOUBLE) AS metric_value
+      |FROM events ORDER BY event_uid""".stripMargin
+
+  /** q07 — J2 anti-join: customers with no orders (the reference's resume
+    * skip). Broadcast-able build side at small SF; shuffled hash anti-join
+    * at scale.
+    */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q08 — window ranking: top-3 orders per customer by totalprice. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** q09 — semi-join: suppliers having recent shipments. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2001-06-01 00:00:00").cast("timestamp"))
+    sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q09Sql =
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q10 — C1+C3: cartesian grid (region × nation) with the reference's even
+    * sampling — indices int(i*step), step = total/k
+    * (reference: src/load_test_generator.py:40-55).
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val combos = Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select(col("r_regionkey"), col("n_nationkey"))
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("r_regionkey"), col("n_nationkey"))) - 1).cast("long"))
+    val total = combos.count()
+    val picks = (0 until k).map(i => math.floor(i * total / k.toDouble).toLong)
+    combos.filter(col("idx").isin(picks: _*)).orderBy(col("idx"))
+  }
+
+  private val q10Sql =
+    """WITH combos AS (
+      |  SELECT r_regionkey, n_nationkey,
+      |    ROW_NUMBER() OVER (ORDER BY r_regionkey, n_nationkey) - 1 AS idx
+      |  FROM region CROSS JOIN nation
+      |), tot AS (SELECT COUNT(*) AS c FROM combos),
+      |picks AS (SELECT CAST(FLOOR(i * c / 10.0) AS BIGINT) AS idx FROM range(10) t(i), tot)
+      |SELECT r_regionkey, n_nationkey, idx FROM combos
+      |WHERE idx IN (SELECT idx FROM picks) ORDER BY idx""".stripMargin
+
+  /** q11 — C4 record split: total // n per process, remainder to process 0
+    * (reference: src/utils/publish.py:45-54).
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val n = 7
+    val total = Tables.events(s, dir).agg(count(lit(1)).as("total"))
+    s.range(n).select(col("id").as("process_id"))
+      .crossJoin(total)
+      .select(col("process_id"),
+        when(col("process_id") === 0,
+          expr(s"total DIV $n") + pmod(col("total"), lit(n)))
+          .otherwise(expr(s"total DIV $n")).cast("long").as("records"))
+      .orderBy(col("process_id"))
+  }
+
+  private val q11Sql =
+    """WITH t AS (SELECT COUNT(*) AS total FROM events)
+      |SELECT i AS process_id,
+      |  CAST(CASE WHEN i = 0 THEN total // 7 + total % 7 ELSE total // 7 END AS BIGINT) AS records
+      |FROM t, range(7) r(i) ORDER BY i""".stripMargin
+
+  /** q12 — S1+S2+ST1 end-to-end: deterministic generator → duplicate
+    * injection (every 10th) → keep-first dedup → per-domain counts. The
+    * oracle regenerates the same md5-derived rows in DuckDB; a dedup failure
+    * would inflate counts (the reference's exact-count oracle,
+    * src/pipeline_test.py:21-23).
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val gen = EventGenerator.generate(s, 5000L, seed = 42L)
+    val sent = DuplicateInjector.injectEveryK(gen, col("row_id"), 10)
+    val dedup = Dedup.keepFirst(sent, Seq("event_id"),
+      to_timestamp(col("created_at")), col("row_id"))
+    dedup.groupBy(substring_index(col("email"), "@", -1).as("domain"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("domain"))
+  }
+
+  private val q12Sql =
+    """WITH g AS (
+      |  SELECT i, CAST(('0x' || substr(md5('dom:42:' || i), 1, 8)) AS BIGINT) % 4 AS di
+      |  FROM range(5000) t(i)
+      |)
+      |SELECT CASE di WHEN 0 THEN 'example.com' WHEN 1 THEN 'test.org'
+      |            WHEN 2 THEN 'mail.net' ELSE 'demo.io' END AS domain,
+      |       COUNT(*) AS n
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
+    QueryDef("q03_filter_project", q03, Some(q03Sql)),
+    QueryDef("q04_events_json_agg", q04, Some(q04Sql)),
+    QueryDef("q05_dedup_keep_first", q05, Some(q05Sql)),
+    QueryDef("q06_mapping_projection", q06, Some(q06Sql)),
+    QueryDef("q07_anti_join", q07, Some(q07Sql)),
+    QueryDef("q08_window_topn", q08, Some(q08Sql)),
+    QueryDef("q09_semi_join", q09, Some(q09Sql)),
+    QueryDef("q10_grid_even_sample", q10, Some(q10Sql)),
+    QueryDef("q11_record_split", q11, Some(q11Sql)),
+    QueryDef("q12_gen_dedup_pipeline", q12, Some(q12Sql)))
+}
