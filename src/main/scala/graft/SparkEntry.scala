@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   /** Query packs, one per operator family (SURVEY.md §2). */
-  private def packs: Seq[QueryPack] = Seq(CoreQueries)
+  private def packs: Seq[QueryPack] =
+    Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.defs)
 

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{MinHashLSH, SimHash}
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale discipline: every pair-finding query except the two explicitly
+  * "brute-force baseline" ones generates candidates via an equi-join
+  * (shared shingle / LSH band / SimHash segment) — O(n·k) candidate rows —
+  * never a cartesian.
+  */
+object DedupQueries extends QueryPack {
+
+  /** d01 — exact dedup by normalized-content hash: inject exact copies
+    * (every 5th doc re-appears under a new id), group by fingerprint, keep
+    * the smallest doc_id. Copies collapse, n_copies records the multiplicity.
+    */
+  private def d01(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.unionAll(copies)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d01Sql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |)
+      |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM all_docs
+      |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Common SQL prelude: distinct word-3-shingle sets per document. */
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+      | FROM w)""".stripMargin
+
+  /** d02 — n-gram Jaccard near-dup: candidates via shared-shingle equi-join
+    * (each common shingle contributes one joined row, so COUNT(*) per pair
+    * is exactly |A∩B|), then Jaccard from per-doc set sizes. Equivalent to
+    * all-pairs Jaccard ≥ 0.3 — pairs sharing no shingle have J = 0.
+    */
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("s3"))
+    val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
+    val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.as("ca"), col("i") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") /
+          (col("ca.n") + col("cb.n") - col("c")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.3)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d02Sql = shingleCte +
+    """
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |  CAST(len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3)) AS DOUBLE) AS jac
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+      |      CAST(len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3)) AS DOUBLE) >= 0.3
+      |ORDER BY i, j""".stripMargin
+
+  /** d03 — MinHash+LSH near-dup: k=8 md5 minhashes, 4 bands of 2, band
+    * equi-join candidates, exact-Jaccard verification ≥ 0.3. The oracle
+    * reproduces the identical LSH (same hash family), so the candidate set —
+    * including its probabilistic misses — matches exactly.
+    */
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .orderBy(col("i"), col("j"))
+
+  private val d03Sql = shingleCte +
+    """,
+      |ex AS (SELECT doc_id, unnest(s3) AS sng FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0:' || sng)) AS m0, min(md5('1:' || sng)) AS m1,
+      |  min(md5('2:' || sng)) AS m2, min(md5('3:' || sng)) AS m3,
+      |  min(md5('4:' || sng)) AS m4, min(md5('5:' || sng)) AS m5,
+      |  min(md5('6:' || sng)) AS m6, min(md5('7:' || sng)) AS m7
+      | FROM ex GROUP BY doc_id),
+      |bands AS (SELECT doc_id,
+      |  unnest([0, 1, 2, 3]) AS bi,
+      |  unnest([md5(m0 || m1), md5(m2 || m3), md5(m4 || m5), md5(m6 || m7)]) AS bv
+      | FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM bands a JOIN bands b
+      |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT i, j,
+      |  CAST(len(list_intersect(x.s3, y.s3)) AS DOUBLE) /
+      |  CAST(len(x.s3) + len(y.s3) - len(list_intersect(x.s3, y.s3)) AS DOUBLE) AS jac
+      |FROM cand JOIN sh x ON x.doc_id = i JOIN sh y ON y.doc_id = j
+      |WHERE CAST(len(list_intersect(x.s3, y.s3)) AS DOUBLE) /
+      |      CAST(len(x.s3) + len(y.s3) - len(list_intersect(x.s3, y.s3)) AS DOUBLE) >= 0.3
+      |ORDER BY i, j""".stripMargin
+
+  /** SQL prelude: 60-bit SimHash per doc (bit b set iff Σ±1 over token-hash
+    * bit b is positive) — the exact math of SimHash.aggregator.
+    */
+  private val simhashCte =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+      |bits AS (SELECT doc_id, b,
+      |  SUM(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      | FROM h, (SELECT unnest(range(0, 60)) AS b) bs GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id,
+      |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+      | FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** d04 — SimHash signatures (single-pass typed Aggregator). */
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    SimHash.signatures(docs, col("doc_id"), col("toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d04Sql = simhashCte +
+    """
+      |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** d05 — SimHash near-dup pairs within Hamming ≤ 5 via banded segments
+    * (6 segments of 10 bits; pigeonhole ⇒ every qualifying pair collides on
+    * ≥ 1 segment). Oracle brute-forces all pairs — results must agree.
+    */
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sig = SimHash.signatures(docs, col("doc_id"), col("toks"))
+    SimHash.pairsWithin(sig, maxHamming = 5)
+      .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d05Sql = simhashCte +
+    """
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+      |ORDER BY i, j""".stripMargin
+
+  /** d06 — embedding-cosine near-dup, brute-force baseline (the exact
+    * definition): quantized-int dot products, pairs with cosine ≥ 0.45.
+    * The LSH-bucketed scale path is s02 in SimilarityQueries.
+    */
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosineQ(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d06Sql =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id < b.vec_id)
+      |SELECT i, j, cos FROM p WHERE cos >= 0.45 ORDER BY i, j""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
+    QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
+    QueryDef("d03_minhash_lsh", d03, Some(d03Sql)),
+    QueryDef("d04_simhash", d04, Some(d04Sql)),
+    QueryDef("d05_simhash_pairs", d05, Some(d05Sql)),
+    QueryDef("d06_embedding_neardup", d06, Some(d06Sql)))
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  *
+  * s01 is the exact brute-force baseline (bounded query set × all vectors);
+  * s02 is the scale path — random-hyperplane LSH buckets turn the O(n²)
+  * search into an equi-join on bucket id. Both use quantized-integer dot
+  * products (exact, order-independent) so results are bit-identical to the
+  * SQL oracle.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val Dims = 64
+  private val Planes = 4
+
+  /** s01 — brute-force cosine top-k: every 25th vector is a query; rank all
+    * other vectors by exact quantized cosine, keep top 5.
+    */
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val queries = q.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        cosineQ(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val s01Sql =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      | FROM p)
+      |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** s02 — LSH-bucketed ANN: 4 deterministic md5-derived hyperplanes hash
+    * every vector to a 16-bucket sign signature; neighbor search joins on
+    * bucket equality (no cartesian), then exact top-3 re-rank inside the
+    * bucket. Same query set as s01, so recall is directly observable.
+    */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), Planes, Dims))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        pmod(col("a.vec_id"), lit(25)) === 0 &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        cosineQ(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val s02Sql: String = {
+    val planeLists = (0 until Planes).map { h =>
+      hyperplane(h, Dims).mkString("[", ", ", "]")
+    }
+    val bucketExpr = planeLists.zipWithIndex.map { case (wl, h) =>
+      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+       | FROM bk a JOIN bk b ON a.bucket = b.bucket
+       |   AND a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       | FROM p)
+       |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** s03 — label-cohesion analytics: mean within- vs cross-label cosine over
+    * a deterministic pair sample (both ids ≡ 0 mod 5 — 100×99/2 pairs at
+    * sf0.01). Mean of exact-int-derived doubles is decimal-summed for
+    * order-independence.
+    */
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.label") === col("b.label")).as("same_label"),
+        cosineQ(col("a.v"), col("b.v")).as("cos"))
+      .groupBy(col("same_label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        // exact path to a cross-engine-stable mean: round each cosine to 6
+        // decimals (deterministic on identical double bits), sum as exact
+        // integers, divide once at the end
+        (sum(round(col("cos") * 1000000).cast("long")).cast("double")
+          / count(lit(1)) / 1000000.0).as("mean_cos_r6"))
+      .orderBy(col("same_label"))
+  }
+
+  private val s03Sql =
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      | FROM embeddings WHERE vec_id % 5 = 0),
+      |p AS (SELECT a.label = b.label AS same_label,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id < b.vec_id)
+      |SELECT same_label, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*) / 1000000.0 AS mean_cos_r6
+      |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
+    QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
+    QueryDef("s03_label_cohesion", s03, Some(s03Sql)))
+}

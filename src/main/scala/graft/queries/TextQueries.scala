@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * language ID, quality scoring, fingerprinting (training-data pipeline
+  * surface). All pure column expressions — one parquet scan, no shuffle
+  * except the final tiny sort.
+  */
+object TextQueries extends QueryPack {
+
+  /** t01 — token counting: counts, distinct ratio, mean token length. */
+  private def t01(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("distinct_ratio"),
+      (aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).cast("double")
+        / size(ws)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t01Sql =
+    """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id, lang,
+      |  len(ws) AS n_tokens,
+      |  len(list_distinct(ws)) AS n_distinct,
+      |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+      |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_token_len
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  /** t02 — language ID: stopword-profile argmax (n-gram heuristic),
+    * first-listed language wins ties, 'und' when nothing matches.
+    */
+  private def t02(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scoreCols = LangProfiles.map { case (lang, prof) =>
+      langScore(col("text"), prof).cast("long").as(s"s_$lang")
+    }
+    docs.select(
+      Seq(col("doc_id"), col("lang").as("true_lang"),
+        langId(col("text")).as("pred_lang")) ++ scoreCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t02Sql =
+    """WITH w AS (SELECT doc_id, lang AS true_lang,
+      |  list_distinct(string_split(text, ' ')) AS dt FROM documents),
+      |sc AS (SELECT doc_id, true_lang,
+      |  len(list_intersect(dt, ['the','a','of','and','is'])) AS s_en,
+      |  len(list_intersect(dt, ['der','die','und','das','ist'])) AS s_de,
+      |  len(list_intersect(dt, ['el','la','de','los','es'])) AS s_es,
+      |  len(list_intersect(dt, ['le','les','des','est','une'])) AS s_fr,
+      |  len(list_intersect(dt, ['的','是','了','在','有'])) AS s_zh
+      | FROM w)
+      |SELECT doc_id, true_lang,
+      |  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+      |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+      |  CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+      |  CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+      |  CAST(s_zh AS BIGINT) AS s_zh
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** t03 — quality scoring: distinct-token ratio × length factor, banded. */
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val ratio = size(array_distinct(ws)).cast("double") / size(ws)
+    val lenFactor = least(lit(1.0), size(ws).cast("double") / 50.0)
+    val score = ratio * lenFactor
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      ratio.as("distinct_ratio"),
+      score.as("quality_score"),
+      when(score >= 0.6, "high").when(score >= 0.4, "medium")
+        .otherwise("low").as("quality_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |q AS (SELECT doc_id, len(ws) AS n_tokens,
+      |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+      |  (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+      |    * least(CAST(1.0 AS DOUBLE), CAST(len(ws) AS DOUBLE) / 50.0) AS quality_score
+      | FROM w)
+      |SELECT doc_id, n_tokens, distinct_ratio, quality_score,
+      |  CASE WHEN quality_score >= 0.6 THEN 'high'
+      |       WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_band
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** t04 — document fingerprinting: exact content hash (normalized md5) and
+    * a min-shingle rolling fingerprint (minhash k=1 over word 3-shingles).
+    */
+  private def t04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp_exact"),
+      array_min(transform(wordShingles(col("text"), 3),
+        x => md5(concat(lit("0:"), x)))).as("fp_minshingle"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t04Sql =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, text,
+      |  list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+      | FROM w)
+      |SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_exact,
+      |  list_min(list_transform(s3, x -> md5('0:' || x))) AS fp_minshingle
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("t01_token_stats", t01, Some(t01Sql)),
+    QueryDef("t02_lang_id", t02, Some(t02Sql)),
+    QueryDef("t03_quality_score", t03, Some(t03Sql)),
+    QueryDef("t04_fingerprint", t04, Some(t04Sql)))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{MinHashLSH, SimHash}
+
+class DedupOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("SimHash aggregator: identical docs share a signature; disjoint docs differ") {
+    val docs = Seq(
+      (1L, Seq("spark", "query", "table", "join")),
+      (2L, Seq("spark", "query", "table", "join")),
+      (3L, Seq("zebra", "yak", "xylophone", "walrus"))
+    ).toDF("doc_id", "toks")
+    val sig = SimHash.signatures(docs, col("doc_id"), col("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "identical token bags ⇒ identical simhash")
+    assert(sig(1L) != sig(3L))
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 60)), "60-bit range")
+  }
+
+  test("SimHash.pairsWithin(banded) equals brute-force hamming filter") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val sig = SimHash.signatures(docs, col("doc_id"), col("toks")).cache()
+    val banded = SimHash.pairsWithin(sig, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, "pigeonhole banding must find exactly the brute-force pairs")
+    sig.unpersist()
+  }
+
+  test("MinHashLSH: exact copies always collide and verify at jaccard 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, r = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("MinHashLSH on testdata finds planted near-dups (subset of exact jaccard pairs)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val lsh = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"), 3, 8, 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs jaccard for ground truth
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.wordShingles(col("text"), 3).as("s3"))
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextFunctions.jaccard(col("a.s3"), col("b.s3")).as("j"))
+      .filter(col("j") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "every LSH-verified pair is a true near-dup")
+    assert(exact.isEmpty || lsh.nonEmpty, "LSH finds at least some planted pairs")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class TextVectorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("wordShingles: n-grams in order, distinct, empty for short docs") {
+    val df = Seq(Tuple1("a b c d"), Tuple1("a b"), Tuple1("a b a b a b")).toDF("text")
+    val out = df.select(TF.wordShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(out(0) == Set("a b c", "b c d"))
+    assert(out(1) == Set.empty, "doc shorter than n ⇒ no shingles")
+    assert(out(2) == Set("a b a", "b a b"), "repeated shingles deduplicated")
+  }
+
+  test("jaccard: exact set arithmetic") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TF.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5, "2 common / 4 union")
+  }
+
+  test("langId: argmax over stopword profiles, en wins ties, und when empty") {
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("el gato y la casa de los perros", "es"),
+      ("xyzzy qwerty asdf", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TF.langId(col("text")), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"predicted ${r.getString(0)}, expected ${r.getString(1)}"))
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(Tuple1("Hello  World "), Tuple1("hello world")).toDF("text")
+    val fps = df.select(TF.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("cosineQ: 1 for identical, 0 for orthogonal, exact on quantized ints") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val out = df.select(
+      VF.cosineQ(VF.quantize(col("a")), VF.quantize(col("b")))).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) == 0.0)
+  }
+
+  test("hyperplane weights are deterministic and bounded") {
+    val w1 = VF.hyperplane(0, 64)
+    val w2 = VF.hyperplane(0, 64)
+    assert(w1.toSeq == w2.toSeq)
+    assert(w1.forall(v => v >= -1000 && v <= 1000))
+    assert(VF.hyperplane(1, 64).toSeq != w1.toSeq)
+  }
+}
