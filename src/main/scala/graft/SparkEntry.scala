@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Query packs, one per operator family (SURVEY.md §2). */
   private def packs: Seq[QueryPack] =
-    Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries)
+    Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries, JoinQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.defs)
 

@@ -182,7 +182,7 @@ object DedupQueries extends QueryPack {
 
   private val d06Sql =
     """WITH q AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
       |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.Duration
+import graft.streaming.TemporalJoin
+
+/** Temporal-join operators (SURVEY.md §2.4 J1), batch form over the events
+  * table — the oracle-checkable face of graft.streaming.TemporalJoin (the
+  * streaming form shares the same match semantics; StreamingSpec pins their
+  * agreement).
+  */
+object JoinQueries extends QueryPack {
+
+  /** j01 — temporal equi-join: each purchase matched to clicks by the same
+    * user within ±10 minutes. Shuffled hash join on user_id with a µs-exact
+    * range predicate inside the key partition — never a cartesian.
+    */
+  private def j01(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    TemporalJoin.batch(p, c, "p_user", "c_user",
+        col("p_ts"), col("c_ts"), Duration.parse("10m"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_value"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  private val j01Sql =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |  p.user_id AS user_id, p.value AS p_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE
+      | AND c.ts <= p.ts + INTERVAL 10 MINUTE
+      |ORDER BY p_id, c_id""".stripMargin
+
+  /** j02 — as-of join: for each purchase, the latest click by the same user
+    * at-or-before the purchase, within 1 hour. Candidates via the temporal
+    * join, pick via max_by over (ts, event_id) — deterministic under ties.
+    */
+  private def j02(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"), col("value").as("c_value"))
+    TemporalJoin.asOf(p, c, "p_user", "c_user",
+        col("p_ts"), col("c_ts"), Duration.parse("1h"), col("c_id"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_value"),
+        col("c_id"), col("c_value"))
+      .orderBy(col("p_id"))
+  }
+
+  private val j02Sql =
+    """WITH cand AS (
+      |  SELECT p.event_id AS p_id, p.user_id AS user_id, p.value AS p_value,
+      |         c.event_id AS c_id, c.value AS c_value,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |)
+      |SELECT p_id, user_id, p_value, c_id, c_value
+      |FROM cand WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  /** j03 — windowed stream aggregation, batch-checkable: tumbling 1-day
+    * windows per event_type (ST7's batch analog — the same window() the
+    * streaming path uses with a watermark).
+    */
+  private def j03(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  private val j03Sql =
+    """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j01_temporal_join", j01, Some(j01Sql)),
+    QueryDef("j02_asof_join", j02, Some(j02Sql)),
+    QueryDef("j03_tumbling_window_agg", j03, Some(j03Sql)))
+}

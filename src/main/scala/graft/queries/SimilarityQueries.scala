@@ -40,7 +40,7 @@ object SimilarityQueries extends QueryPack {
 
   private val s01Sql =
     """WITH q AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
@@ -84,7 +84,7 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH q AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
        |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -125,7 +125,7 @@ object SimilarityQueries extends QueryPack {
 
   private val s03Sql =
     """WITH q AS (SELECT vec_id, label,
-      |  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings WHERE vec_id % 5 = 0),
       |p AS (SELECT a.label = b.label AS same_label,
       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /

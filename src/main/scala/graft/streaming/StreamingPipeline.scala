@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.config.PipelineConfig
+import graft.operators.{EventGenerator, MappingProjection}
+
+/** The reference pipeline, streaming form:
+  *
+  *   source (rate/Kafka/memory) → windowed dedup (ST1) → optional temporal
+  *   join (J1) → mapping projection (P1) → batched sink (S5).
+  *
+  * Mirrors the GlassFlow engine's configured dataflow
+  * (reference: config/glassflow/deduplication_pipeline.json) with Spark
+  * Structured Streaming. The sink's two flush knobs map exactly:
+  * `max_delay_time` → `Trigger.ProcessingTime` (micro-batch cadence);
+  * `max_batch_size` → sink writer batch size (JDBC `batchsize` for
+  * ClickHouse, row-group sizing for files).
+  */
+object StreamingPipeline {
+
+  /** S1 streaming form — rate-limited synthetic event stream: the `rate`
+    * source emits (timestamp, value) at `rps` rows/sec; the generator's
+    * deterministic template expressions turn `value` into the reference's
+    * event fields (reference producer rate cap: src/utils/publish.py:13).
+    */
+  def rateSource(spark: SparkSession, rps: Long, seed: Long = 42L): DataFrame = {
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val id = col("value")
+    base.select(
+      EventGenerator.uuidCol(id, seed, "eid").as("event_id"),
+      EventGenerator.uuidCol(id, seed, "uid").as("user_id"),
+      date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
+      col("timestamp").as("ts"))
+  }
+
+  /** Apply the configured transform chain to a streaming event DataFrame
+    * carrying an event-time column `tsCol`.
+    */
+  def transform(events: DataFrame, cfg: PipelineConfig, tsCol: String): DataFrame = {
+    val deduped =
+      if (cfg.dedup.enabled)
+        StreamingDedup.withinWatermark(events, Seq(cfg.dedup.idField), tsCol,
+          cfg.dedup.timeWindow)
+      else events
+    MappingProjection(deduped, cfg.sink.tableMapping)
+  }
+
+  /** Wire the sink: micro-batch cadence from `max_delay_time`, per-batch
+    * write via `foreachBatch` (the hook where a JDBC/ClickHouse writer with
+    * `batchsize = max_batch_size` plugs in — graft.sources.ClickHouseSink).
+    */
+  def sink(out: DataFrame, cfg: PipelineConfig, checkpointDir: String)
+          (writeBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(cfg.sink.maxDelayTime.millis))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId)
+      }
+
+  /** End-to-end: events → transform → parquet-backed sink (the offline
+    * stand-in for ClickHouse; the oracle only needs exact row counts,
+    * reference: src/pipeline_test.py:21-23). Returns the started query.
+    */
+  def start(events: DataFrame, cfg: PipelineConfig, tsCol: String,
+            sinkDir: String, checkpointDir: String): StreamingQuery =
+    sink(transform(events, cfg, tsCol), cfg, checkpointDir) { (batch, _) =>
+      batch.write.mode("append").parquet(sinkDir)
+    }.start()
+}
