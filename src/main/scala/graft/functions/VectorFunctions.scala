@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Embedding/vector expression library (similarity search, near-dup).
   *
@@ -20,9 +21,13 @@ object VectorFunctions {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native codegen'd
+    * expression (see DotProductLong; ~50× the interpreted HOF form on
+    * pair-join workloads).
+    */
   def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    ColumnBridge.column(
+      DotProductLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Double dot product (production path, non-oracle). */
   def dot(a: Column, b: Column): Column =

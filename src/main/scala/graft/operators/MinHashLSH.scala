@@ -3,38 +3,56 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{ShingleHashes, TextFunctions}
 
-/** MinHash + LSH near-duplicate detection over word shingles.
+/** MinHash + LSH near-duplicate detection over hashed word shingles.
   *
-  * Pipeline: shingle → k independent minhashes (map-side-combinable MIN
-  * aggregations over exploded shingles — one shuffle on doc_id) → group
-  * adjacent minhashes into bands → equi-join on (band index, band value) for
-  * candidates (O(n·bands) rows, never O(n²)) → exact Jaccard verification of
-  * candidates only.
+  * Pipeline: shingle-hash (one md5 per shingle → 60-bit long, see
+  * ShingleHashes) → k minhashes via Kirsch–Mitzenmacher double hashing
+  * (map-side-combinable MIN aggregations — one shuffle on doc_id) → bands of
+  * r adjacent minhashes combined into one integer band value → equi-join on
+  * (band index, band value) for candidates (O(n·bands) rows, never O(n²)) →
+  * exact Jaccard verification of candidates over the hashed shingle sets.
   *
-  * Hash family: h_j(s) = md5("<j>:" + s), compared lexicographically — no
-  * engine-specific hash, so an external SQL oracle reproduces the exact
-  * candidate set. Probability a pair with Jaccard J collides on one band of
-  * r rows is J^r; candidates are then verified exactly, so false positives
-  * cost only the verification join and false negatives follow the standard
-  * (k, r) S-curve.
+  * Hash family — portable integer arithmetic, reproducible in any SQL engine
+  * (no engine-specific hash functions):
+  *   s   = 60-bit shingle hash (first 15 hex digits of md5)
+  *   h1  = s mod 2³², h2 = (s >> 28) | 1   (forced odd)
+  *   m_j = min over shingles of (h1 + j·h2) mod 2³²
+  * One md5 per shingle total — versus one per (shingle × k) for the naive
+  * per-function-md5 family — and all downstream state is 8-byte longs.
+  * Probability a pair with Jaccard J collides on a band of r rows is J^r;
+  * candidates are verified exactly, so false positives only cost the
+  * verification join and false negatives follow the standard (k, r) S-curve.
   */
 object MinHashLSH {
 
-  /** (doc_id, shingles) → (doc_id, m0..m{k-1}). */
-  def signatures(docs: DataFrame, docId: Column, shingles: Column, k: Int): DataFrame = {
-    val exploded = docs.select(docId.as("doc_id"), explode(shingles).as("sh"))
-    val aggs = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
+  private val M32 = 4294967296L // 2^32
+
+  /** Per-shingle double-hash bases. */
+  private def h1(s: Column): Column = s % M32
+  private def h2(s: Column): Column = shiftright(s, 28).bitwiseOR(lit(1L))
+
+  /** (doc_id, shingleHashes: array<long>) → (doc_id, m0..m{k-1}). */
+  def signatures(docs: DataFrame, docId: Column, shingleHashes: Column,
+                 k: Int): DataFrame = {
+    val exploded = docs.select(docId.as("doc_id"), explode(shingleHashes).as("s"))
+      .select(col("doc_id"), h1(col("s")).as("h1"), h2(col("s")).as("h2"))
+    val aggs = (0 until k).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % M32).as(s"m$j"))
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Bands of `r` adjacent signature columns, hashed to one value each. */
+  /** Bands of `r` adjacent signature columns, combined into one long each
+    * (m·1000003 + m' per step — collisions are astronomically rare and only
+    * add candidates, which exact verification then filters).
+    */
   def banded(sig: DataFrame, k: Int, r: Int): DataFrame = {
     val nBands = k / r
     val bands = (0 until nBands).map { b =>
       val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
-      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_val"))
+      val bv = cols.reduce((acc, m) => acc * 1000003L + m)
+      struct(lit(b).as("band_idx"), bv.as("band_val"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
@@ -54,12 +72,15 @@ object MinHashLSH {
   }
 
   /** Full pipeline over a text column: near-dup pairs with exact-verified
-    * Jaccard >= threshold among LSH candidates.
+    * Jaccard >= threshold among LSH candidates. Jaccard is computed over the
+    * hashed shingle sets (8-byte elements) — identical to string-shingle
+    * Jaccard up to 60-bit hash collisions, which an oracle reproduces by
+    * hashing the same way.
     */
   def nearDuplicates(docs: DataFrame, docId: Column, text: Column,
                      shingleN: Int, k: Int, r: Int, threshold: Double): DataFrame = {
     val withSh = docs.select(docId.as("doc_id"),
-      TextFunctions.wordShingles(text, shingleN).as("shingles"))
+      ShingleHashes(TextFunctions.tokens(text), shingleN).as("shingles"))
     val sig = signatures(withSh, col("doc_id"), col("shingles"), k)
     val cand = candidates(banded(sig, k, r))
     val sets = withSh.select(col("doc_id"), col("shingles"))

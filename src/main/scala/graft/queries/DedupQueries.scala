@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ShingleHashes
 import graft.functions.TextFunctions._
 import graft.operators.{MinHashLSH, SimHash}
 
@@ -43,22 +44,26 @@ object DedupQueries extends QueryPack {
       |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
       |ORDER BY doc_id""".stripMargin
 
-  /** Common SQL prelude: distinct word-3-shingle sets per document. */
+  /** Common SQL prelude: distinct hashed word-3-shingle sets per document —
+    * the 60-bit shingle hash of graft.functions.ShingleHashes (first 15 hex
+    * digits of md5 of the space-joined shingle).
+    */
   private val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(ws) - 1),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+      |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT))) AS s3
       | FROM w)""".stripMargin
 
   /** d02 — n-gram Jaccard near-dup: candidates via shared-shingle equi-join
     * (each common shingle contributes one joined row, so COUNT(*) per pair
     * is exactly |A∩B|), then Jaccard from per-doc set sizes. Equivalent to
-    * all-pairs Jaccard ≥ 0.3 — pairs sharing no shingle have J = 0.
+    * all-pairs Jaccard ≥ 0.3 — pairs sharing no shingle have J = 0. The
+    * join/shuffle carries 8-byte shingle hashes, not strings (ShingleHashes).
     */
   private def d02(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), wordShingles(col("text"), 3).as("s3"))
+      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
     val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),
@@ -85,9 +90,10 @@ object DedupQueries extends QueryPack {
       |      CAST(len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3)) AS DOUBLE) >= 0.3
       |ORDER BY i, j""".stripMargin
 
-  /** d03 — MinHash+LSH near-dup: k=8 md5 minhashes, 4 bands of 2, band
-    * equi-join candidates, exact-Jaccard verification ≥ 0.3. The oracle
-    * reproduces the identical LSH (same hash family), so the candidate set —
+  /** d03 — MinHash+LSH near-dup: k=8 minhashes from one md5 per shingle
+    * (Kirsch–Mitzenmacher double hashing — see MinHashLSH), 4 bands of 2,
+    * band equi-join candidates, exact-Jaccard verification ≥ 0.3. The oracle
+    * reproduces the identical integer hash family, so the candidate set —
     * including its probabilistic misses — matches exactly.
     */
   private def d03(s: SparkSession, dir: String): DataFrame =
@@ -97,16 +103,17 @@ object DedupQueries extends QueryPack {
 
   private val d03Sql = shingleCte +
     """,
-      |ex AS (SELECT doc_id, unnest(s3) AS sng FROM sh),
+      |hh AS (SELECT doc_id, s % 4294967296 AS h1, (s >> 28) | 1 AS h2
+      | FROM (SELECT doc_id, unnest(s3) AS s FROM sh)),
       |sig AS (SELECT doc_id,
-      |  min(md5('0:' || sng)) AS m0, min(md5('1:' || sng)) AS m1,
-      |  min(md5('2:' || sng)) AS m2, min(md5('3:' || sng)) AS m3,
-      |  min(md5('4:' || sng)) AS m4, min(md5('5:' || sng)) AS m5,
-      |  min(md5('6:' || sng)) AS m6, min(md5('7:' || sng)) AS m7
-      | FROM ex GROUP BY doc_id),
+      |  min(h1 % 4294967296) AS m0, min((h1 + h2) % 4294967296) AS m1,
+      |  min((h1 + 2*h2) % 4294967296) AS m2, min((h1 + 3*h2) % 4294967296) AS m3,
+      |  min((h1 + 4*h2) % 4294967296) AS m4, min((h1 + 5*h2) % 4294967296) AS m5,
+      |  min((h1 + 6*h2) % 4294967296) AS m6, min((h1 + 7*h2) % 4294967296) AS m7
+      | FROM hh GROUP BY doc_id),
       |bands AS (SELECT doc_id,
       |  unnest([0, 1, 2, 3]) AS bi,
-      |  unnest([md5(m0 || m1), md5(m2 || m3), md5(m4 || m5), md5(m6 || m7)]) AS bv
+      |  unnest([m0*1000003 + m1, m2*1000003 + m3, m4*1000003 + m5, m6*1000003 + m7]) AS bv
       | FROM sig),
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |  FROM bands a JOIN bands b
@@ -171,11 +178,16 @@ object DedupQueries extends QueryPack {
     */
   private def d06(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
+    // norm once per vector (not per pair): the O(n²) join then does exactly
+    // one codegen'd dot per pair — sqrt(aa)*sqrt(bb) reuses the same IEEE
+    // values the inline form would compute, so results are bit-identical.
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        cosineQ(col("a.v"), col("b.v")).as("cos"))
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= 0.45)
       .orderBy(col("i"), col("j"))
   }

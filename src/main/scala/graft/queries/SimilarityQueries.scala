@@ -26,12 +26,14 @@ object SimilarityQueries extends QueryPack {
   private def s01(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
     val queries = q.filter(pmod(col("vec_id"), lit(25)) === 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        cosineQ(col("a.v"), col("b.v")).as("cos"))
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
@@ -62,6 +64,7 @@ object SimilarityQueries extends QueryPack {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), Planes, Dims))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.as("a").join(q.as("b"),
@@ -69,7 +72,8 @@ object SimilarityQueries extends QueryPack {
         pmod(col("a.vec_id"), lit(25)) === 0 &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        cosineQ(col("a.v"), col("b.v")).as("cos"))
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
@@ -109,9 +113,11 @@ object SimilarityQueries extends QueryPack {
     val q = Tables.embeddings(s, dir)
       .filter(pmod(col("vec_id"), lit(5)) === 0)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select((col("a.label") === col("b.label")).as("same_label"),
-        cosineQ(col("a.v"), col("b.v")).as("cos"))
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .groupBy(col("same_label"))
       .agg(
         count(lit(1)).as("n_pairs"),
