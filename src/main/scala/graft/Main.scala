@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.harness.{GridGenerator, ResultsIO, TestExecutor}
+import graft.harness.GridGenerator.{ParamRange, ParamValues}
+
+/** O5 — CLI entry point (reference: main.py:12-28 + results.py).
+  *
+  *   graft.Main run    --test-id T [--processes 2,4] --records 100000,200000
+  *                     [--max-combinations K] [--no-resume]
+  *                     [--results-dir results] [--sink-dir /tmp/graft_sink]
+  *   graft.Main single --test-id T --records 100000 [--processes 4] ...
+  *   graft.Main results --results-file results/T_results.csv
+  */
+object Main {
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ args.filter(_ == "--no-resume").map(_ => "no-resume" -> "true").toMap
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("run") => run(parseArgs(args.toSeq.tail), single = false)
+    case Some("single") => run(parseArgs(args.toSeq.tail), single = true)
+    case Some("results") => results(parseArgs(args.toSeq.tail))
+    case _ =>
+      System.err.println("usage: graft.Main run|single|results [options]")
+      sys.exit(2)
+  }
+
+  private def longs(s: String): Seq[Any] = s.split(",").toSeq.map(_.trim.toLong)
+
+  private def run(opts: Map[String, String], single: Boolean): Unit = {
+    val testId = opts.getOrElse("test-id", "local")
+    val axes: Seq[(String, GridGenerator.ParamSpec)] = Seq(
+      "num_processes" -> ParamValues(longs(opts.getOrElse("processes", "2"))),
+      "total_records" -> ParamValues(longs(opts.getOrElse("records", "100000"))),
+      "duplication_rate" -> ParamValues(
+        opts.getOrElse("dup-rate", "0.1").split(",").toSeq.map(_.trim.toDouble)),
+      "deduplication_window" -> ParamValues(
+        opts.getOrElse("dedup-window", "8h").split(",").toSeq.map(_.trim)),
+      "max_batch_size" -> ParamValues(longs(opts.getOrElse("batch-size", "5000"))),
+      "max_delay_time" -> ParamValues(
+        opts.getOrElse("max-delay", "10s").split(",").toSeq.map(_.trim)))
+    val all = GridGenerator.combinations(axes)
+    val variants =
+      if (single) all.take(1)
+      else GridGenerator.evenSample(all,
+        opts.get("max-combinations").map(_.toInt).getOrElse(-1))
+    println(s"[main] $testId: ${variants.size} variant(s)")
+    val spark = session()
+    try {
+      val exec = new TestExecutor(testId, opts.getOrElse("results-dir", "results"), spark)
+      val rs = exec.runTests(variants,
+        resume = !opts.contains("no-resume"),
+        sinkRoot = opts.getOrElse("sink-dir", "/tmp/graft_sink"))
+      rs.foreach(r => println(
+        s"[main] ${r.variantId} success=${r.resultSuccess.getOrElse(false)} " +
+          s"rps=${r.resultGlassflowRps.getOrElse(0.0)}"))
+      if (rs.exists(_.resultSuccess.contains(false))) sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def results(opts: Map[String, String]): Unit = {
+    val path = opts.getOrElse("results-file",
+      sys.error("--results-file required"))
+    val rs = new ResultsIO(path).readValidatedResults()
+    println(s"[results] ${rs.size} validated row(s) from $path")
+    rs.foreach { r =>
+      println(f"  ${r.variantId}  records=${r.paramTotalRecords}%,d " +
+        f"processes=${r.paramNumProcesses} success=${r.resultSuccess.getOrElse(false)} " +
+        f"duration=${r.durationSec}%.2fs rps=${r.resultGlassflowRps.getOrElse(0.0)}%.0f")
+    }
+  }
+}
