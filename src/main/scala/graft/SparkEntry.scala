@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Query packs, one per operator family (SURVEY.md §2). */
   private def packs: Seq[QueryPack] =
-    Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries, JoinQueries)
+    Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries, JoinQueries,
+      MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.defs)
 

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque BINARY with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * Spark-side plumbing is real — schema, batched partition processing,
+  * partitioning behavior, output schema — while the codec itself is a
+  * deterministic STUB (this environment ships no image/audio libraries):
+  * `FakeCodec` derives "pixels" from the binary content arithmetically, so
+  * tests pin exact values and an external oracle can reproduce them. Swap
+  * `FakeCodec` for a real decoder (JNI/javax.imageio/ffmpeg) without touching
+  * any plumbing: the operator contract is Iterator[batch of rows] →
+  * Iterator[batch of rows], the JVM analog of a vectorized mapInPandas.
+  */
+object Multimodal {
+
+  /** Media-table schema: opaque content + typed metadata, the layout a
+    * 100 TB multimodal lake uses (content in parquet binary or pointers to
+    * object storage; metadata columns prunable without touching bytes).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = true),      // images/video
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true), // audio
+    StructField("duration_ms", LongType, nullable = true),    // audio/video
+    StructField("fps", DoubleType, nullable = true)))         // video
+
+  /** ======================== STUB (clearly marked) ========================
+    * Deterministic fake codec: stands in for image/audio decoding. Derives
+    * per-byte "samples" directly from the binary payload. Replace with a real
+    * decoder for production; everything downstream is codec-agnostic.
+    */
+  object FakeCodec {
+    /** "Decode" bytes to unsigned sample values 0..255. */
+    def samples(content: Array[Byte]): Array[Int] = content.map(_ & 0xff)
+
+    /** Mean/min/max/entropy-ish features over the fake samples. */
+    def features(content: Array[Byte]): (Double, Int, Int, Double) = {
+      val s = samples(content)
+      if (s.isEmpty) (0.0, 0, 0, 0.0)
+      else {
+        val hist = new Array[Long](256)
+        var sum = 0L; var mn = 255; var mx = 0
+        s.foreach { v =>
+          sum += v; hist(v) += 1
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        val n = s.length.toDouble
+        var ent = 0.0
+        hist.foreach { c =>
+          if (c > 0) { val p = c / n; ent -= p * math.log(p) / math.log(2) }
+        }
+        (sum / n, mn, mx, ent)
+      }
+    }
+  }
+  /* ====================== end STUB ====================== */
+
+  /** Decoded-feature output schema (what a real decoder would also emit). */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("mean_value", DoubleType, nullable = false),
+    StructField("min_value", IntegerType, nullable = false),
+    StructField("max_value", IntegerType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+
+  /** Batched decode + feature extraction: mapPartitions processing rows in
+    * fixed-size batches — the JVM analog of `mapInPandas` record batches
+    * (amortizes per-batch codec setup; keeps peak memory to batchSize
+    * payloads per task). Embarrassingly parallel: no shuffle, scales with
+    * input splits; repartition upstream to spread decode cost if the source
+    * files are few.
+    */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(featureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would go here (decoder init, buffers)
+        batch.iterator.map { r =>
+          val content = r.getAs[Array[Byte]](contentIdx)
+          val (mean, mn, mx, ent) = FakeCodec.features(content)
+          Row(r.getLong(idIdx), r.getString(kindIdx),
+            content.length.toLong, mean, mn, mx, ent)
+        }
+      }
+    }(enc)
+  }
+
+  /** Aspect-preserving resize metadata: fit (width, height) into a
+    * maxDim bounding box, never upscaling — pure column expressions, no
+    * decode needed (the real resize kernel would run in the decode pass).
+    */
+  def resizedDims(width: org.apache.spark.sql.Column,
+                  height: org.apache.spark.sql.Column, maxDim: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(width.cast("double"), height.cast("double")))
+    (floor(width * scale).cast("int"), floor(height * scale).cast("int"))
+  }
+
+  /** Frame sampling for video rows: every `everyMs` milliseconds over
+    * duration, as (media_id, frame_idx, ts_ms) — sequence + explode, fully
+    * codegen'd, one output row per sampled frame.
+    */
+  def sampleFrames(video: DataFrame, everyMs: Long): DataFrame =
+    video
+      .filter(col("kind") === "video" && col("duration_ms").isNotNull && col("fps").isNotNull)
+      .select(col("media_id"), col("fps"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("ts_ms"))
+      .select(col("media_id"),
+        floor(col("ts_ms") / 1000.0 * col("fps")).cast("long").as("frame_idx"),
+        col("ts_ms"))
+
+  /** Deterministic synthetic media over the documents table — binary content
+    * derived from the text via repeated md5 blocks (so any SQL engine can
+    * reproduce byte-exact payloads for oracle checks). kind cycles
+    * image/audio/video by doc_id.
+    */
+  def synthesize(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val kind = when(pmod(col("doc_id"), lit(3)) === 0, "image")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+      .otherwise("video")
+    documents.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      // 32 deterministic bytes: md5(text) ++ md5(text || 'x')
+      unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))).as("content"),
+      when(kind === "image", (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int"))
+        .otherwise(lit(null).cast("int")).as("width"),
+      when(kind === "image", (pmod(col("doc_id"), lit(5)) * 120 + 240).cast("int"))
+        .otherwise(lit(null).cast("int")).as("height"),
+      when(kind === "audio", lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
+      when(kind =!= "image", (pmod(col("doc_id"), lit(10)) * 1000 + 2000).cast("long"))
+        .otherwise(lit(null).cast("long")).as("duration_ms"),
+      when(kind === "video", lit(24.0)).otherwise(lit(null).cast("double")).as("fps"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal binary-column operators (training-data pipeline surface).
+  * Content is synthesized deterministically from the documents table
+  * (md5-block bytes), so the DuckDB oracle reproduces identical payloads and
+  * checks the real operators: metadata extraction, batched decode features,
+  * frame sampling, resize arithmetic.
+  */
+object MultimodalQueries extends QueryPack {
+
+  /** Shared oracle prelude: the synthesized media table (mirror of
+    * Multimodal.synthesize — 32 content bytes = md5(text) ++ md5(text||'x')).
+    */
+  private val mediaCte =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    md5(text) || md5(text || 'x') AS content_hex,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 8 * 160 + 320 AS INTEGER) END AS width,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 5 * 120 + 240 AS INTEGER) END AS height,
+      |    CASE WHEN doc_id % 3 <> 0 THEN CAST(doc_id % 10 * 1000 + 2000 AS BIGINT) END AS duration_ms,
+      |    CASE WHEN doc_id % 3 = 2 THEN 24.0 END AS fps
+      |  FROM documents)""".stripMargin
+
+  /** m01 — binary metadata scan: byte length, magic prefix, content checksum
+    * — the zero-decode pass a lake runs for cataloging/dedup of blobs.
+    */
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("content")).cast("long").as("n_bytes"),
+      lower(hex(substring(col("content"), 1, 2))).as("magic"),
+      // checksum of the canonical hex rendering (DuckDB's md5 takes VARCHAR
+      // only, so both engines hash the same lowercase-hex string)
+      md5(lower(hex(col("content")))).as("checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m01Sql = mediaCte +
+    """
+      |SELECT media_id, kind,
+      |  CAST(octet_length(unhex(content_hex)) AS BIGINT) AS n_bytes,
+      |  lower(substr(content_hex, 1, 4)) AS magic,
+      |  md5(lower(content_hex)) AS checksum
+      |FROM media ORDER BY media_id""".stripMargin
+
+  /** m02 — batched decode + feature extraction through the mapPartitions
+    * plumbing (Multimodal.decodeFeatures): per-media fake-decoded sample
+    * stats. Exact-arithmetic outputs only (mean = int sum / n); entropy is
+    * unit-tested, not oracled (float log2 sums are order-sensitive).
+    */
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+    Multimodal.decodeFeatures(media, batchSize = 64)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("mean_value"), col("min_value").cast("long").as("min_value"),
+        col("max_value").cast("long").as("max_value"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m02Sql = mediaCte +
+    """,
+      |bytes AS (SELECT media_id, kind,
+      |  list_transform(range(0, CAST(octet_length(unhex(content_hex)) AS INTEGER)),
+      |    i -> CAST(('0x' || substr(content_hex, 2*i + 1, 2)) AS BIGINT)) AS bs
+      | FROM media)
+      |SELECT media_id, kind,
+      |  CAST(len(bs) AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(bs) AS DOUBLE) / len(bs) AS mean_value,
+      |  CAST(list_min(bs) AS BIGINT) AS min_value,
+      |  CAST(list_max(bs) AS BIGINT) AS max_value
+      |FROM bytes ORDER BY media_id""".stripMargin
+
+  /** m03 — video frame sampling: one row per sampled frame every 500 ms;
+    * frame_idx = floor(ts/1000 · fps). sequence+explode, no decode, no
+    * shuffle — output scales with duration, not content size.
+    */
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+    Multimodal.sampleFrames(media, everyMs = 500L)
+      .orderBy(col("media_id"), col("ts_ms"))
+  }
+
+  private val m03Sql = mediaCte +
+    """
+      |SELECT media_id,
+      |  CAST(floor(ts_ms / 1000.0 * fps) AS BIGINT) AS frame_idx,
+      |  CAST(ts_ms AS BIGINT) AS ts_ms
+      |FROM (SELECT media_id, fps, unnest(range(0, duration_ms, 500)) AS ts_ms
+      |      FROM media WHERE kind = 'video')
+      |ORDER BY media_id, ts_ms""".stripMargin
+
+  /** m04 — aspect-preserving resize metadata (fit into 512, never upscale):
+    * identical IEEE double expression on both engines ⇒ bit-identical dims.
+    */
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+      .filter(col("kind") === "image")
+    val (rw, rh) = Multimodal.resizedDims(col("width"), col("height"), 512)
+    media.select(col("media_id"), col("width"), col("height"),
+      rw.cast("long").as("out_w"), rh.cast("long").as("out_h"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m04Sql = mediaCte +
+    """
+      |SELECT media_id, width, height,
+      |  CAST(floor(width * least(1.0, 512.0 / greatest(
+      |    CAST(width AS DOUBLE), CAST(height AS DOUBLE)))) AS BIGINT) AS out_w,
+      |  CAST(floor(height * least(1.0, 512.0 / greatest(
+      |    CAST(width AS DOUBLE), CAST(height AS DOUBLE)))) AS BIGINT) AS out_h
+      |FROM media WHERE kind = 'image' ORDER BY media_id""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("m01_media_metadata", m01, Some(m01Sql)),
+    QueryDef("m02_decode_features", m02, Some(m02Sql)),
+    QueryDef("m03_frame_sampling", m03, Some(m03Sql)),
+    QueryDef("m04_resize_dims", m04, Some(m04Sql)))
+}
