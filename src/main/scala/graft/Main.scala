@@ -20,18 +20,7 @@ object Main {
       case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap ++ args.filter(_ == "--no-resume").map(_ => "no-resume" -> "true").toMap
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(): SparkSession = GraftSession.local("graft-cli")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("run") => run(parseArgs(args.toSeq.tail), single = false)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression tests — the automated `.explain` audit. These pin
+  * the physical properties that matter at 100 TB: filters and projections
+  * reaching the parquet scan, broadcast for dim tables, partial aggregation,
+  * whole-stage codegen, and no accidental cartesian products.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  /** Formatted explain — node fields (PushedFilters, ReadSchema) untruncated,
+    * unlike executedPlan.toString.
+    */
+  private def planString(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def run(name: String): DataFrame = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect() // materialize so AQE finalizes the plan
+    df
+  }
+
+  test("q03: filter and projection push into the parquet scan") {
+    val s = planString(run("q03_filter_project"))
+    assert(s.contains("PushedFilters: ["), "filters must reach the scan")
+    assert(s.contains("GreaterThanOrEqual(l_quantity"), "quantity filter pushed")
+    // pruned ReadSchema: none of the unused wide columns appear in the scan
+    assert(!s.contains("l_comment"), "unused column must be pruned from the scan")
+  }
+
+  test("q02: 25-row nation joins via broadcast, not shuffle") {
+    val s = planString(run("q02_revenue_by_nation"))
+    assert(s.contains("BroadcastHashJoin"), "dim join must broadcast")
+  }
+
+  test("q01: hash aggregation is partial (map-side combine) + codegen") {
+    val s = planString(run("q01_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "partial + final HashAggregate")
+    assert(s.contains("codegen id"), "agg pipeline stays in whole-stage codegen")
+  }
+
+  test("candidate-join operators never plan a cartesian product") {
+    for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
+        "j01_temporal_join", "j02_asof_join", "s02_ann_lsh")) {
+      val s = planString(run(name))
+      assert(!s.contains("CartesianProduct"),
+        s"$name must generate candidates via equi-join, found cartesian")
+    }
+  }
+
+  test("dedup keepFirst is a single-exchange hash aggregate, not a window sort") {
+    val df = run("q05_dedup_keep_first")
+    val s = planString(df)
+    assert(!s.contains("Window"), "keep-first must partial-aggregate, not rank")
+    assert(s.contains("min_by") || s.contains("HashAggregate"))
+  }
+
+  test("mapping projection folds into the scan (no extra exchange)") {
+    val s = planString(run("q06_mapping_projection"))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "pure projection must not shuffle (only the final sort exchanges)")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.Duration
+import graft.harness.{GridGenerator, Metrics}
+import graft.operators.{Dedup, DuplicateInjector, EventGenerator}
+
+/** Property tests for the arithmetic contracts (SURVEY.md §5):
+  * dedup ∘ inject = identity on counts, sampling cardinality/evenness,
+  * duration parsing, duplicate arithmetic. Cases are seeded sweeps (the
+  * scalatest↔scalacheck bridge isn't on the offline classpath).
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("∀ (n, k): dedup(injectEveryK(gen n, k)) restores exactly n rows") {
+    for (_ <- 1 to 8) {
+      val n = 1L + rnd.nextInt(500)
+      val k = 1 + rnd.nextInt(20)
+      val gen = EventGenerator.generate(spark, n, seed = 1L, numPartitions = 4)
+      val sent = DuplicateInjector.injectEveryK(gen, col("row_id"), k)
+      val expectedSent = n + (n + k - 1) / k // rows with row_id % k == 0
+      assert(sent.count() == expectedSent, s"n=$n k=$k")
+      val back = Dedup.keepFirst(sent, Seq("event_id"),
+        to_timestamp(col("created_at")), col("row_id"))
+      assert(back.count() == n, s"n=$n k=$k")
+    }
+  }
+
+  test("∀ (len, k): evenSample returns min(k, len) items, ordered, from the input") {
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(201)
+      val k = 1 + rnd.nextInt(50)
+      val xs = (0 until len).toList
+      val s = GridGenerator.evenSample(xs, k)
+      assert(s.size == math.min(k, len), s"len=$len k=$k")
+      assert(s == s.sorted, "evenly spaced indices are monotonic")
+      assert(s.forall(xs.contains))
+      // reference arithmetic: idx_i = int(i * len/k)
+      if (len > k) {
+        val step = len.toDouble / k
+        assert(s == (0 until k).map(i => xs((i * step).toInt)), s"len=$len k=$k")
+      }
+    }
+  }
+
+  test("∀ sent, ratio: unique + duplicates == sent, unique == floor(sent/(1+r))") {
+    for (_ <- 1 to 500) {
+      val sent = math.abs(rnd.nextLong()) % 10000000L
+      val r = rnd.nextDouble()
+      val u = Metrics.uniqueOf(sent, r)
+      val d = Metrics.duplicatesOf(sent, r)
+      assert(u + d == sent, s"sent=$sent r=$r")
+      assert(u == (sent / (1 + r)).toLong)
+    }
+    // the reference's own CSV row 2 numbers
+    assert(Metrics.uniqueOf(5000000L, 0.1) == 4545454L)
+    assert(Metrics.duplicatesOf(5000000L, 0.1) == 454546L)
+  }
+
+  test("duration parse/render round trip on canonical forms") {
+    val units = Seq("ms" -> 1L, "s" -> 1000L, "m" -> 60000L,
+      "h" -> 3600000L, "d" -> 86400000L)
+    for (_ <- 1 to 200) {
+      val n = 1L + rnd.nextInt(10000)
+      val (u, mult) = units(rnd.nextInt(units.size))
+      assert(Duration.parse(s"$n$u").millis == n * mult, s"$n$u")
+    }
+    assert(Duration.parse("1h30m").millis == 5400000L)
+    intercept[IllegalArgumentException](Duration.parse("10 parsecs"))
+  }
+
+  test("generator is collision-free and deterministic across partitionings") {
+    val a = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 1)
+    val b = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 8)
+    assert(a.select("event_id").distinct().count() == 300L)
+    val ra = a.orderBy("row_id").collect().map(_.toSeq)
+    val rb = b.orderBy("row_id").collect().map(_.toSeq)
+    assert(ra.sameElements(rb), "partitioning must not change row content")
+  }
+}
