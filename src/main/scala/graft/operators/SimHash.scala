@@ -60,7 +60,10 @@ object SimHash {
         while (b < Bits) { if (buf(b) > 0) out |= (1L << b); b += 1 }
         out
       }
-      def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization
+      // Catalyst-native array codec — per-merge cost is a primitive array
+      // copy, not Java serialization
+      def bufferEncoder: Encoder[Array[Int]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
       def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
 
