@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TopKByScore
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the embeddings table (64-dim float vectors).
@@ -20,6 +21,21 @@ object SimilarityQueries extends QueryPack {
   private val Dims = 64
   private val Planes = 4
 
+  /** Rank candidate pairs (query_id, neighbor_id, cos) down to per-query
+    * top-k via the partial-combinable TopKByScore aggregator — the shuffle
+    * carries ≤ k rows per (map partition × query) instead of the whole
+    * candidate matrix a window row_number would sort (see TopKByScore).
+    * Output ordering is identical to ROW_NUMBER(ORDER BY cos DESC, id).
+    */
+  private def topkRank(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = TopKByScore(k)
+    pairs.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+
   /** s01 — brute-force cosine top-k: every 25th vector is a query; rank all
     * other vectors by exact quantized cosine, keep top 5.
     */
@@ -28,16 +44,11 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
     val queries = q.filter(pmod(col("vec_id"), lit(25)) === 0)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    val pairs = queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         (dotLong(col("a.v"), col("b.v")).cast("double")
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    topkRank(pairs, 5).orderBy(col("query_id"), col("rk"))
   }
 
   private val s01Sql =
@@ -65,19 +76,14 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), Planes, Dims))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.as("a").join(q.as("b"),
+    val pairs = q.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") &&
         pmod(col("a.vec_id"), lit(25)) === 0 &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         (dotLong(col("a.v"), col("b.v")).cast("double")
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    topkRank(pairs, 3).orderBy(col("query_id"), col("rk"))
   }
 
   private val s02Sql: String = {
