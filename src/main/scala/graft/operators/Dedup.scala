@@ -58,4 +58,28 @@ object Dedup {
     val w = Window.partitionBy(key.map(col): _*).orderBy(ts, tiebreak)
     df.withColumn("occurrence", row_number().over(w))
   }
+
+  /** Skew-hardened keep-first: two-phase min_by. Phase 1 aggregates per
+    * (key, salt) where salt = hash(tiebreak) mod `saltBuckets` — a hot key's
+    * rows spread over `saltBuckets` reducers; phase 2 merges the per-salt
+    * winners per key. min_by is associative, so the result is EXACTLY
+    * keepFirst's (property-tested). AQE's skew handling covers joins;
+    * this covers the aggregation path when one key dominates a shuffle
+    * (e.g. a null-ish default id in dirty data at 100 TB).
+    */
+  def keepFirstSalted(df: DataFrame, key: Seq[String], ts: Column,
+                      tiebreak: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val ord = struct(ts, tiebreak)
+    val payload = struct(df.columns.map(col): _*)
+    val salted = df
+      .withColumn("__salt", pmod(hash(tiebreak), lit(saltBuckets)))
+      .withColumn("__ord", ord)
+    val phase1 = salted.groupBy((key.map(col) :+ col("__salt")): _*)
+      .agg(min(col("__ord")).as("__o1"),
+        min_by(payload, col("__ord")).as("__first"))
+    phase1.groupBy(key.map(col): _*)
+      .agg(min_by(col("__first"), col("__o1")).as("__first"))
+      .select(df.columns.map(c => col(s"__first.$c")): _*)
+  }
 }

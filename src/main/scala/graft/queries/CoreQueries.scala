@@ -195,14 +195,20 @@ object CoreQueries extends QueryPack {
       |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
-  /** q08 — window ranking: top-3 orders per customer by totalprice. */
+  /** q08 — per-group top-3 ranking (orders per customer by totalprice) via
+    * the partial-combinable TopKByScore aggregator: the shuffle carries ≤3
+    * rows per (map partition, customer) instead of sorting all orders inside
+    * each customer partition (interchangeability with ROW_NUMBER is pinned
+    * by AggregatorSpec; the oracle stays the ROW_NUMBER formulation).
+    */
   private def q08(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val topk = graft.functions.TopKByScore(3)
     Tables.orders(s, dir)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("o_custkey"), col("rk"))
   }
 
