@@ -13,7 +13,7 @@ object SparkEntry {
   /** Query packs, one per operator family (SURVEY.md §2). */
   private def packs: Seq[QueryPack] =
     Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries, JoinQueries,
-      MultimodalQueries)
+      MultimodalQueries, RelationalQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.defs)
 

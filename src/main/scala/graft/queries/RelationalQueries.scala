@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational breadth beyond the reference's surface: grouping sets,
+  * date/string expression pack, exact statistical aggregates, set ops —
+  * the remainder of what "a user could switch their queries to this engine"
+  * implies. Determinism rules per QueryDef.scala.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** r01 — ROLLUP grouping-set aggregation with decimal-exact sums.
+    * GROUPING() disambiguates the null super-aggregate rows.
+    */
+  private def r01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
+  private val r01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** r02 — date/string expression pack over orders: calendar extraction,
+    * month truncation, string slicing/cleanup — the per-row transform
+    * vocabulary, all codegen'd builtins.
+    */
+  private def r02(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").startsWith("1"))
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+        length(trim(col("o_orderpriority"))).cast("long").as("prio_len"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("status_key"))
+      .orderBy(col("o_orderkey"))
+
+  private val r02Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS d,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  upper(substr(o_orderpriority, 3)) AS prio_name,
+      |  CAST(length(trim(o_orderpriority)) AS BIGINT) AS prio_len,
+      |  o_orderstatus || '#' || o_orderpriority AS status_key
+      |FROM orders
+      |WHERE o_orderpriority LIKE '1%'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** r03 — exact statistical aggregates: distinct counts plus stddev derived
+    * from integer-quantized sums (vq = round(v·10⁶); Σvq and Σvq² are exact
+    * integers, so the final double math is bit-identical in any engine —
+    * unlike a naive double stddev whose partial sums are order-dependent,
+    * or DECIMAL casts whose double→decimal rounding differs per engine).
+    */
+  private def r03(s: SparkSession, dir: String): DataFrame = {
+    val vq = round(col("value").cast("double") * 1000000).cast("long")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), vq.as("vq"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("vq")).as("sum_vq"),
+        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sum_vq2"))
+      .select(col("event_type"), col("n"), col("n_users"),
+        (col("sum_vq").cast("double") / 1000000.0).as("sum_v"),
+        // sample stddev from exact integer sums, descaled at the end:
+        // sqrt((Σvq² − (Σvq)²/n) / (n−1)) / 10⁶
+        (sqrt((col("sum_vq2").cast("double")
+          - col("sum_vq").cast("double") * col("sum_vq").cast("double") / col("n"))
+          / (col("n") - 1)) / 1000000.0).as("stddev_v"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r03Sql =
+    """WITH q AS (
+      |  SELECT event_type, user_id,
+      |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    COUNT(DISTINCT user_id) AS n_users,
+      |    SUM(vq) AS sum_vq, SUM(vq * vq) AS sum_vq2
+      |  FROM q GROUP BY event_type)
+      |SELECT event_type, n, n_users,
+      |  CAST(sum_vq AS DOUBLE) / 1000000.0 AS sum_v,
+      |  sqrt((CAST(sum_vq2 AS DOUBLE)
+      |    - CAST(sum_vq AS DOUBLE) * CAST(sum_vq AS DOUBLE) / n) / (n - 1))
+      |    / 1000000.0 AS stddev_v
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** r04 — set operations: INTERSECT / EXCEPT over derived key sets (users
+    * who clicked vs users who purchased).
+    */
+  private def r04(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val both = clickers.intersect(buyers).withColumn("cohort", lit("click_and_buy"))
+    val onlyClick = clickers.except(buyers).withColumn("cohort", lit("click_only"))
+    both.unionAll(onlyClick)
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"))
+  }
+
+  private val r04Sql =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |cb AS (SELECT user_id, 'click_and_buy' AS cohort FROM c INTERSECT
+      |       SELECT user_id, 'click_and_buy' FROM b),
+      |onlyc AS (SELECT user_id, 'click_only' AS cohort FROM c EXCEPT
+      |          SELECT user_id, 'click_only' FROM b)
+      |SELECT cohort, COUNT(*) AS n_users FROM (
+      |  SELECT * FROM cb UNION ALL SELECT * FROM onlyc)
+      |GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("r01_rollup", r01, Some(r01Sql)),
+    QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
+    QueryDef("r03_exact_stats", r03, Some(r03Sql)),
+    QueryDef("r04_set_ops", r04, Some(r04Sql)))
+}
