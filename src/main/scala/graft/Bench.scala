@@ -1,5 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{Duration, FieldMapping}
+import graft.operators.{Dedup, DuplicateInjector, EventGenerator, MappingProjection}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,7 +21,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Baseline-comparable headline: the reference pipeline (generate 2M sent
+    // incl. 10% duplicates → keep-first dedup in an 8h window → sink
+    // projection → exact count) in records/sec — BASELINE.md's
+    // glassflow_rps is the same pipeline at 8,018–9,429 rps.
+    val sent = 2000000L
+    val unique = (sent / 1.1).toLong
+    val t0 = System.nanoTime()
+    val gen = EventGenerator.generate(spark, unique, seed = 42L)
+    val dupes = gen.where(col("row_id") < sent - unique)
+    val dd = Dedup.tumbling(gen.unionAll(dupes), Seq("event_id"),
+      to_timestamp(col("created_at")), Duration.parse("8h").millis, col("row_id"))
+    val projected = MappingProjection(dd, Seq(
+      FieldMapping("event_id", "event_id", "uuid"),
+      FieldMapping("user_id", "user_id", "uuid"),
+      FieldMapping("created_at", "created_at", "datetime"),
+      FieldMapping("name", "user_name", "string"),
+      FieldMapping("email", "user_email", "string")))
+    val added = projected.count()
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val pipelineRps =
+      if (added == unique) math.round(sent / pipelineSec) else -1L
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent}""")
     spark.stop()
   }
 }

@@ -64,13 +64,16 @@ object StreamingPipeline {
         writeBatch(batch, batchId)
       }
 
-  /** End-to-end: events → transform → parquet-backed sink (the offline
-    * stand-in for ClickHouse; the oracle only needs exact row counts,
-    * reference: src/pipeline_test.py:21-23). Returns the started query.
+  /** End-to-end: events → transform → idempotent parquet sink (the offline
+    * stand-in for ClickHouse; the oracle needs exact row counts, reference:
+    * src/pipeline_test.py:21-23, so replayed micro-batches must write
+    * nothing — see IdempotentParquetSink). Returns the started query.
     */
   def start(events: DataFrame, cfg: PipelineConfig, tsCol: String,
-            sinkDir: String, checkpointDir: String): StreamingQuery =
-    sink(transform(events, cfg, tsCol), cfg, checkpointDir) { (batch, _) =>
-      batch.write.mode("append").parquet(sinkDir)
+            sinkDir: String, checkpointDir: String): StreamingQuery = {
+    val idempotent = new graft.sources.IdempotentParquetSink(sinkDir)
+    sink(transform(events, cfg, tsCol), cfg, checkpointDir) { (batch, batchId) =>
+      idempotent.writeBatch(batch, batchId)
     }.start()
+  }
 }

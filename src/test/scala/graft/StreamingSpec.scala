@@ -132,8 +132,8 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       in.addData(Ev("e3", t(3), "c"), Ev("e2", t(4), "dup"), Ev("e4", t(5), "d"))
       q.processAllAvailable()
-      val sunk = spark.read.parquet(sinkDir)
-      assert(sunk.columns.sorted.toSeq == Seq("event_id", "val"))
+      val sunk = new graft.sources.IdempotentParquetSink(sinkDir).read(spark)
+      assert(sunk.columns.filterNot(_ == "epoch").sorted.toSeq == Seq("event_id", "val"))
       assert(sunk.count() == 4, "added_records == total_generated (unique)")
     } finally q.stop()
   }
