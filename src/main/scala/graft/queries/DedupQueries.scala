@@ -66,9 +66,19 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
     val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.sng") === col("b.sng") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // Group-pairs form, not a self-join: Spark doesn't reuse the exploded
+    // exchange across self-join sides, so grouping each shingle's (sorted)
+    // doc list once and emitting its in-group pairs halves the shuffled
+    // volume — one shuffle on sng, one on the pair. Per-group pair count is
+    // df·(df−1)/2; at production scale cap df (drop stop-shingles) first.
+    val groups = ex.groupBy(col("sng"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
+        y => struct(x.as("i"), y.as("j")))))
+    val pairs = groups.select(explode(pairExpr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"))
     pairs
       .join(sizes.as("ca"), col("i") === col("ca.doc_id"))
