@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch–streaming agreement: the same windowed aggregation over the events
+  * table must produce identical results whether the parquet is read as a
+  * batch table or replayed through a file-source stream with a watermark —
+  * the property that lets one query definition serve both the lake and the
+  * live pipeline (kappa-style).
+  */
+class StreamBatchAgreementSpec extends SparkSpecBase {
+
+  test("tumbling 1-day window agg: file-stream replay == batch") {
+    val dir = sf("sf0.001")
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+    // replay the same parquet as a bounded stream (one file per trigger);
+    // events.ts is TIMESTAMP(NANOS) so the stream reads the raw nanos long
+    // (legacy conf, set by Tables) and applies the same µs normalization
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory — stage the single file into one
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_agree").toString
+    val q = streamed.writeStream.format("memory").queryName("agree_out")
+      .outputMode("complete") // bounded replay: complete mode yields the final state
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val a = spark.table("agree_out").collect().map(_.toSeq).toSet
+      val b = batch.collect().map(_.toSeq).toSet
+      assert(a == b, "streaming replay must converge to the batch answer")
+      assert(b.nonEmpty)
+    } finally q.stop()
+  }
+}
