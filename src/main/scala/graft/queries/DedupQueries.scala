@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ShingleHashes
 import graft.functions.TextFunctions._
-import graft.operators.{MinHashLSH, SimHash}
+import graft.operators.{ConnectedComponents, MinHashLSH, SimHash}
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
@@ -111,7 +111,10 @@ object DedupQueries extends QueryPack {
         col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
       .orderBy(col("i"), col("j"))
 
-  private val d03Sql = shingleCte +
+  /** The full MinHash+LSH pair query (no ORDER BY) — shared by d03 and the
+    * clustering oracle d07, which embeds it as a derived table.
+    */
+  private val minhashPairsCore = shingleCte +
     """,
       |hh AS (SELECT doc_id, s % 4294967296 AS h1, (s >> 28) | 1 AS h2
       | FROM (SELECT doc_id, unnest(s3) AS s FROM sh)),
@@ -133,8 +136,9 @@ object DedupQueries extends QueryPack {
       |  CAST(len(x.s3) + len(y.s3) - len(list_intersect(x.s3, y.s3)) AS DOUBLE) AS jac
       |FROM cand JOIN sh x ON x.doc_id = i JOIN sh y ON y.doc_id = j
       |WHERE CAST(len(list_intersect(x.s3, y.s3)) AS DOUBLE) /
-      |      CAST(len(x.s3) + len(y.s3) - len(list_intersect(x.s3, y.s3)) AS DOUBLE) >= 0.3
-      |ORDER BY i, j""".stripMargin
+      |      CAST(len(x.s3) + len(y.s3) - len(list_intersect(x.s3, y.s3)) AS DOUBLE) >= 0.3""".stripMargin
+
+  private val d03Sql = minhashPairsCore + "\nORDER BY i, j"
 
   /** SQL prelude: 60-bit SimHash per doc (bit b set iff Σ±1 over token-hash
     * bit b is positive) — the exact math of SimHash.aggregator.
@@ -213,11 +217,37 @@ object DedupQueries extends QueryPack {
       | FROM q a JOIN q b ON a.vec_id < b.vec_id)
       |SELECT i, j, cos FROM p WHERE cos >= 0.45 ORDER BY i, j""".stripMargin
 
+  /** d07 — near-dup clustering: the MinHash pair set (d03) condensed into
+    * duplicate groups via min-label connected components — the step that
+    * turns pairwise hits into "keep one per group". The oracle computes the
+    * same components with a recursive transitive-closure CTE.
+    */
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j"))
+    ConnectedComponents.labelPropagation(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d07Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($minhashPairsCore)),
+       |e2 AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+       |  UNION
+       |  SELECT e2.a, reach.lbl FROM e2 JOIN reach ON e2.b = reach.id
+       |)
+       |SELECT id AS doc_id, MIN(lbl) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
     QueryDef("d03_minhash_lsh", d03, Some(d03Sql)),
     QueryDef("d04_simhash", d04, Some(d04Sql)),
     QueryDef("d05_simhash_pairs", d05, Some(d05Sql)),
-    QueryDef("d06_embedding_neardup", d06, Some(d06Sql)))
+    QueryDef("d06_embedding_neardup", d06, Some(d06Sql)),
+    QueryDef("d07_neardup_clusters", d07, Some(d07Sql)))
 }

@@ -125,9 +125,64 @@ object TextQueries extends QueryPack {
       |  list_min(list_transform(s3, x -> md5('0:' || x))) AS fp_minshingle
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** t05 — deterministic stratified sampling: per-language keep rates via a
+    * content-stable hash threshold (md5-derived, so reproducible anywhere and
+    * stable under re-partitioning — the property `sample()` lacks). The
+    * training-data balancing op: downsample the dominant class.
+    */
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // bucket ∈ [0, 1000): first 8 md5 hex digits of "smp:<doc_id>" mod 1000
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("smp:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    val keepRate = when(col("lang") === "en", 300L)
+      .when(col("lang") === "zh", 500L)
+      .otherwise(1000L)
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < keepRate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t05Sql =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('smp:' || doc_id), 1, 8)) AS BIGINT) % 1000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 500 ELSE 1000 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** t06 — BPE-style pre-tokenization counting: split on letter runs, digit
+    * runs, and single punctuation marks (ASCII classes — identical regex
+    * semantics in any engine), the unit a byte-pair tokenizer would consume.
+    */
+  private def t06(s: SparkSession, dir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"),
+        size(filter(pieces, p => p.rlike("^[0-9]+$"))).cast("long").as("n_number_runs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t06Sql =
+    """WITH p AS (SELECT doc_id,
+      |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pieces
+      | FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(pieces) AS BIGINT) AS n_pieces,
+      |  CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+      |  CAST(len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_number_runs
+      |FROM p ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
     QueryDef("t03_quality_score", t03, Some(t03Sql)),
-    QueryDef("t04_fingerprint", t04, Some(t04Sql)))
+    QueryDef("t04_fingerprint", t04, Some(t04Sql)),
+    QueryDef("t05_stratified_sample", t05, Some(t05Sql)),
+    QueryDef("t06_bpe_pieces", t06, Some(t06Sql)))
 }
