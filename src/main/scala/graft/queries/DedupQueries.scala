@@ -242,6 +242,57 @@ object DedupQueries extends QueryPack {
        |SELECT id AS doc_id, MIN(lbl) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** d08 — the end-to-end corpus dedup: near-dup clusters (d07) each keep
+    * their best-quality member (t03's score; ties → smaller doc_id),
+    * unclustered docs are their own singleton component. This is the
+    * composite a training-data pipeline actually ships: pairs → groups →
+    * one kept representative per group.
+    */
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val quality = (size(array_distinct(ws)).cast("double") / size(ws)) *
+      least(lit(1.0), size(ws).cast("double") / 50.0)
+    val qual = docs.select(col("doc_id"), quality.as("quality"))
+    val pairs = MinHashLSH.nearDuplicates(docs,
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j"))
+    val comp = ConnectedComponents.labelPropagation(pairs)
+    val withComp = qual.join(comp, qual("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
+        col("quality"))
+    withComp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("kept_doc"))
+      .filter(col("cluster_size") > 1) // clusters only: singleton rows are the identity
+      .orderBy(col("component"))
+  }
+
+  private val d08Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($minhashPairsCore)),
+       |e2 AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+       |  UNION
+       |  SELECT e2.a, reach.lbl FROM e2 JOIN reach ON e2.b = reach.id
+       |),
+       |comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+       |qual AS (SELECT doc_id,
+       |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |     / len(string_split(text, ' ')))
+       |  * least(CAST(1.0 AS DOUBLE),
+       |          CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) AS quality
+       | FROM documents),
+       |wc AS (SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
+       | FROM qual q LEFT JOIN comp c ON c.id = q.doc_id),
+       |r AS (SELECT doc_id, component, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+       | FROM wc)
+       |SELECT component, COUNT(*) AS cluster_size,
+       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc
+       |FROM r GROUP BY component HAVING COUNT(*) > 1
+       |ORDER BY component""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -249,5 +300,6 @@ object DedupQueries extends QueryPack {
     QueryDef("d04_simhash", d04, Some(d04Sql)),
     QueryDef("d05_simhash_pairs", d05, Some(d05Sql)),
     QueryDef("d06_embedding_neardup", d06, Some(d06Sql)),
-    QueryDef("d07_neardup_clusters", d07, Some(d07Sql)))
+    QueryDef("d07_neardup_clusters", d07, Some(d07Sql)),
+    QueryDef("d08_corpus_dedup", d08, Some(d08Sql)))
 }

@@ -149,8 +149,79 @@ object SimilarityQueries extends QueryPack {
       |    / COUNT(*) / 1000000.0 AS mean_cos_r6
       |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin
 
+  /** s04 — IVF-style ANN: a deterministic centroid set (every 97th vector)
+    * partitions the space into cells; every vector is assigned to its
+    * nearest centroid (one broadcast join — the centroid table is tiny, the
+    * big side never shuffles); a query probes its nprobe=2 nearest cells and
+    * exact-ranks only those cells' members. The inverted-file layout is the
+    * scale path when hyperplane LSH (s02) recall is too coarse: cells adapt
+    * to the data distribution.
+    */
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+    val cents = q.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dotLong(col("v"), col("c_v")).cast("double")
+          / (col("nrm") * col("c_nrm"))).as("ccos"))
+    // cell assignment: argmax centroid (ties → smaller c_id)
+    val assign = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+    val cells = q.join(assign, "vec_id")
+    // query probes: top-2 nearest centroids per query (same tie rule)
+    val topc = TopKByScore(2)
+    val probes = scored.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(topc(col("c_id"), col("ccos")).as("pc"))
+      .select(col("query_id"), explode(col("pc.id")).as("p_cell"))
+    val pairs = probes
+      .join(q.as("qq"), col("query_id") === col("qq.vec_id"))
+      .join(cells.as("nn"), col("p_cell") === col("nn.cell")
+        && col("nn.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn.vec_id").as("neighbor_id"),
+        (dotLong(col("qq.v"), col("nn.v")).cast("double")
+          / (col("qq.nrm") * col("nn.nrm"))).as("cos"))
+    topkRank(pairs, 3).orderBy(col("query_id"), col("rk"))
+  }
+
+  private val s04Sql =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS c_v FROM q WHERE vec_id % 97 = 0),
+      |score AS (SELECT q.vec_id, q.v, c.c_id,
+      |  list_dot_product(q.v::DOUBLE[], c.c_v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(q.v::DOUBLE[], q.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(c.c_v::DOUBLE[], c.c_v::DOUBLE[]))) AS ccos
+      | FROM q CROSS JOIN c),
+      |assign AS (SELECT vec_id, c_id AS cell FROM (
+      |  SELECT vec_id, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+      |  FROM score) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM (
+      |  SELECT vec_id, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+      |  FROM score WHERE vec_id % 25 = 0) WHERE rn <= 2),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      | FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      |pr AS (SELECT cand.query_id, cand.neighbor_id,
+      |  list_dot_product(x.v::DOUBLE[], y.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(x.v::DOUBLE[], x.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(y.v::DOUBLE[], y.v::DOUBLE[]))) AS cos
+      | FROM cand JOIN q x ON x.vec_id = cand.query_id
+      |           JOIN q y ON y.vec_id = cand.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      | FROM pr)
+      |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
-    QueryDef("s03_label_cohesion", s03, Some(s03Sql)))
+    QueryDef("s03_label_cohesion", s03, Some(s03Sql)),
+    QueryDef("s04_ann_ivf", s04, Some(s04Sql)))
 }
