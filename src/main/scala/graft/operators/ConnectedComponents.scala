@@ -23,11 +23,19 @@ object ConnectedComponents {
     * singletons if needed).
     */
   def labelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: every round joins against it, and
+    // without this the whole upstream plan (e.g. an LSH pipeline) would
+    // re-execute per round.
     val adj = edges.select(col("i").as("a"), col("j").as("b"))
       .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint(true)
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    // labels only ever decrease, so the total is a cheap convergence witness
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -38,8 +46,9 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
