@@ -35,25 +35,41 @@ object Main {
 
   private def run(opts: Map[String, String], single: Boolean): Unit = {
     val testId = opts.getOrElse("test-id", "local")
+    val hasPipeCfg = opts.contains("pipeline-config")
+    // dedup/sink axes: explicit flag wins; otherwise a loaded pipeline
+    // config supplies them (axis omitted → executor falls back to it);
+    // otherwise the reference defaults
+    def optAxis(name: String, flag: String, default: String,
+                mk: String => GridGenerator.ParamSpec): Seq[(String, GridGenerator.ParamSpec)] =
+      opts.get(flag) match {
+        case Some(v) => Seq(name -> mk(v))
+        case None if hasPipeCfg => Seq.empty
+        case None => Seq(name -> mk(default))
+      }
     val axes: Seq[(String, GridGenerator.ParamSpec)] = Seq(
       "num_processes" -> ParamValues(longs(opts.getOrElse("processes", "2"))),
       "total_records" -> ParamValues(longs(opts.getOrElse("records", "100000"))),
       "duplication_rate" -> ParamValues(
-        opts.getOrElse("dup-rate", "0.1").split(",").toSeq.map(_.trim.toDouble)),
-      "deduplication_window" -> ParamValues(
-        opts.getOrElse("dedup-window", "8h").split(",").toSeq.map(_.trim)),
-      "max_batch_size" -> ParamValues(longs(opts.getOrElse("batch-size", "5000"))),
-      "max_delay_time" -> ParamValues(
-        opts.getOrElse("max-delay", "10s").split(",").toSeq.map(_.trim)))
+        opts.getOrElse("dup-rate", "0.1").split(",").toSeq.map(_.trim.toDouble))) ++
+      optAxis("deduplication_window", "dedup-window", "8h",
+        v => ParamValues(v.split(",").toSeq.map(_.trim))) ++
+      optAxis("max_batch_size", "batch-size", "5000", v => ParamValues(longs(v))) ++
+      optAxis("max_delay_time", "max-delay", "10s",
+        v => ParamValues(v.split(",").toSeq.map(_.trim)))
     val all = GridGenerator.combinations(axes)
     val variants =
       if (single) all.take(1)
       else GridGenerator.evenSample(all,
         opts.get("max-combinations").map(_.toInt).getOrElse(-1))
     println(s"[main] $testId: ${variants.size} variant(s)")
+    val pipelineCfg = opts.get("pipeline-config").map { p =>
+      graft.config.PipelineConfigJson.fromJson(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    }
     val spark = session()
     try {
-      val exec = new TestExecutor(testId, opts.getOrElse("results-dir", "results"), spark)
+      val exec = new TestExecutor(testId,
+        opts.getOrElse("results-dir", "results"), spark, pipelineCfg)
       val rs = exec.runTests(variants,
         resume = !opts.contains("no-resume"),
         sinkRoot = opts.getOrElse("sink-dir", "/tmp/graft_sink"))

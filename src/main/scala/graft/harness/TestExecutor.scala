@@ -21,20 +21,22 @@ import graft.operators.{Dedup, EventGenerator, MappingProjection}
   *   criterion src/pipeline_test.py:21-23).
   */
 final class TestExecutor(testId: String, resultsDir: String,
-                         spark: SparkSession) {
+                         spark: SparkSession,
+                         pipelineConfig: Option[graft.config.PipelineConfig] = None) {
 
   private val resultsPath = s"$resultsDir/${testId}_results.csv"
   val resultsIO = new ResultsIO(resultsPath)
 
-  /** The reference sink mapping (config/glassflow/deduplication_pipeline
-    * .json:68-99): rename + uuid/datetime casts.
+  /** Sink mapping: from the loaded pipeline config when given (S14 → P1
+    * integration), else the reference's shipped mapping
+    * (config/glassflow/deduplication_pipeline.json:68-99).
     */
-  private val sinkMapping = Seq(
+  private val sinkMapping = pipelineConfig.map(_.sink.tableMapping).getOrElse(Seq(
     FieldMapping("event_id", "event_id", "uuid"),
     FieldMapping("user_id", "user_id", "uuid"),
     FieldMapping("created_at", "created_at", "datetime"),
     FieldMapping("name", "user_name", "string"),
-    FieldMapping("email", "user_email", "string"))
+    FieldMapping("email", "user_email", "string")))
 
   /** Run all variants with resume (reference: run_tests loop,
     * src/test_executor.py:86-107). Returns the results of this session.
@@ -64,9 +66,14 @@ final class TestExecutor(testId: String, resultsDir: String,
     val numProcesses = cfg.getOrElse("num_processes", 1).toString.toDouble.toInt
     val totalRecords = cfg.getOrElse("total_records", 0L).toString.toDouble.toLong
     val dupRate = cfg.getOrElse("duplication_rate", 0.1).toString.toDouble
-    val dedupWindow = cfg.getOrElse("deduplication_window", "8h").toString
-    val maxBatchSize = cfg.getOrElse("max_batch_size", 5000).toString.toDouble.toInt
-    val maxDelayTime = cfg.getOrElse("max_delay_time", "10s").toString
+    // swept variant values override; the loaded pipeline config (if any)
+    // supplies defaults (reference: src/pre_process.py:17-35 point-updates)
+    val dedupWindow = cfg.getOrElse("deduplication_window",
+      pipelineConfig.map(_.dedup.timeWindow.toString).getOrElse("8h")).toString
+    val maxBatchSize = cfg.getOrElse("max_batch_size",
+      pipelineConfig.map(_.sink.maxBatchSize).getOrElse(5000)).toString.toDouble.toInt
+    val maxDelayTime = cfg.getOrElse("max_delay_time",
+      pipelineConfig.map(_.sink.maxDelayTime.toString).getOrElse("10s")).toString
 
     val unique = Metrics.uniqueOf(totalRecords, dupRate)
     val duplicates = Metrics.duplicatesOf(totalRecords, dupRate)
