@@ -26,5 +26,6 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local[32] on a 125 GiB box: leave room for OS cache + sbt
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
 )
