@@ -23,6 +23,29 @@ object KafkaIO {
   final case class KafkaAuth(securityProtocol: String, saslMechanism: String,
                              username: String, password: String)
 
+  object KafkaAuth {
+    /** P6 — the reference ships credentials base64-encoded and decodes them
+      * before use (reference: src/utils/kafka.py:15-21,
+      * src/utils/clickhouse.py:17); same decode at the config edge.
+      */
+    def fromBase64(securityProtocol: String, saslMechanism: String,
+                   username: String, passwordB64: String): KafkaAuth =
+      KafkaAuth(securityProtocol, saslMechanism, username,
+        new String(java.util.Base64.getDecoder.decode(passwordB64), "UTF-8"))
+  }
+
+  /** Base64-decode a PEM root CA to a temp file, returning its path — the
+    * reference's TLS edge (src/generate_events.py:52-58: decode `root_ca`,
+    * write temp file, point `ssl.ca.location` at it).
+    */
+  def writeRootCa(rootCaB64: String): String = {
+    val f = java.io.File.createTempFile("graft_ca", ".pem")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      java.util.Base64.getDecoder.decode(rootCaB64))
+    f.getAbsolutePath
+  }
+
   /** Build the option map shared by reads and writes. SASL credentials become
     * a JAAS config string — the Spark-side equivalent of the reference's
     * `sasl.username/password` producer params.

@@ -150,6 +150,20 @@ class StreamingSpec extends SparkSpecBase {
       Set(("id1", "alice"), ("id2", "bob")))
   }
 
+  test("base64 credential/CA decode matches the reference edge (P6)") {
+    import graft.sources.KafkaIO
+    val auth = KafkaIO.KafkaAuth.fromBase64("SASL_PLAINTEXT", "PLAIN",
+      "user", java.util.Base64.getEncoder.encodeToString("s3cret".getBytes("UTF-8")))
+    assert(auth.password == "s3cret")
+    assert(KafkaIO.options("b:9092", Some(auth))("kafka.sasl.jaas.config")
+      .contains("""password="s3cret""""))
+    val pem = "-----BEGIN CERTIFICATE-----\nabc\n-----END CERTIFICATE-----"
+    val path = KafkaIO.writeRootCa(
+      java.util.Base64.getEncoder.encodeToString(pem.getBytes("UTF-8")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8") == pem)
+  }
+
   test("ClickHouse DDL follows the reference ORDER BY rule") {
     import graft.sources.ClickHouseSink
     val sink = SinkConfig("load_t", 5000, Duration.parse("10s"), Seq(
