@@ -301,5 +301,39 @@ object DedupQueries extends QueryPack {
     QueryDef("d05_simhash_pairs", d05, Some(d05Sql)),
     QueryDef("d06_embedding_neardup", d06, Some(d06Sql)),
     QueryDef("d07_neardup_clusters", d07, Some(d07Sql)),
-    QueryDef("d08_corpus_dedup", d08, Some(d08Sql)))
+    QueryDef("d08_corpus_dedup", d08, Some(d08Sql)),
+    QueryDef("d09_decontaminate", d09, Some(d09Sql)))
+
+  /** d09 — benchmark decontamination: flag corpus docs sharing any word
+    * 5-gram with a held-out benchmark set (every 100th doc). The benchmark
+    * shingle list is tiny → broadcast hash join; the corpus side streams
+    * through map-side, no shuffle of the big side — the standard
+    * test-set-overlap sweep at lake scale.
+    */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 5).as("s5"))
+    val benchEx = sh.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("b_id"), explode(col("s5")).as("sng"))
+    val corpusEx = sh.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      .select(col("doc_id"), explode(col("s5")).as("sng"))
+    corpusEx.join(broadcast(benchEx), "sng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("b_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d09Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(ws) - 3),
+      |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15)) AS BIGINT))) AS s5
+      | FROM w),
+      |be AS (SELECT doc_id AS b_id, unnest(s5) AS sng FROM sh WHERE doc_id % 100 = 0),
+      |ce AS (SELECT doc_id, unnest(s5) AS sng FROM sh WHERE doc_id % 100 <> 0)
+      |SELECT ce.doc_id, COUNT(*) AS n_hits,
+      |  COUNT(DISTINCT be.b_id) AS n_bench_docs
+      |FROM ce JOIN be ON ce.sng = be.sng
+      |GROUP BY ce.doc_id ORDER BY ce.doc_id""".stripMargin
 }

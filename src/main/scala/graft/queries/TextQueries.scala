@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -178,11 +178,45 @@ object TextQueries extends QueryPack {
       |  CAST(len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_number_runs
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** t07 — repetition scoring (C4/RefinedWeb-style quality signal): the
+    * share of a document covered by its single most frequent word 3-gram.
+    * Occurrences count multiplicity (no distinct), so copy-paste loops score
+    * high. One explode + two aggregations, no joins.
+    */
+  private def t07(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val mk = (i: Column) => concat_ws(" ",
+      element_at(ws, i.cast("int")), element_at(ws, (i + 1).cast("int")),
+      element_at(ws, (i + 2).cast("int")))
+    val all3 = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), mk))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(all3).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("max_rep"),
+        (col("max_rep").cast("double") / col("n_grams")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t07Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      | FROM w WHERE len(ws) >= 3),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+      |SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_rep,
+      |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
     QueryDef("t03_quality_score", t03, Some(t03Sql)),
     QueryDef("t04_fingerprint", t04, Some(t04Sql)),
     QueryDef("t05_stratified_sample", t05, Some(t05Sql)),
-    QueryDef("t06_bpe_pieces", t06, Some(t06Sql)))
+    QueryDef("t06_bpe_pieces", t06, Some(t06Sql)),
+    QueryDef("t07_repetition", t07, Some(t07Sql)))
 }
