@@ -30,6 +30,12 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Register every table as a temp view so the engine's full surface is
+    * reachable from `spark.sql(...)` (same names the DuckDB oracles use).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "customer")
