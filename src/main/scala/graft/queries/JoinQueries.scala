@@ -97,8 +97,42 @@ object JoinQueries extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** j04 — session windows (ST7): per-user sessions split at >30-minute
+    * gaps; Spark's `session_window` merges events within the gap, which the
+    * oracle reproduces with the gaps-and-islands formulation (lag → new-
+    * session flag → running sum). Output: one row per session with its
+    * start, event count, and value sum.
+    */
+  private def j04(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val j04Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE OR
+      |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessed AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM sessed GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
-    QueryDef("j03_tumbling_window_agg", j03, Some(j03Sql)))
+    QueryDef("j03_tumbling_window_agg", j03, Some(j03Sql)),
+    QueryDef("j04_session_window_agg", j04, Some(j04Sql)))
 }
