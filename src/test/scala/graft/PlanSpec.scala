@@ -50,6 +50,12 @@ class PlanSpec extends SparkSpecBase {
     assert(s.contains("codegen id"), "agg pipeline stays in whole-stage codegen")
   }
 
+  test("d09 decontamination broadcasts the benchmark side") {
+    val s = planString(run("d09_decontaminate"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the benchmark shingle set must broadcast; the corpus side must not shuffle")
+  }
+
   test("candidate-join operators never plan a cartesian product") {
     for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
         "j01_temporal_join", "j02_asof_join", "s02_ann_lsh")) {
