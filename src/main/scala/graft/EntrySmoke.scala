@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Local smoke for the driver's entry contract: prints the flagship row
   * count and schema (driver checks rows > 0 on sf0.001).
