@@ -61,7 +61,22 @@ object DedupQueries extends QueryPack {
     * all-pairs Jaccard ≥ 0.3 — pairs sharing no shingle have J = 0. The
     * join/shuffle carries 8-byte shingle hashes, not strings (ShingleHashes).
     */
-  private def d02(s: SparkSession, dir: String): DataFrame = {
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    d02Pairs(s, dir, maxDf = DefaultMaxDf)
+
+  /** Document-frequency cap for d02: shingles shared by more than this many
+    * documents are dropped before pair expansion (standard MinHash/suffix-
+    * array practice — such "stop-shingles" carry no near-dup signal but emit
+    * df·(df−1)/2 candidate pairs). Recall effect: a dropped shingle stops
+    * counting toward the pair intersection, so only pairs whose shared
+    * shingles are predominantly corpus-wide stop-shingles can fall below the
+    * threshold — genuine near-dups share many document-specific shingles.
+    * PropertySpec pins capped == uncapped at small sf where no group exceeds
+    * the cap, and that a synthetic stop-shingle group is dropped.
+    */
+  val DefaultMaxDf = 1000
+
+  private[graft] def d02Pairs(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
@@ -70,10 +85,11 @@ object DedupQueries extends QueryPack {
     // exchange across self-join sides, so grouping each shingle's (sorted)
     // doc list once and emitting its in-group pairs halves the shuffled
     // volume — one shuffle on sng, one on the pair. Per-group pair count is
-    // df·(df−1)/2; at production scale cap df (drop stop-shingles) first.
+    // df·(df−1)/2, bounded by the df cap below.
     val groups = ex.groupBy(col("sng"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) <= maxDf)
     val pairExpr = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
         y => struct(x.as("i"), y.as("j")))))

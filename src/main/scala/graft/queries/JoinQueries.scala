@@ -97,11 +97,12 @@ object JoinQueries extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
-  /** j04 — session windows (ST7): per-user sessions split at >30-minute
-    * gaps; Spark's `session_window` merges events within the gap, which the
-    * oracle reproduces with the gaps-and-islands formulation (lag → new-
-    * session flag → running sum). Output: one row per session with its
-    * start, event count, and value sum.
+  /** j04 — session windows (ST7): per-user sessions split at ≥30-minute
+    * gaps (Spark's `session_window` end is `last ts + gap` EXCLUSIVE, so a
+    * gap of exactly 30 minutes starts a new session); the oracle reproduces
+    * that boundary with the gaps-and-islands formulation (lag → new-session
+    * flag → running sum). Output: one row per session with its start, event
+    * count, and value sum.
     */
   private def j04(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -116,7 +117,7 @@ object JoinQueries extends QueryPack {
     """WITH o AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |              > INTERVAL 30 MINUTE OR
+      |              >= INTERVAL 30 MINUTE OR
       |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events),

@@ -181,7 +181,14 @@ object TextQueries extends QueryPack {
   /** t07 — repetition scoring (C4/RefinedWeb-style quality signal): the
     * share of a document covered by its single most frequent word 3-gram.
     * Occurrences count multiplicity (no distinct), so copy-paste loops score
-    * high. One explode + two aggregations, no joins.
+    * high.
+    *
+    * Repetition is a per-document statistic, so it is computed per row:
+    * sort the gram array, then the max multiplicity is the longest run of
+    * equal adjacent elements — one pass with `aggregate()`. Zero shuffle
+    * except the final tiny sort; at corpus scale this stays a map-only scan
+    * (the earlier explode + double hash-aggregation form shuffled ~every
+    * token in the corpus).
     */
   private def t07(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -189,13 +196,22 @@ object TextQueries extends QueryPack {
     val mk = (i: Column) => concat_ws(" ",
       element_at(ws, i.cast("int")), element_at(ws, (i + 1).cast("int")),
       element_at(ws, (i + 2).cast("int")))
-    val all3 = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2), mk))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(all3).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"))
+    val all3 = transform(sequence(lit(1), size(ws) - 2), mk)
+    // longest equal run in the sorted gram array = max multiplicity
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val maxRep = aggregate(array_sort(all3), zero,
+      (acc, g) => {
+        val run = when(acc.getField("prev") === g, acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.filter(size(ws) >= 3)
+      .select(col("doc_id"),
+        (size(ws) - 2).cast("long").as("n_grams"),
+        maxRep.as("max_rep"))
       .select(col("doc_id"), col("n_grams"), col("max_rep"),
         (col("max_rep").cast("double") / col("n_grams")).as("rep_ratio"))
       .orderBy(col("doc_id"))
@@ -207,7 +223,7 @@ object TextQueries extends QueryPack {
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
       | FROM w WHERE len(ws) >= 3),
       |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
-      |SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_rep,
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, MAX(c) AS max_rep,
       |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -50,6 +50,13 @@ object KafkaIO {
     * a JAAS config string — the Spark-side equivalent of the reference's
     * `sasl.username/password` producer params.
     */
+  /** JAAS string-literal escaping: backslashes and double quotes in
+    * credentials would otherwise terminate the quoted value and inject
+    * arbitrary JAAS options.
+    */
+  private[sources] def jaasEscape(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def options(bootstrap: String, auth: Option[KafkaAuth]): Map[String, String] = {
     val base = Map("kafka.bootstrap.servers" -> bootstrap)
     auth.fold(base) { a =>
@@ -58,7 +65,7 @@ object KafkaIO {
         "kafka.sasl.mechanism" -> a.saslMechanism,
         "kafka.sasl.jaas.config" ->
           ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-            s"""username="${a.username}" password="${a.password}";"""))
+            s"""username="${jaasEscape(a.username)}" password="${jaasEscape(a.password)}";"""))
     }
   }
 

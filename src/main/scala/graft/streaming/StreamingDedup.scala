@@ -82,9 +82,14 @@ object StreamingDedup {
         }
         if (opened != Long.MinValue) {
           state.update(FirstSeen(opened))
-          // evict once the watermark passes the window end
+          // Evict once the watermark passes the window end. Clamp to
+          // watermark+1: flatMapGroupsWithState does not auto-drop late rows,
+          // so an event >~2 windows late can re-open a window whose end is
+          // already behind the watermark, and setTimeoutTimestamp throws on
+          // a timeout <= the current watermark.
           if (streaming && state.getCurrentWatermarkMs() >= 0)
-            state.setTimeoutTimestamp(opened + windowMs)
+            state.setTimeoutTimestamp(
+              math.max(opened + windowMs, state.getCurrentWatermarkMs() + 1))
         }
         kept.result().iterator
       }

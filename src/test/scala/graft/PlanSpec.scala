@@ -77,4 +77,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("Exchange hashpartitioning"),
       "pure projection must not shuffle (only the final sort exchanges)")
   }
+
+  test("t07 repetition is per-row: no hash exchange, no aggregation") {
+    val s = planString(run("t07_repetition"))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "per-document stat must not shuffle (only the final sort range-exchanges)")
+    assert(!s.contains("HashAggregate"),
+      "repetition is computed per row, not via explode + re-aggregate")
+    assert(!s.contains("Generate"), "no explode in the plan")
+  }
 }

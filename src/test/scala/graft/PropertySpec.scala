@@ -72,6 +72,18 @@ class PropertySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Duration.parse("10 parsecs"))
   }
 
+  test("d02 df cap: no-op below the cap, kills candidate groups above it") {
+    val dir = sf("sf0.001")
+    val un = queries.DedupQueries.d02Pairs(spark, dir, maxDf = Int.MaxValue)
+      .collect().map(_.toSeq)
+    val capped = queries.DedupQueries.d02Pairs(spark, dir, maxDf = 1000)
+      .collect().map(_.toSeq)
+    assert(un.nonEmpty && un.sameElements(capped),
+      "a cap above every real document frequency must not change results")
+    // maxDf = 1 drops every multi-document shingle group → no candidates left
+    assert(queries.DedupQueries.d02Pairs(spark, dir, maxDf = 1).count() == 0L)
+  }
+
   test("generator is collision-free and deterministic across partitionings") {
     val a = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 1)
     val b = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 8)

@@ -157,6 +157,12 @@ class StreamingSpec extends SparkSpecBase {
     assert(auth.password == "s3cret")
     assert(KafkaIO.options("b:9092", Some(auth))("kafka.sasl.jaas.config")
       .contains("""password="s3cret""""))
+    // JAAS injection hardening: quotes/backslashes in credentials are escaped
+    val hostile = KafkaIO.KafkaAuth("SASL_PLAINTEXT", "PLAIN",
+      """u"ser""", """p\ass" password="x""")
+    val jaas = KafkaIO.options("b:9092", Some(hostile))("kafka.sasl.jaas.config")
+    assert(jaas.contains("""username="u\"ser""""))
+    assert(jaas.contains("""password="p\\ass\" password=\"x""""))
     val pem = "-----BEGIN CERTIFICATE-----\nabc\n-----END CERTIFICATE-----"
     val path = KafkaIO.writeRootCa(
       java.util.Base64.getEncoder.encodeToString(pem.getBytes("UTF-8")))
