@@ -242,7 +242,7 @@ object DedupQueries extends QueryPack {
     val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
         col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
       .select(col("i"), col("j"))
-    ConnectedComponents.labelPropagation(pairs)
+    ConnectedComponents.components(pairs)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
@@ -273,7 +273,7 @@ object DedupQueries extends QueryPack {
     val pairs = MinHashLSH.nearDuplicates(docs,
         col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
       .select(col("i"), col("j"))
-    val comp = ConnectedComponents.labelPropagation(pairs)
+    val comp = ConnectedComponents.components(pairs)
     val withComp = qual.join(comp, qual("doc_id") === comp("id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
         col("quality"))
