@@ -65,25 +65,45 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  /** s02 — LSH-bucketed ANN: 4 deterministic md5-derived hyperplanes hash
-    * every vector to a 16-bucket sign signature; neighbor search joins on
-    * bucket equality (no cartesian), then exact top-3 re-rank inside the
-    * bucket. Same query set as s01, so recall is directly observable.
+  /** Shared LSH candidate generator: query vectors (id ≡ 0 mod 25) joined
+    * to all vectors in matching buckets — always an equi-join on bucket id,
+    * never a cartesian. Single-probe searches the query's own bucket;
+    * multi-probe additionally probes the `Planes` buckets at Hamming
+    * distance 1 (one flipped sign bit), recovering neighbors that a single
+    * near-zero hyperplane margin pushed across a boundary — the standard
+    * recall/cost knob for sign LSH. Probe buckets are distinct and each
+    * vector lives in exactly one bucket, so no pair is generated twice.
     */
-  private def s02(s: SparkSession, dir: String): DataFrame = {
+  private def lshPairs(s: SparkSession, dir: String,
+                       multiProbe: Boolean): DataFrame = {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), Planes, Dims))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
-    val pairs = q.as("a").join(q.as("b"),
+    val own = q.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val queries =
+      if (!multiProbe) own
+      else {
+        val masks = array(lit(0L) +: (0 until Planes).map(h => lit(1L << h)): _*)
+        own.select(col("vec_id"), col("v"), col("nrm"),
+          explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+      }
+    queries.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") &&
-        pmod(col("a.vec_id"), lit(25)) === 0 &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         (dotLong(col("a.v"), col("b.v")).cast("double")
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
-    topkRank(pairs, 3).orderBy(col("query_id"), col("rk"))
   }
+
+  /** s02 — LSH-bucketed ANN: 4 deterministic md5-derived hyperplanes hash
+    * every vector to a 16-bucket sign signature; neighbor search joins on
+    * bucket equality (no cartesian), then exact top-3 re-rank inside the
+    * bucket. Same query set as s01, so recall is directly observable (s05).
+    */
+  private def s02(s: SparkSession, dir: String): DataFrame =
+    topkRank(lshPairs(s, dir, multiProbe = false), 3)
+      .orderBy(col("query_id"), col("rk"))
 
   private val s02Sql: String = {
     val planeLists = (0 until Planes).map { h =>
@@ -218,9 +238,93 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
 
+  /** s06 — multi-probe LSH ANN: s02 plus Hamming-1 probe buckets. Compare
+    * the s05 recall rows to see what the extra probes buy.
+    */
+  private def s06(s: SparkSession, dir: String): DataFrame =
+    topkRank(lshPairs(s, dir, multiProbe = true), 3)
+      .orderBy(col("query_id"), col("rk"))
+
+  private val s06Sql: String = {
+    val planeLists = (0 until Planes).map { h =>
+      hyperplane(h, Dims).mkString("[", ", ", "]")
+    }
+    val bucketExpr = planeLists.zipWithIndex.map { case (wl, h) =>
+      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+    val maskList = (0L +: (0 until Planes).map(h => 1L << h)).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
+       |mk AS (SELECT unnest($maskList) AS m),
+       |qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), CAST(m AS BIGINT)) AS bucket
+       | FROM bk, mk WHERE vec_id % 25 = 0),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+       | FROM qp a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       | FROM p)
+       |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** s05 — recall@3 of each ANN method against the exact brute-force ground
+    * truth (s01's top-3, same query set): the measurement a 100 TB ANN
+    * deployment tunes probes/cells against. Hit counting is exact set
+    * intersection per query; one integer-ratio row per method.
+    */
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val exact = s01(s, dir).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def stats(ann: DataFrame, name: String): DataFrame = {
+      val hits = exact.join(
+        ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_possible"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(name).as("method"), col("n_queries"), col("n_hits"),
+          col("n_possible"),
+          (col("n_hits").cast("double") / col("n_possible")).as("recall"))
+    }
+    stats(s02(s, dir), "lsh")
+      .unionAll(stats(s06(s, dir), "lsh_mp"))
+      .unionAll(stats(s04(s, dir), "ivf"))
+      .orderBy(col("method"))
+  }
+
+  private val s05Sql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($s01Sql) WHERE rk <= 3),
+       |a_lsh AS (SELECT query_id, neighbor_id FROM ($s02Sql)),
+       |a_mp AS (SELECT query_id, neighbor_id FROM ($s06Sql)),
+       |a_ivf AS (SELECT query_id, neighbor_id FROM ($s04Sql)),
+       |base AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |                COUNT(*) AS n_possible FROM ex)
+       |SELECT method, n_queries, n_hits, n_possible,
+       |  CAST(n_hits AS DOUBLE) / n_possible AS recall
+       |FROM (
+       |  SELECT 'lsh' AS method, base.n_queries,
+       |    (SELECT COUNT(*) FROM ex JOIN a_lsh USING (query_id, neighbor_id)) AS n_hits,
+       |    base.n_possible FROM base
+       |  UNION ALL
+       |  SELECT 'lsh_mp', base.n_queries,
+       |    (SELECT COUNT(*) FROM ex JOIN a_mp USING (query_id, neighbor_id)),
+       |    base.n_possible FROM base
+       |  UNION ALL
+       |  SELECT 'ivf', base.n_queries,
+       |    (SELECT COUNT(*) FROM ex JOIN a_ivf USING (query_id, neighbor_id)),
+       |    base.n_possible FROM base)
+       |ORDER BY method""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
     QueryDef("s03_label_cohesion", s03, Some(s03Sql)),
-    QueryDef("s04_ann_ivf", s04, Some(s04Sql)))
+    QueryDef("s04_ann_ivf", s04, Some(s04Sql)),
+    QueryDef("s05_ann_recall", s05, Some(s05Sql)),
+    QueryDef("s06_ann_lsh_mp", s06, Some(s06Sql)))
 }
