@@ -227,6 +227,42 @@ object TextQueries extends QueryPack {
       |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t08 — BPE-apply encoding over the fixed merge vocabulary (see
+    * BpeApply): per-doc encoded-unit count, merge events, and compression
+    * ratio. A real piece encoding (rank-ordered merges), not just
+    * pre-tokenization counting (t06) — and still a zero-shuffle map pass,
+    * one native codegen'd expression per row.
+    */
+  private def t08(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BpeApply
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        BpeApply(col("text")).as("enc"))
+      .select(col("doc_id"), col("n_chars"),
+        col("enc").getItem(0).as("n_units"),
+        col("enc").getItem(1).as("n_merges"))
+      .select(col("doc_id"), col("n_chars"), col("n_units"), col("n_merges"),
+        when(col("n_units") > 0,
+          col("n_chars").cast("double") / col("n_units")).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t08Sql: String = {
+    import graft.functions.BpeApply
+    val enc = BpeApply.Vocab.zipWithIndex.foldLeft("text") {
+      case (acc, (tok, i)) => s"replace($acc, '$tok', chr(${0xE000 + i}))"
+    }
+    val phs = BpeApply.Vocab.indices.map(i => s"chr(${0xE000 + i})").mkString(" || ")
+    s"""WITH m AS (SELECT doc_id, text, $enc AS enc FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(enc) AS BIGINT) AS n_units,
+       |  CAST(length(enc) - length(translate(enc, $phs, '')) AS BIGINT) AS n_merges,
+       |  CASE WHEN length(enc) > 0
+       |       THEN CAST(length(text) AS DOUBLE) / length(enc) END AS compression
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -234,5 +270,6 @@ object TextQueries extends QueryPack {
     QueryDef("t04_fingerprint", t04, Some(t04Sql)),
     QueryDef("t05_stratified_sample", t05, Some(t05Sql)),
     QueryDef("t06_bpe_pieces", t06, Some(t06Sql)),
-    QueryDef("t07_repetition", t07, Some(t07Sql)))
+    QueryDef("t07_repetition", t07, Some(t07Sql)),
+    QueryDef("t08_bpe_apply", t08, Some(t08Sql)))
 }

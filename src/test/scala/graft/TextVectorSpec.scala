@@ -58,4 +58,23 @@ class TextVectorSpec extends SparkSpecBase {
     assert(w1.forall(v => v >= -1000 && v <= 1000))
     assert(VF.hyperplane(1, 64).toSeq != w1.toSeq)
   }
+
+  test("BpeApply: rank-ordered merges, earlier merges shadow later entries") {
+    import graft.functions.BpeApply
+    def enc(s: String): (Long, Long) = {
+      val r = Seq(Tuple1(s)).toDF("text")
+        .select(BpeApply(col("text")).as("e")).head().getSeq[Long](0)
+      (r(0), r(1))
+    }
+    // "the theatre": rank0 'the'×2 → "◊ ◊atre"; 're' → "◊ ◊at◊"; 'at' →
+    // "◊ ◊◊◊" = 5 units, 4 merges. 'th'/'er'/'re' inside "the" are shadowed.
+    assert(enc("the theatre") == (5L, 4L))
+    // no vocab hit: every char is its own unit
+    assert(enc("xyz") == (3L, 0L))
+    assert(enc("") == (0L, 0L))
+    // 'ing' wins over 'in' by rank; overlapping occurrences don't double-merge
+    assert(enc("inging") == (2L, 2L))
+    // merges are non-overlapping left-to-right: "ththth" → th,th,th
+    assert(enc("ththth") == (3L, 3L))
+  }
 }
