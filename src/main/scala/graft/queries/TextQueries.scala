@@ -263,6 +263,89 @@ object TextQueries extends QueryPack {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** t09 — PII scrubbing: redact emails and phone numbers, counting what
+    * was found. Deterministic PII is planted on every 7th document first
+    * (the same inject-then-operate pattern as d01/q05), so the scrubber is
+    * exercised against known ground truth; the md5 of the scrubbed text
+    * pins the exact redaction output cross-engine. Pure per-row regex work
+    * — zero shuffle, stays in codegen.
+    */
+  private def t09(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" today")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), planted.as("ptext"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("ptext"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("ptext"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("ptext"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t09Sql =
+    """WITH p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |       ELSE text END AS ptext
+      | FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(ptext, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |        regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** t10 — corpus data card: ROLLUP over (source, lang) with doc counts,
+    * token totals, and mean quality (t03's score, integer-quantized for an
+    * order-independent cross-engine mean) — the per-slice summary a
+    * training-data release documents. One shuffle (the rollup), partial
+    * aggregation map-side.
+    */
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val ratio = size(array_distinct(ws)).cast("double") / size(ws)
+    val quality = ratio * least(lit(1.0), size(ws).cast("double") / 50.0)
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), size(ws).cast("long").as("n_toks"),
+        round(quality * 1000000).cast("long").as("q6"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(col("q6")).cast("double") / count(lit(1)) / 1000000.0)
+          .as("mean_quality_r6"),
+        grouping(col("source")).cast("long").as("g_s"),
+        grouping(col("lang")).cast("long").as("g_l"))
+      .orderBy(col("g_s"), col("g_l"), col("source"), col("lang"))
+  }
+
+  private val t10Sql =
+    """WITH w AS (SELECT source, lang,
+      |  len(string_split(text, ' ')) AS n_toks,
+      |  CAST(round(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')))
+      |      * least(CAST(1.0 AS DOUBLE),
+      |              CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0))
+      |    * 1000000) AS BIGINT) AS q6
+      | FROM documents)
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_quality_r6,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_s,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_l
+      |FROM w GROUP BY ROLLUP (source, lang)
+      |ORDER BY g_s, g_l, source, lang""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -271,5 +354,7 @@ object TextQueries extends QueryPack {
     QueryDef("t05_stratified_sample", t05, Some(t05Sql)),
     QueryDef("t06_bpe_pieces", t06, Some(t06Sql)),
     QueryDef("t07_repetition", t07, Some(t07Sql)),
-    QueryDef("t08_bpe_apply", t08, Some(t08Sql)))
+    QueryDef("t08_bpe_apply", t08, Some(t08Sql)),
+    QueryDef("t09_pii_scrub", t09, Some(t09Sql)),
+    QueryDef("t10_data_card", t10, Some(t10Sql)))
 }
