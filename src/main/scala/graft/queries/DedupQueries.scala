@@ -85,9 +85,12 @@ object DedupQueries extends QueryPack {
     // exchange across self-join sides, so grouping each shingle's (sorted)
     // doc list once and emitting its in-group pairs halves the shuffled
     // volume — one shuffle on sng, one on the pair. Per-group pair count is
-    // df·(df−1)/2, bounded by the df cap below.
+    // df·(df−1)/2, bounded by the df cap below; CollectCapped bounds the
+    // aggregation buffer itself to O(cap) so a corpus-wide stop-shingle
+    // can't blow executor memory before the filter drops it.
+    val cl = graft.functions.CollectCapped(maxDf)
     val groups = ex.groupBy(col("sng"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(cl(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .filter(size(col("ds")) <= maxDf)
     val pairExpr = flatten(transform(col("ds"), (x, i) =>

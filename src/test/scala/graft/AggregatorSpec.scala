@@ -49,4 +49,26 @@ class AggregatorSpec extends SparkSpecBase {
     val b = viaWindow.collect().map(_.toSeq).toSet
     assert(a == b, "aggregator must be plan-for-plan interchangeable with window ranking")
   }
+
+  test("CollectCapped: full collection under the cap, O(cap) witness above it") {
+    import graft.functions.CollectCapped
+    val agg = new CollectCapped(3)
+    // under cap: everything kept
+    assert(Seq(1L, 2L).foldLeft(agg.zero)(agg.reduce).sorted == Seq(1L, 2L))
+    // over cap: buffer pins at cap+1 — the df-exceeded witness
+    assert((1L to 100L).foldLeft(agg.zero)(agg.reduce).size == 4)
+    // merge never grows past cap+1 and keeps saturated buffers cheap
+    val l = (1L to 4L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(l, (5L to 9L).foldLeft(agg.zero)(agg.reduce)).size == 4)
+    assert(agg.merge(Seq(1L), Seq(2L, 3L)).sorted == Seq(1L, 2L, 3L))
+
+    // DataFrame form: groups ≤ cap identical to collect_list; > cap flagged
+    val df = ((1 to 10).map(i => ("big", i.toLong)) ++
+      Seq(("small", 1L), ("small", 2L))).toDF("k", "v")
+    val cl = CollectCapped(3)
+    val got = df.groupBy(col("k")).agg(sort_array(cl(col("v"))).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("small") == Seq(1L, 2L))
+    assert(got("big").size == 4, "over-cap group truncates at cap+1")
+  }
 }
