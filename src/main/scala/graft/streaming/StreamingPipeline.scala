@@ -39,15 +39,32 @@ object StreamingPipeline {
   }
 
   /** Apply the configured transform chain to a streaming event DataFrame
-    * carrying an event-time column `tsCol`.
+    * carrying an event-time column `tsCol`. When the config enables the
+    * temporal join (J1) and a right-side stream is supplied, deduped events
+    * join it on `joinKey` within ±`timeWindow` (the GlassFlow joined-
+    * pipeline dataflow; the reference's benchmark config ships it disabled,
+    * deduplication_pipeline.json join.enabled=false). The right stream must
+    * carry the join key and an event-time column `rightTsCol`, with
+    * non-key columns already named for the sink mapping.
     */
-  def transform(events: DataFrame, cfg: PipelineConfig, tsCol: String): DataFrame = {
+  def transform(events: DataFrame, cfg: PipelineConfig, tsCol: String,
+                rightSource: Option[DataFrame] = None,
+                rightTsCol: String = "r_ts"): DataFrame = {
     val deduped =
       if (cfg.dedup.enabled)
         StreamingDedup.withinWatermark(events, Seq(cfg.dedup.idField), tsCol,
           cfg.dedup.timeWindow)
       else events
-    MappingProjection(deduped, cfg.sink.tableMapping)
+    val joined = (cfg.join, rightSource) match {
+      case (Some(j), Some(right)) if j.enabled =>
+        // dedup already watermarked the left side; don't redefine it
+        TemporalJoin.stream(deduped, right,
+            j.joinKey, s"r_${j.joinKey}", tsCol, rightTsCol, j.timeWindow,
+            watermarkLeft = !cfg.dedup.enabled)
+          .drop(s"r_${j.joinKey}", rightTsCol)
+      case _ => deduped
+    }
+    MappingProjection(joined, cfg.sink.tableMapping)
   }
 
   /** Wire the sink: micro-batch cadence from `max_delay_time`, per-batch

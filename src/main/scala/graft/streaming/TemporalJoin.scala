@@ -25,12 +25,19 @@ object TemporalJoin {
     *
     * Column names of `left` and `right` must be disjoint (project/alias
     * upstream — the reference does the same via table_mapping renames).
+    *
+    * Pass `watermarkLeft = false` when the left side already carries a
+    * watermark from an upstream stateful operator (e.g. windowed dedup) —
+    * Spark disallows redefining a watermark downstream of stateful state,
+    * and the upstream delay then governs join-state eviction.
     */
   def stream(left: DataFrame, right: DataFrame,
              leftKey: String, rightKey: String,
              leftTs: String, rightTs: String,
-             tolerance: Duration): DataFrame = {
-    val l = left.withWatermark(leftTs, tolerance.asSparkInterval)
+             tolerance: Duration, watermarkLeft: Boolean = true): DataFrame = {
+    val l =
+      if (watermarkLeft) left.withWatermark(leftTs, tolerance.asSparkInterval)
+      else left
     val r = right.withWatermark(rightTs, tolerance.asSparkInterval)
     val ms = tolerance.millis
     l.join(r,

@@ -15,6 +15,7 @@ import graft.streaming.{StreamingDedup, StreamingPipeline, TemporalJoin}
   * reference src/pipeline_test.py:21-23).
   */
 case class Ev(event_id: String, ts: Timestamp, payload: String)
+case class REv(r_event_id: String, r_ts: Timestamp, extra: String)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -135,6 +136,39 @@ class StreamingSpec extends SparkSpecBase {
       val sunk = new graft.sources.IdempotentParquetSink(sinkDir).read(spark)
       assert(sunk.columns.filterNot(_ == "epoch").sorted.toSeq == Seq("event_id", "val"))
       assert(sunk.count() == 4, "added_records == total_generated (unique)")
+    } finally q.stop()
+  }
+
+  test("configured temporal join: dedup → join → projection end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = PipelineConfig(
+      pipelineId = "pj",
+      sourceSchema = Seq(SchemaField("event_id", "string")),
+      dedup = DedupConfig(enabled = true, idField = "event_id",
+        timeWindow = Duration.parse("1h")),
+      join = Some(JoinConfig(enabled = true, joinKey = "event_id",
+        timeWindow = Duration.parse("10s"))),
+      sink = SinkConfig("out_j", maxBatchSize = 1000,
+        maxDelayTime = Duration.parse("1s"),
+        tableMapping = Seq(
+          FieldMapping("event_id", "event_id", "string"),
+          FieldMapping("extra", "extra", "string"))))
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[REv]
+    val out = StreamingPipeline.transform(l.toDF(), cfg, "ts", Some(r.toDF()))
+    val q = out.writeStream.format("memory").queryName("pj1")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      l.addData(Ev("e1", t(100), "a"), Ev("e2", t(200), "b"),
+        Ev("e1", t(102), "dup"))
+      r.addData(REv("e1", t(105), "joined"), // within ±10s of e1
+        REv("e2", t(300), "too-late"))       // 100s after e2 — outside window
+      q.processAllAvailable()
+      val rows = spark.table("pj1").collect()
+      assert(rows.map(_.getAs[String]("event_id")).toSeq == Seq("e1"),
+        "only the in-tolerance match survives; the duplicate never double-joins")
+      assert(rows.head.getAs[String]("extra") == "joined")
+      assert(spark.table("pj1").columns.toSeq == Seq("event_id", "extra"))
     } finally q.stop()
   }
 
