@@ -134,9 +134,47 @@ object RelationalQueries extends QueryPack {
       |  SELECT * FROM cb UNION ALL SELECT * FROM onlyc)
       |GROUP BY cohort ORDER BY cohort""".stripMargin
 
+  /** r05 — exact discrete percentiles by rank selection: per event type,
+    * the value at rank ceil(p·n) of the integer-quantized distribution
+    * (p50/p90/p99). Rank selection over exact ints is engine-independent,
+    * unlike interpolated percentile_cont whose float formula association
+    * differs across engines. One window sort per group — the exact path;
+    * at lake scale swap in approx_percentile and keep this as the auditor.
+    */
+  private def r05(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value").cast("double") * 1000000).cast("long").as("vq"))
+    val ranked = q
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("vq"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pct(p: Double, name: String) =
+      (max(when(col("rn") === ceil(col("n") * p), col("vq"))).cast("double")
+        / 1000000.0).as(name)
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r05Sql =
+    """WITH q AS (SELECT event_type,
+      |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vq FROM events),
+      |r AS (SELECT event_type, vq,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM q)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN vq END) AS DOUBLE) / 1000000.0 AS p50,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN vq END) AS DOUBLE) / 1000000.0 AS p90,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN vq END) AS DOUBLE) / 1000000.0 AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
     QueryDef("r03_exact_stats", r03, Some(r03Sql)),
-    QueryDef("r04_set_ops", r04, Some(r04Sql)))
+    QueryDef("r04_set_ops", r04, Some(r04Sql)),
+    QueryDef("r05_percentiles", r05, Some(r05Sql)))
 }

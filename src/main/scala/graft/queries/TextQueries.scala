@@ -346,6 +346,24 @@ object TextQueries extends QueryPack {
       |FROM w GROUP BY ROLLUP (source, lang)
       |ORDER BY g_s, g_l, source, lang""".stripMargin
 
+  /** t11 — corpus vocabulary / heavy hitters: top-100 tokens by frequency
+    * (count desc, token asc — a total order, so the limit is deterministic).
+    * The vocabulary-building op of a tokenizer pipeline. Explode + one
+    * map-side-combined count; the top-100 runs as TakeOrderedAndProject
+    * over the aggregated vocab, not a global sort of the corpus.
+    */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(100)
+
+  private val t11Sql =
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -356,5 +374,6 @@ object TextQueries extends QueryPack {
     QueryDef("t07_repetition", t07, Some(t07Sql)),
     QueryDef("t08_bpe_apply", t08, Some(t08Sql)),
     QueryDef("t09_pii_scrub", t09, Some(t09Sql)),
-    QueryDef("t10_data_card", t10, Some(t10Sql)))
+    QueryDef("t10_data_card", t10, Some(t10Sql)),
+    QueryDef("t11_vocab_topk", t11, Some(t11Sql)))
 }

@@ -86,4 +86,19 @@ class PlanSpec extends SparkSpecBase {
       "repetition is computed per row, not via explode + re-aggregate")
     assert(!s.contains("Generate"), "no explode in the plan")
   }
+
+  test("t08/t09 per-row text ops never shuffle") {
+    for (name <- Seq("t08_bpe_apply", "t09_pii_scrub")) {
+      val s = planString(run(name))
+      assert(!s.contains("Exchange hashpartitioning"),
+        s"$name is per-row — only the final sort may exchange")
+      assert(!s.contains("HashAggregate"), s"$name must not aggregate")
+    }
+  }
+
+  test("t11 vocab top-k takes ordered results, no global sort of the corpus") {
+    val s = planString(run("t11_vocab_topk"))
+    assert(s.contains("TakeOrderedAndProject"),
+      "limit+orderBy must plan as top-k, not a full sort")
+  }
 }
