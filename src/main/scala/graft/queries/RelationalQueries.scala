@@ -171,10 +171,44 @@ object RelationalQueries extends QueryPack {
       |  CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN vq END) AS DOUBLE) / 1000000.0 AS p99
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** r06 — analytic window pack: per-user running totals, lag deltas, and
+    * ranks over the event stream (the sessionization/feature-engineering
+    * window vocabulary). Running sums accumulate exact quantized ints
+    * (order-independent given the total (ts, event_id) order), descaled to
+    * doubles at the end.
+    */
+  private def r06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value").cast("double") * 1000000).cast("long").as("vq"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    q.select(col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        (sum(col("vq")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / 1000000.0).as("run_v"),
+        ((col("vq") - lag(col("vq"), 1).over(w)).cast("double") / 1000000.0)
+          .as("delta_v"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val r06Sql =
+    """WITH q AS (SELECT event_id, user_id, ts,
+      |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vq FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |  CAST(SUM(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 1000000.0 AS run_v,
+      |  CAST(vq - LAG(vq, 1) OVER w AS DOUBLE) / 1000000.0 AS delta_v
+      |FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, rn""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
     QueryDef("r03_exact_stats", r03, Some(r03Sql)),
     QueryDef("r04_set_ops", r04, Some(r04Sql)),
-    QueryDef("r05_percentiles", r05, Some(r05Sql)))
+    QueryDef("r05_percentiles", r05, Some(r05Sql)),
+    QueryDef("r06_window_pack", r06, Some(r06Sql)))
 }

@@ -364,6 +364,44 @@ object TextQueries extends QueryPack {
       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin
 
+  /** t12 — sequence packing: assign documents to fixed-token-budget
+    * training batches by cumulative token offset within each language
+    * stream (batch = start_offset div budget — contiguous packing, the
+    * deterministic approximation of greedy bin packing sequence-packers
+    * use). Per-language windows keep the cumsum parallel across languages;
+    * output is the per-batch manifest (docs, tokens, fill ratio).
+    */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val ws = tokens(col("text"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(ws).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("batch_id", expr(s"(cum - n_toks) div $budget"))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("lang"), col("batch_id"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / budget).as("fill_ratio"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
+  private val t12Sql =
+    """WITH d AS (SELECT doc_id, lang,
+      |  len(string_split(text, ' ')) AS n_toks FROM documents),
+      |c AS (SELECT doc_id, lang, n_toks,
+      |  SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM d)
+      |SELECT lang, CAST((cum - n_toks) // 512 AS BIGINT) AS batch_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_toks) AS DOUBLE) / 512 AS fill_ratio
+      |FROM c GROUP BY lang, batch_id
+      |ORDER BY lang, batch_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -375,5 +413,6 @@ object TextQueries extends QueryPack {
     QueryDef("t08_bpe_apply", t08, Some(t08Sql)),
     QueryDef("t09_pii_scrub", t09, Some(t09Sql)),
     QueryDef("t10_data_card", t10, Some(t10Sql)),
-    QueryDef("t11_vocab_topk", t11, Some(t11Sql)))
+    QueryDef("t11_vocab_topk", t11, Some(t11Sql)),
+    QueryDef("t12_seq_packing", t12, Some(t12Sql)))
 }
