@@ -83,10 +83,11 @@ object StreamingDedup {
         if (opened != Long.MinValue) {
           state.update(FirstSeen(opened))
           // Evict once the watermark passes the window end. Clamp to
-          // watermark+1: flatMapGroupsWithState does not auto-drop late rows,
-          // so an event >~2 windows late can re-open a window whose end is
-          // already behind the watermark, and setTimeoutTimestamp throws on
-          // a timeout <= the current watermark.
+          // watermark+1: with EventTimeTimeout Spark filters rows behind the
+          // watermark before they reach this function (StreamingSpec pins
+          // that), but a row landing exactly ON the boundary can still yield
+          // opened + windowMs <= watermark, and setTimeoutTimestamp throws
+          // on a timeout <= the current watermark.
           if (streaming && state.getCurrentWatermarkMs() >= 0)
             state.setTimeoutTimestamp(
               math.max(opened + windowMs, state.getCurrentWatermarkMs() + 1))

@@ -66,6 +66,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("keepFirstStateful: behind-watermark events are filtered, query survives") {
+    // An event whose suppression window would close behind the watermark:
+    // Spark's FlatMapGroupsWithStateExec drops rows older than the
+    // event-time watermark before they reach user code (so the timeout
+    // IllegalArgumentException path needs the defensive watermark+1 clamp
+    // only for boundary equality). Pin the drop + query survival; this is
+    // the documented divergence from GlassFlow, which would re-admit the
+    // late row (StreamingDedup scaladoc / SURVEY §2.7 ST3).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF().withWatermark("ts", "5 seconds").as[Ev]
+    val out = StreamingDedup.keepFirstStateful[Ev](
+      events, _.event_id, _.ts, Duration.parse("10s"))
+    val q = out.writeStream.format("memory").queryName("dd3")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(Ev("k", t(0), "v0"), Ev("w", t(100), "advance"))
+      q.processAllAvailable() // watermark → ~95s
+      in.addData(Ev("k", t(50), "late")) // behind the watermark — filtered
+      q.processAllAvailable()
+      val rows = spark.table("dd3").as[Ev].collect().sortBy(_.ts.getTime)
+      assert(rows.map(_.payload).toSeq == Seq("v0", "advance"),
+        "late row dropped by the stateful operator's watermark filter")
+      assert(q.exception.isEmpty, "query must not die on late rows")
+    } finally q.stop()
+  }
+
   test("keepFirstStateful batch mode agrees with Dedup.tumbling regime (window ≫ horizon)") {
     val events = Seq(
       Ev("a", t(0), "keep"), Ev("a", t(5), "drop"), Ev("b", t(2), "keep"),
