@@ -49,4 +49,38 @@ class StreamBatchAgreementSpec extends SparkSpecBase {
       assert(b.nonEmpty)
     } finally q.stop()
   }
+
+  test("session window agg (ST7 streaming form): file-stream replay == batch") {
+    val dir = sf("sf0.001")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+    val batch = agg(Tables.events(spark, dir))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamed = agg(spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val q = streamed.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val a = spark.table("sess_out").collect().map(_.toSeq).toSet
+      val b = batch.collect().map(_.toSeq).toSet
+      assert(a == b, "streaming session windows must converge to the batch answer")
+      assert(b.nonEmpty)
+    } finally q.stop()
+  }
 }
