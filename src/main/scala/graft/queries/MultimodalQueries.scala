@@ -118,9 +118,42 @@ object MultimodalQueries extends QueryPack {
       |    CAST(width AS DOUBLE), CAST(height AS DOUBLE)))) AS BIGINT) AS out_h
       |FROM media WHERE kind = 'image' ORDER BY media_id""".stripMargin
 
+  /** m05 — exact media dedup: inject binary copies (every 4th blob under a
+    * new id), group by content checksum, keep the smallest id — d01's
+    * pattern on the binary domain, the zero-decode blob dedup every
+    * multimodal lake runs before any expensive processing. Single hash-agg,
+    * map-side combined; the shuffle carries 32-char checksums, not blobs.
+    */
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+      .select(col("media_id"), col("content"))
+    val copies = media.filter(pmod(col("media_id"), lit(4)) === 0)
+      .select((col("media_id") + 500000).as("media_id"), col("content"))
+    media.unionAll(copies)
+      .groupBy(md5(lower(hex(col("content")))).as("fp"))
+      .agg(min(col("media_id")).as("media_id"),
+        min(length(col("content"))).cast("long").as("n_bytes"),
+        count(lit(1)).as("n_copies"))
+      .select(col("media_id"), col("n_bytes"), col("n_copies"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m05Sql = mediaCte +
+    """,
+      |all_m AS (SELECT media_id, content_hex FROM media
+      |  UNION ALL
+      |  SELECT media_id + 500000 AS media_id, content_hex FROM media
+      |  WHERE media_id % 4 = 0)
+      |SELECT MIN(media_id) AS media_id,
+      |  CAST(MIN(octet_length(unhex(content_hex))) AS BIGINT) AS n_bytes,
+      |  COUNT(*) AS n_copies
+      |FROM all_m GROUP BY md5(lower(content_hex))
+      |ORDER BY media_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
     QueryDef("m03_frame_sampling", m03, Some(m03Sql)),
-    QueryDef("m04_resize_dims", m04, Some(m04Sql)))
+    QueryDef("m04_resize_dims", m04, Some(m04Sql)),
+    QueryDef("m05_media_dedup", m05, Some(m05Sql)))
 }
