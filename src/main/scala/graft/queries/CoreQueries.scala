@@ -306,6 +306,42 @@ object CoreQueries extends QueryPack {
       |       COUNT(*) AS n
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q13 — cross-modality fusion: documents joined to their embedding rows
+    * (doc_id = vec_id), aggregated per cluster label — "is cluster 3 the
+    * low-quality cluster?", the text×vector analysis a curation pipeline
+    * runs before dropping clusters. Equi-join on the shared id; quality is
+    * integer-quantized for an order-independent mean.
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val ws = tokens(col("text"))
+    val quality = (size(array_distinct(ws)).cast("double") / size(ws)) *
+      least(lit(1.0), size(ws).cast("double") / 50.0)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), round(quality * 1000000).cast("long").as("q6"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("q6")).cast("double") / count(lit(1)) / 1000000.0)
+          .as("mean_quality_r6"))
+      .orderBy(col("label"))
+  }
+
+  private val q13Sql =
+    """WITH q AS (SELECT doc_id,
+      |  CAST(round(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')))
+      |      * least(CAST(1.0 AS DOUBLE),
+      |              CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0))
+      |    * 1000000) AS BIGINT) AS q6
+      | FROM documents)
+      |SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_docs,
+      |  CAST(SUM(q.q6) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_quality_r6
+      |FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+      |GROUP BY e.label ORDER BY label""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -318,5 +354,6 @@ object CoreQueries extends QueryPack {
     QueryDef("q09_semi_join", q09, Some(q09Sql)),
     QueryDef("q10_grid_even_sample", q10, Some(q10Sql)),
     QueryDef("q11_record_split", q11, Some(q11Sql)),
-    QueryDef("q12_gen_dedup_pipeline", q12, Some(q12Sql)))
+    QueryDef("q12_gen_dedup_pipeline", q12, Some(q12Sql)),
+    QueryDef("q13_label_quality", q13, Some(q13Sql)))
 }

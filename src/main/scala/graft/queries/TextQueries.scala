@@ -402,6 +402,44 @@ object TextQueries extends QueryPack {
       |FROM c GROUP BY lang, batch_id
       |ORDER BY lang, batch_id""".stripMargin
 
+  /** t13 — bigram fluency: score each document by the mean document
+    * frequency of its distinct word bigrams — the integer-exact proxy for
+    * the LM perplexity filter (CCNet-style) that avoids cross-engine
+    * float-log drift: gibberish bigrams appear in one document, fluent ones
+    * corpus-wide. Two shuffles: one map-side-combined df count over the
+    * corpus, one join of per-doc bigrams against that table (both keyed on
+    * the 8-byte ShingleHashes bigram hash, never strings). At lake scale
+    * the LM side truncates to the top-K bigrams and broadcasts (the d09
+    * shape); here it stays exact for the oracle.
+    */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleHashes
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"), explode(ShingleHashes(ws, 2)).as("g"))
+    val lm = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(lm, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("df")).as("df_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("df_sum").cast("double") / col("n_bigrams")).as("mean_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t13Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+      |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15)) AS BIGINT)))) AS g
+      | FROM w WHERE len(ws) >= 2),
+      |lm AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+      |SELECT g.doc_id,
+      |  COUNT(*) AS n_bigrams,
+      |  CAST(SUM(lm.df) AS DOUBLE) / COUNT(*) AS mean_df
+      |FROM g JOIN lm ON g.g = lm.g
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -414,5 +452,6 @@ object TextQueries extends QueryPack {
     QueryDef("t09_pii_scrub", t09, Some(t09Sql)),
     QueryDef("t10_data_card", t10, Some(t10Sql)),
     QueryDef("t11_vocab_topk", t11, Some(t11Sql)),
-    QueryDef("t12_seq_packing", t12, Some(t12Sql)))
+    QueryDef("t12_seq_packing", t12, Some(t12Sql)),
+    QueryDef("t13_bigram_fluency", t13, Some(t13Sql)))
 }
