@@ -27,6 +27,10 @@ object ConnectedComponents {
   /** Dispatch point used by the dedup queries (d07/d08): switch
     * implementations globally with -Dgraft.cc.algo=star — both produce
     * identical labelings (spec-pinned), so correctness rows don't move.
+    * Measured at sf0.1 (near-dup graph, diameter ≈ 2-3): propagation 3.4 s
+    * vs star 5.1 s on d07 — propagation stays the default for shallow
+    * dedup clusters; contraction is the guaranteed-O(log n) path when
+    * diameters are unknown or adversarial.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame =
     sys.props.get("graft.cc.algo") match {

@@ -58,7 +58,8 @@ class PlanSpec extends SparkSpecBase {
 
   test("candidate-join operators never plan a cartesian product") {
     for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
-        "j01_temporal_join", "j02_asof_join", "s02_ann_lsh")) {
+        "j01_temporal_join", "j02_asof_join", "s02_ann_lsh", "s06_ann_lsh_mp",
+        "t13_bigram_fluency", "q13_label_quality")) {
       val s = planString(run(name))
       assert(!s.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join, found cartesian")
@@ -100,5 +101,14 @@ class PlanSpec extends SparkSpecBase {
     val s = planString(run("t11_vocab_topk"))
     assert(s.contains("TakeOrderedAndProject"),
       "limit+orderBy must plan as top-k, not a full sort")
+  }
+
+  test("m05/t10 single-pass hash aggregation with map-side combine") {
+    for (name <- Seq("m05_media_dedup", "t10_data_card")) {
+      val s = planString(run(name))
+      assert("HashAggregate".r.findAllIn(s).size >= 2,
+        s"$name needs partial + final HashAggregate")
+      assert(!s.contains("CartesianProduct"))
+    }
   }
 }
