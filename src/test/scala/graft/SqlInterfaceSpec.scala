@@ -22,6 +22,49 @@ class SqlInterfaceSpec extends SparkSpecBase {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("documents/embeddings views serve the pipeline vocabulary in plain SQL") {
+    Tables.registerAll(spark, sf("sf0.001"))
+    // vocabulary top-k (t11's SQL face)
+    val vocab = spark.sql(
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 5""".stripMargin).collect()
+    assert(vocab.length == 5 && vocab.head.getLong(1) >= vocab.last.getLong(1))
+    // cross-modality join (q13's SQL face)
+    val fused = spark.sql(
+      """SELECT e.label, COUNT(*) AS n
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY e.label ORDER BY e.label""".stripMargin).collect()
+    assert(fused.nonEmpty)
+    val viaDf = Tables.documents(spark, sf("sf0.001"))
+      .join(Tables.embeddings(spark, sf("sf0.001")),
+        col("vec_id") === col("doc_id"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .orderBy(col("label")).collect()
+    assert(fused.map(_.toSeq).sameElements(viaDf.map(_.toSeq)))
+  }
+
+  test("window functions over views: running sum matches DataFrame window") {
+    Tables.registerAll(spark, sf("sf0.001"))
+    val viaSql = spark.sql(
+      """SELECT event_id,
+        |  SUM(CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin)
+      .collect().map(_.toSeq)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaDf = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"),
+        sum(round(col("value").cast("double") * 1000000).cast("long"))
+          .over(w).as("run"))
+      .orderBy(col("event_id")).limit(100)
+      .collect().map(_.toSeq)
+    assert(viaSql.sameElements(viaDf))
+  }
+
   test("correlated EXISTS subquery decorrelates and answers correctly") {
     Tables.registerAll(spark, sf("sf0.001"))
     val got = spark.sql(
