@@ -440,6 +440,46 @@ object TextQueries extends QueryPack {
       |FROM g JOIN lm ON g.g = lm.g
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** t14 — document chunking: overlapping 64-token windows at stride 48
+    * (16-token overlap), the chunk-and-embed preprocessing of a retrieval/
+    * embedding pipeline. One row per chunk with its offset, length, and a
+    * content hash (md5 of the space-joined window — pins exact chunk
+    * boundaries cross-engine). sequence+transform+explode: zero shuffle,
+    * output scales with token count.
+    */
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 64
+    val stride = 48
+    val ws = tokens(col("text"))
+    val nChunks = floor((size(ws) - 1).cast("double") / stride).cast("int") + 1
+    val chunk = (i: Column) => {
+      val start = i * stride + 1
+      val piece = slice(ws, start, lit(chunkLen))
+      struct(i.cast("long").as("chunk_idx"),
+        start.cast("long").as("start_tok"),
+        size(piece).cast("long").as("n_toks"),
+        md5(concat_ws(" ", piece)).as("chunk_md5"))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), chunk)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_toks"), col("c.chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val t14Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |  unnest(range(0, CAST(floor(CAST(len(ws) - 1 AS DOUBLE) / 48) AS BIGINT) + 1)) AS chunk_idx
+      | FROM w)
+      |SELECT doc_id,
+      |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_idx * 48 + 1 AS BIGINT) AS start_tok,
+      |  CAST(len(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS n_toks,
+      |  md5(array_to_string(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -453,5 +493,6 @@ object TextQueries extends QueryPack {
     QueryDef("t10_data_card", t10, Some(t10Sql)),
     QueryDef("t11_vocab_topk", t11, Some(t11Sql)),
     QueryDef("t12_seq_packing", t12, Some(t12Sql)),
-    QueryDef("t13_bigram_fluency", t13, Some(t13Sql)))
+    QueryDef("t13_bigram_fluency", t13, Some(t13Sql)),
+    QueryDef("t14_chunking", t14, Some(t14Sql)))
 }
