@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -312,6 +312,64 @@ object DedupQueries extends QueryPack {
        |FROM r GROUP BY component HAVING COUNT(*) > 1
        |ORDER BY component""".stripMargin
 
+  /** d10 — verbatim-overlap detection: documents sharing whole 64-token
+    * chunks (stride 48, t14's chunking) — catches long quoted/partially
+    * copied passages that 3-gram Jaccard (d02) dilutes below threshold.
+    * Partial copies are planted (every 9th doc's first 96 tokens + a unique
+    * suffix) so the detector has ground truth: each plant shares exactly
+    * its aligned first chunk with its source. Same group-pairs shape as
+    * d02 (capped, 8-byte chunk-hash keys).
+    */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val stride = 48
+    val chunkLen = 64
+    val ws = tokens(col("text"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val partial = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", concat_ws(" ", slice(ws, 1, 96)),
+          concat(lit("uniq"), col("doc_id").cast("string"))).as("text"))
+    val all = docs.unionAll(partial)
+    val nChunks = floor((size(ws) - 1).cast("double") / stride).cast("int") + 1
+    val chunkHash = (i: Column) =>
+      conv(substring(md5(concat_ws(" ",
+        slice(ws, i * stride + 1, lit(chunkLen)))), 1, 15), 16, 10).cast("long")
+    val ex = all.select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(0), nChunks - 1), chunkHash))).as("ch"))
+    val cl = graft.functions.CollectCapped(DefaultMaxDf)
+    val groups = ex.groupBy(col("ch"))
+      .agg(sort_array(cl(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) <= DefaultMaxDf)
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
+        y => struct(x.as("i"), y.as("j")))))
+    groups.select(explode(pairExpr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d10Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 96), ' ')
+      |      || ' uniq' || doc_id AS text
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+      |c AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, CAST(floor(CAST(len(ws) - 1 AS DOUBLE) / 48) AS BIGINT) + 1),
+      |    i -> CAST(('0x' || substr(md5(array_to_string(
+      |           list_slice(ws, i*48 + 1, i*48 + 64), ' ')), 1, 15)) AS BIGINT)))) AS ch
+      | FROM w)
+      |SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+      |FROM c a JOIN c b ON a.ch = b.ch AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |ORDER BY i, j""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -321,7 +379,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d06_embedding_neardup", d06, Some(d06Sql)),
     QueryDef("d07_neardup_clusters", d07, Some(d07Sql)),
     QueryDef("d08_corpus_dedup", d08, Some(d08Sql)),
-    QueryDef("d09_decontaminate", d09, Some(d09Sql)))
+    QueryDef("d09_decontaminate", d09, Some(d09Sql)),
+    QueryDef("d10_chunk_overlap", d10, Some(d10Sql)))
 
   /** d09 — benchmark decontamination: flag corpus docs sharing any word
     * 5-gram with a held-out benchmark set (every 100th doc). The benchmark
