@@ -131,9 +131,55 @@ object JoinQueries extends QueryPack {
       |FROM sessed GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** j05 — conversion funnel: clicks followed by a purchase from the same
+    * user within the next hour, rolled up per click-day. EXISTS semantics
+    * (left-semi with a range conjunct inside the user partition — never a
+    * cartesian), then two small date aggregates joined for the rate.
+    */
+  private def j05(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val converted = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "left_semi")
+    val day = (c: org.apache.spark.sql.Column) => date_format(c, "yyyy-MM-dd")
+    val a = clicks.groupBy(day(col("c_ts")).as("day"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val b = converted.groupBy(day(col("c_ts")).as("day"))
+      .agg(count(lit(1)).as("n_converted"))
+    a.join(b, Seq("day"), "left")
+      .select(col("day"), col("n_clicks"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        (coalesce(col("n_converted"), lit(0L)).cast("double")
+          / col("n_clicks")).as("conv_rate"))
+      .orderBy(col("day"))
+  }
+
+  private val j05Sql =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |conv AS (SELECT c.user_id, c.ts FROM c
+      |  WHERE EXISTS (SELECT 1 FROM p
+      |    WHERE p.user_id = c.user_id
+      |      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)),
+      |a AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_clicks
+      |  FROM c GROUP BY 1),
+      |b AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_converted
+      |  FROM conv GROUP BY 1)
+      |SELECT a.day, a.n_clicks,
+      |  COALESCE(b.n_converted, 0) AS n_converted,
+      |  CAST(COALESCE(b.n_converted, 0) AS DOUBLE) / a.n_clicks AS conv_rate
+      |FROM a LEFT JOIN b ON a.day = b.day
+      |ORDER BY a.day""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
     QueryDef("j03_tumbling_window_agg", j03, Some(j03Sql)),
-    QueryDef("j04_session_window_agg", j04, Some(j04Sql)))
+    QueryDef("j04_session_window_agg", j04, Some(j04Sql)),
+    QueryDef("j05_conversion_funnel", j05, Some(j05Sql)))
 }

@@ -320,11 +320,41 @@ object SimilarityQueries extends QueryPack {
        |    base.n_possible FROM base)
        |ORDER BY method""".stripMargin
 
+  /** s07 — per-dimension embedding statistics: exact quantized mean, min,
+    * max for each of the 64 dimensions — the drift/health monitor an
+    * embedding pipeline runs per batch (a shifted dimension means a broken
+    * encoder). posexplode + one map-side-combined aggregation; output is
+    * dims rows regardless of corpus size.
+    */
+  private def s07(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(quantize(col("embedding"))).as(Seq("dim", "vq")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("vq")).cast("double") / count(lit(1)) / 10000.0).as("mean_v"),
+        (min(col("vq")).cast("double") / 10000.0).as("min_v"),
+        (max(col("vq")).cast("double") / 10000.0).as("max_v"))
+      .orderBy(col("dim"))
+
+  private val s07Sql =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |d AS (SELECT unnest(v) AS vq,
+      |             CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim
+      |      FROM q)
+      |SELECT dim, COUNT(*) AS n,
+      |  CAST(SUM(vq) AS DOUBLE) / COUNT(*) / 10000.0 AS mean_v,
+      |  CAST(MIN(vq) AS DOUBLE) / 10000.0 AS min_v,
+      |  CAST(MAX(vq) AS DOUBLE) / 10000.0 AS max_v
+      |FROM d GROUP BY dim ORDER BY dim""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
     QueryDef("s03_label_cohesion", s03, Some(s03Sql)),
     QueryDef("s04_ann_ivf", s04, Some(s04Sql)),
     QueryDef("s05_ann_recall", s05, Some(s05Sql)),
-    QueryDef("s06_ann_lsh_mp", s06, Some(s06Sql)))
+    QueryDef("s06_ann_lsh_mp", s06, Some(s06Sql)),
+    QueryDef("s07_dim_stats", s07, Some(s07Sql)))
 }
