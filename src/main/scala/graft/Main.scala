@@ -12,6 +12,8 @@ import graft.harness.GridGenerator.{ParamRange, ParamValues}
   *                     [--results-dir results] [--sink-dir /tmp/graft_sink]
   *   graft.Main single --test-id T --records 100000 [--processes 4] ...
   *   graft.Main results --results-file results/T_results.csv
+  *   graft.Main query  --name q01_pricing_summary --sf-dir /root/testdata/sf0.001
+  *                     [--limit 20]   (or --name list to enumerate)
   */
 object Main {
 
@@ -26,9 +28,32 @@ object Main {
     case Some("run") => run(parseArgs(args.toSeq.tail), single = false)
     case Some("single") => run(parseArgs(args.toSeq.tail), single = true)
     case Some("results") => results(parseArgs(args.toSeq.tail))
+    case Some("query") => query(parseArgs(args.toSeq.tail))
     case _ =>
-      System.err.println("usage: graft.Main run|single|results [options]")
+      System.err.println("usage: graft.Main run|single|results|query [options]")
       sys.exit(2)
+  }
+
+  /** Run any registered library query against a testdata directory — the
+    * CLI face of SparkEntry.queries.
+    */
+  private def query(opts: Map[String, String]): Unit = {
+    val name = opts.getOrElse("name", "list")
+    if (name == "list") {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(n => println(s"[query] $n"))
+      return
+    }
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name' — use --name list"))
+    val dir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+    val limit = opts.get("limit").map(_.toInt).getOrElse(20)
+    val spark = session()
+    try {
+      val df = fn(spark, dir)
+      val n = df.count()
+      println(s"[query] $name rows=$n")
+      df.show(limit, truncate = false)
+    } finally spark.stop()
   }
 
   private def longs(s: String): Seq[Any] = s.split(",").toSeq.map(_.trim.toLong)
