@@ -76,5 +76,9 @@ class TextVectorSpec extends SparkSpecBase {
     assert(enc("inging") == (2L, 2L))
     // merges are non-overlapping left-to-right: "ththth" → th,th,th
     assert(enc("ththth") == (3L, 3L))
+    // astral-plane code points count as ONE unit (codePointCount, matching
+    // SQL length()) even though they are two UTF-16 units in the JVM
+    assert(enc("𝄞𝄞") == (2L, 0L))
+    assert(enc("the𝄞the") == (3L, 2L))
   }
 }
