@@ -84,6 +84,41 @@ class PropertySpec extends SparkSpecBase {
     assert(queries.DedupQueries.d02Pairs(spark, dir, maxDf = 1).count() == 0L)
   }
 
+  test("packing/chunking/percentile/funnel invariants hold on real data") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val nToks = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+
+    // t12: every doc lands in exactly one batch; tokens are conserved
+    val packing = SparkEntry.queries("t12_seq_packing")(spark, dir)
+    assert(packing.agg(sum(col("n_docs"))).head().getLong(0) == nDocs)
+    assert(packing.agg(sum(col("n_tokens"))).head().getLong(0) == nToks)
+
+    // t14: chunks tile each doc — conserved doc count, first chunk at token
+    // 1, last chunk reaches the final token (start + n_toks - 1 == len)
+    val chunks = SparkEntry.queries("t14_chunking")(spark, dir)
+    assert(chunks.select(countDistinct(col("doc_id"))).head().getLong(0) == nDocs)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val lastCover = chunks.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_toks") - 1).as("covered"),
+        min(col("start_tok")).as("first"))
+      .join(lens, "doc_id")
+    assert(lastCover.filter(col("covered") =!= col("len") ||
+      col("first") =!= 1).count() == 0, "chunks must cover every token")
+
+    // r05: percentiles are monotone per group
+    val pct = SparkEntry.queries("r05_percentiles")(spark, dir)
+    assert(pct.filter(col("p50") > col("p90") || col("p90") > col("p99"))
+      .count() == 0)
+
+    // j05: rates bounded, conversions never exceed clicks
+    val funnel = SparkEntry.queries("j05_conversion_funnel")(spark, dir)
+    assert(funnel.filter(col("n_converted") > col("n_clicks") ||
+      col("conv_rate") < 0 || col("conv_rate") > 1).count() == 0)
+  }
+
   test("generator is collision-free and deterministic across partitionings") {
     val a = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 1)
     val b = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 8)
