@@ -101,6 +101,8 @@ object Main {
       rs.foreach(r => println(
         s"[main] ${r.variantId} success=${r.resultSuccess.getOrElse(false)} " +
           s"rps=${r.resultGlassflowRps.getOrElse(0.0)}"))
+      // O6 — the reference prints its rich result table per variant
+      rs.foreach(r => println(graft.harness.Metrics.displayTable(r)))
       if (rs.exists(_.resultSuccess.contains(false))) sys.exit(1)
     } finally spark.stop()
   }

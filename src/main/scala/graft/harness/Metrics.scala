@@ -89,4 +89,26 @@ object Metrics {
     */
   def progressPct(added: Long, total: Long): Long =
     math.round(added * 100.0 / total)
+
+  /** O6 — per-variant result table (reference `display_results`,
+    * src/utils/metrics.py:155-165: same metric rows, same rounding; plain
+    * aligned text instead of the rich console). Pure function so the CLI
+    * prints it and the spec pins it.
+    */
+  def displayTable(r: TestResult): String = {
+    def d(v: Option[Double], places: Int): String =
+      v.map(x => s"%.${places}f".format(x)).getOrElse("-")
+    val rows = Seq(
+      "Status" -> (if (r.resultSuccess.contains(true)) "Success" else "Failed"),
+      "Duration" -> f"${r.durationSec}%.2f seconds",
+      "Records Processed" -> r.resultNumRecords.map(_.toString).getOrElse("-"),
+      "Source RPS in Kafka" -> d(r.resultKafkaIngestionRps, 0),
+      "Average Latency" -> s"${d(r.resultAvgLatencyMs, 4)} ms",
+      "Lag" -> s"${d(r.resultLagMs, 2)} ms",
+      "Engine RPS" -> s"${d(r.resultGlassflowRps, 2)} records/s")
+    val w = rows.map(_._1.length).max
+    val header = s"Test Results [${r.testId}/${r.variantId}]"
+    (header +: rows.map { case (k, v) => s"  ${k.padTo(w, ' ')}  $v" })
+      .mkString("\n")
+  }
 }

@@ -91,5 +91,14 @@ class HarnessSpec extends SparkSpecBase {
     // resume: second invocation skips the completed variant
     val again = exec.runTests(Seq(cfg), resume = true, sinkRoot = s"$dir/sink")
     assert(again.isEmpty)
+
+    // O6 — result table mirrors the reference's display_results rows/rounding
+    val table = graft.harness.Metrics.displayTable(r)
+    assert(table.startsWith(s"Test Results [${r.testId}/${r.variantId}]"))
+    for (label <- Seq("Status", "Duration", "Records Processed",
+        "Source RPS in Kafka", "Average Latency", "Lag", "Engine RPS"))
+      assert(table.contains(label), s"missing row: $label")
+    assert(table.contains("Success"))
+    assert(table.contains(f"${r.durationSec}%.2f seconds"))
   }
 }
