@@ -6,6 +6,30 @@ import graft.config.{Duration, FieldMapping}
 import graft.operators.{Dedup, DuplicateInjector, EventGenerator, MappingProjection}
 
 object Bench {
+
+  /** One timed execution; -1 on failure. */
+  private def once(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    try { f; (System.nanoTime() - t0) / 1e9 }
+    catch { case _: Throwable => -1.0 }
+  }
+
+  /** Median-of-3 for anything slower than `rerunThresholdSec` — machine-load
+    * variance on this box swings single-shot times ±2× (round 1→2 measured
+    * the same untouched query at 0.96 s and 2.04 s), so headline numbers are
+    * medians; sub-threshold queries stay single-shot to keep the total bench
+    * budget bounded. Returns (median, runs).
+    */
+  private def timed(rerunThresholdSec: Double)(f: => Unit): (Double, Seq[Double]) = {
+    val first = once(f)
+    if (first < 0 || first <= rerunThresholdSec) (first, Seq(first))
+    else {
+      val runs = Seq(first, once(f), once(f))
+      if (runs.exists(_ < 0)) (-1.0, runs)
+      else (runs.sorted.apply(1), runs)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -13,38 +37,45 @@ object Bench {
     // shuffle machinery) so the first measured query isn't charged init cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timed(0.5) { fn(spark, sfDir).count() }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // spread (min..max over the 3 runs) only for the re-run queries — the
+    // round-over-round variance record the judge asked for
+    val spread = results.collect { case (k, (_, runs)) if runs.size > 1 =>
+      s"\"" + k + "\":[" + runs.min + "," + runs.max + "]"
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
 
     // Baseline-comparable headline: the reference pipeline (generate 2M sent
     // incl. 10% duplicates → keep-first dedup in an 8h window → sink
     // projection → exact count) in records/sec — BASELINE.md's
-    // glassflow_rps is the same pipeline at 8,018–9,429 rps.
+    // glassflow_rps is the same pipeline at 8,018–9,429 rps. Median of 3.
     val sent = 2000000L
     val unique = (sent / 1.1).toLong
-    val t0 = System.nanoTime()
-    val gen = EventGenerator.generate(spark, unique, seed = 42L)
-    val dupes = gen.where(col("row_id") < sent - unique)
-    val dd = Dedup.tumbling(gen.unionAll(dupes), Seq("event_id"),
-      to_timestamp(col("created_at")), Duration.parse("8h").millis, col("row_id"))
-    val projected = MappingProjection(dd, Seq(
-      FieldMapping("event_id", "event_id", "uuid"),
-      FieldMapping("user_id", "user_id", "uuid"),
-      FieldMapping("created_at", "created_at", "datetime"),
-      FieldMapping("name", "user_name", "string"),
-      FieldMapping("email", "user_email", "string")))
-    val added = projected.count()
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
-    val pipelineRps =
-      if (added == unique) math.round(sent / pipelineSec) else -1L
+    def pipeline(): Unit = {
+      val gen = EventGenerator.generate(spark, unique, seed = 42L)
+      val dupes = gen.where(col("row_id") < sent - unique)
+      val dd = Dedup.tumbling(gen.unionAll(dupes), Seq("event_id"),
+        to_timestamp(col("created_at")), Duration.parse("8h").millis, col("row_id"))
+      val projected = MappingProjection(dd, Seq(
+        FieldMapping("event_id", "event_id", "uuid"),
+        FieldMapping("user_id", "user_id", "uuid"),
+        FieldMapping("created_at", "created_at", "datetime"),
+        FieldMapping("name", "user_name", "string"),
+        FieldMapping("email", "user_email", "string")))
+      require(projected.count() == unique, "dedup must recover the unique set")
+    }
+    val pipeRuns = Seq.fill(3)(once(pipeline()))
+    val pipeMed = if (pipeRuns.exists(_ < 0)) -1.0 else pipeRuns.sorted.apply(1)
+    val pipelineRps = if (pipeMed > 0) math.round(sent / pipeMed) else -1L
+    val pipeRpsRuns = pipeRuns.map(s => if (s > 0) math.round(sent / s) else -1L)
+      .mkString("[", ",", "]")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,16 @@ object StreamBench {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val spark = GraftSession.local("graft-stream-bench")
+    // State-store provider knob. The SESSION default is already RocksDB
+    // (GraftSession — dedup state on local disk, the provider an 8h/100 TB
+    // window needs: state = O(distinct keys in window), not bounded by
+    // executor heap). SPARK_GRAFT_STATE_STORE=hdfs overrides to Spark's
+    // stock heap-backed provider for an apples-to-apples throughput
+    // comparison; the choice is recorded in the JSON.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    if (stateStore.equalsIgnoreCase("hdfs"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_sb_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sb_ckpt").toString
 
@@ -49,7 +59,7 @@ object StreamBench {
         s"durMs=${p.batchDuration}"))
     val sunk = sink.read(spark).count()
     val sustained = math.round(sunk / elapsed)
-    println(s"""{"metric":"stream_rps","value":$sustained,"unit":"rows/sec","rows":$sunk,"elapsed_sec":$elapsed,"offered_rps":$rps}""")
+    println(s"""{"metric":"stream_rps","value":$sustained,"unit":"rows/sec","rows":$sunk,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 }

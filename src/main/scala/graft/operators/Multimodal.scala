@@ -33,37 +33,89 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),    // audio/video
     StructField("fps", DoubleType, nullable = true)))         // video
 
+  /** Mean/min/max/entropy features over 0..255 sample values — codec-agnostic
+    * (the same stats whether samples are real pixel luminances or the fake
+    * codec's per-byte values).
+    */
+  def featuresOf(s: Array[Int]): (Double, Int, Int, Double) =
+    if (s.isEmpty) (0.0, 0, 0, 0.0)
+    else {
+      val hist = new Array[Long](256)
+      var sum = 0L; var mn = 255; var mx = 0
+      s.foreach { v =>
+        sum += v; hist(v) += 1
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      val n = s.length.toDouble
+      var ent = 0.0
+      hist.foreach { c =>
+        if (c > 0) { val p = c / n; ent -= p * math.log(p) / math.log(2) }
+      }
+      (sum / n, mn, mx, ent)
+    }
+
+  /** Real image decode via `javax.imageio` (ships in the JDK — no extra
+    * dependency): PNG/JPEG payloads decode to per-pixel luminance samples
+    * ((r+g+b)/3, 0..255, row-major). Returns None for payloads that are not
+    * real images (no PNG/JPEG magic, or ImageIO can't parse them) so the
+    * caller falls back to [[FakeCodec]] — the synthetic md5-derived blobs in
+    * the oracle-checked queries take that path, keeping m01–m04 byte-stable.
+    */
+  object ImageIOCodec {
+    def looksLikeImage(content: Array[Byte]): Boolean =
+      (content.length >= 8 &&
+        content(0) == 0x89.toByte && content(1) == 'P' && content(2) == 'N' &&
+        content(3) == 'G') ||
+      (content.length >= 3 &&
+        content(0) == 0xff.toByte && content(1) == 0xd8.toByte &&
+        content(2) == 0xff.toByte)
+
+    def samples(content: Array[Byte]): Option[Array[Int]] =
+      if (!looksLikeImage(content)) None
+      else try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Int](w * h)
+          var i = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
   /** ======================== STUB (clearly marked) ========================
-    * Deterministic fake codec: stands in for image/audio decoding. Derives
-    * per-byte "samples" directly from the binary payload. Replace with a real
-    * decoder for production; everything downstream is codec-agnostic.
+    * Deterministic fake codec: stands in for media decoding when the payload
+    * is not a real decodable image (the synthetic test blobs) or is
+    * audio/video (no decoder in this environment). Derives per-byte
+    * "samples" directly from the binary payload. Everything downstream is
+    * codec-agnostic.
     */
   object FakeCodec {
     /** "Decode" bytes to unsigned sample values 0..255. */
     def samples(content: Array[Byte]): Array[Int] = content.map(_ & 0xff)
 
     /** Mean/min/max/entropy-ish features over the fake samples. */
-    def features(content: Array[Byte]): (Double, Int, Int, Double) = {
-      val s = samples(content)
-      if (s.isEmpty) (0.0, 0, 0, 0.0)
-      else {
-        val hist = new Array[Long](256)
-        var sum = 0L; var mn = 255; var mx = 0
-        s.foreach { v =>
-          sum += v; hist(v) += 1
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-        }
-        val n = s.length.toDouble
-        var ent = 0.0
-        hist.foreach { c =>
-          if (c > 0) { val p = c / n; ent -= p * math.log(p) / math.log(2) }
-        }
-        (sum / n, mn, mx, ent)
-      }
-    }
+    def features(content: Array[Byte]): (Double, Int, Int, Double) =
+      featuresOf(samples(content))
   }
   /* ====================== end STUB ====================== */
+
+  /** Decode dispatch: real ImageIO pixels for genuine image payloads,
+    * FakeCodec byte-samples otherwise.
+    */
+  def decodeSamples(kind: String, content: Array[Byte]): Array[Int] =
+    if (kind == "image") ImageIOCodec.samples(content).getOrElse(FakeCodec.samples(content))
+    else FakeCodec.samples(content)
 
   /** Decoded-feature output schema (what a real decoder would also emit). */
   val featureSchema: StructType = StructType(Seq(
@@ -92,9 +144,9 @@ object Multimodal {
         // per-batch codec setup would go here (decoder init, buffers)
         batch.iterator.map { r =>
           val content = r.getAs[Array[Byte]](contentIdx)
-          val (mean, mn, mx, ent) = FakeCodec.features(content)
-          Row(r.getLong(idIdx), r.getString(kindIdx),
-            content.length.toLong, mean, mn, mx, ent)
+          val kind = r.getString(kindIdx)
+          val (mean, mn, mx, ent) = featuresOf(decodeSamples(kind, content))
+          Row(r.getLong(idIdx), kind, content.length.toLong, mean, mn, mx, ent)
         }
       }
     }(enc)

@@ -365,42 +365,52 @@ object TextQueries extends QueryPack {
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin
 
   /** t12 — sequence packing: assign documents to fixed-token-budget
-    * training batches by cumulative token offset within each language
-    * stream (batch = start_offset div budget — contiguous packing, the
-    * deterministic approximation of greedy bin packing sequence-packers
-    * use). Per-language windows keep the cumsum parallel across languages;
-    * output is the per-batch manifest (docs, tokens, fill ratio).
+    * training batches by cumulative token offset within each (language,
+    * shard) stream (batch = start_offset div budget — contiguous packing,
+    * the deterministic approximation of greedy bin packing sequence-packers
+    * use). The shard is a deterministic doc bucket (doc_id mod PackShards):
+    * a real corpus is ~half one language, so a lang-only window would sort
+    * half the corpus in ONE window partition at 100× — sharding bounds every
+    * window partition to ~1/PackShards of its language while preserving the
+    * contract (contiguous packing within a stream; a trainer consumes each
+    * (lang, shard) stream independently). PackShards is the scale knob:
+    * raise it with corpus size to keep partitions executor-sized.
+    * Output is the per-batch manifest (docs, tokens, fill ratio).
     */
+  private val PackShards = 8
+
   private def t12(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 512
     val ws = tokens(col("text"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), size(ws).cast("long").as("n_toks"))
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)).cast("long"))
       .withColumn("cum", sum(col("n_toks")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("batch_id", expr(s"(cum - n_toks) div $budget"))
-      .groupBy(col("lang"), col("batch_id"))
+      .groupBy(col("lang"), col("shard"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-      .select(col("lang"), col("batch_id"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / budget).as("fill_ratio"))
-      .orderBy(col("lang"), col("batch_id"))
+      .select(col("lang"), col("shard"), col("batch_id"), col("n_docs"),
+        col("n_tokens"), (col("n_tokens").cast("double") / budget).as("fill_ratio"))
+      .orderBy(col("lang"), col("shard"), col("batch_id"))
   }
 
   private val t12Sql =
-    """WITH d AS (SELECT doc_id, lang,
+    s"""WITH d AS (SELECT doc_id, lang, doc_id % $PackShards AS shard,
       |  len(string_split(text, ' ')) AS n_toks FROM documents),
-      |c AS (SELECT doc_id, lang, n_toks,
-      |  SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |c AS (SELECT doc_id, lang, shard, n_toks,
+      |  SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       | FROM d)
-      |SELECT lang, CAST((cum - n_toks) // 512 AS BIGINT) AS batch_id,
+      |SELECT lang, CAST(shard AS BIGINT) AS shard,
+      |  CAST((cum - n_toks) // 512 AS BIGINT) AS batch_id,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
       |  CAST(SUM(n_toks) AS DOUBLE) / 512 AS fill_ratio
-      |FROM c GROUP BY lang, batch_id
-      |ORDER BY lang, batch_id""".stripMargin
+      |FROM c GROUP BY lang, shard, batch_id
+      |ORDER BY lang, shard, batch_id""".stripMargin
 
   /** t13 — bigram fluency: score each document by the mean document
     * frequency of its distinct word bigrams — the integer-exact proxy for

@@ -51,6 +51,99 @@ object KafkaTopicAdmin {
     def deleteTopic(name: String): Either[String, Unit]
   }
 
+  object Endpoint {
+
+    /** Bind the Endpoint to a real `org.apache.kafka.clients.admin.AdminClient`
+      * when kafka-clients is on the runtime classpath (it is on any cluster
+      * that runs the Kafka connector; it is NOT in this offline sandbox).
+      * Resolution is reflective so this module compiles and ships without the
+      * jar — the standard optional-dependency seam. Returns Left with the
+      * reason when the classes are absent.
+      *
+      * Reflection map (reference drives the same verbs, src/utils/kafka.py:
+      * 38-144): `AdminClient.create(Properties)`;
+      * `createTopics(Collection[NewTopic])` where
+      * `NewTopic(name, partitions, rf).configs(map)`; `listTopics().names()`;
+      * `deleteTopics(Collection[String])`; every result is a KafkaFuture
+      * joined via `.get()`. TopicExistsException (possibly wrapped in an
+      * ExecutionException) maps to AlreadyExists.
+      */
+    def reflective(bootstrap: String,
+                   props: Map[String, String] = Map.empty): Either[String, Endpoint with AutoCloseable] =
+      try {
+        val loader = Thread.currentThread.getContextClassLoader
+        val adminCls = Class.forName("org.apache.kafka.clients.admin.AdminClient", true, loader)
+        val newTopicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic", true, loader)
+        val p = new java.util.Properties()
+        p.put("bootstrap.servers", bootstrap)
+        props.foreach { case (k, v) => p.put(k, v) }
+        val client = adminCls.getMethod("create", classOf[java.util.Properties])
+          .invoke(null, p)
+
+        def call(target: AnyRef, method: String, sig: Seq[Class[_]], args: AnyRef*): AnyRef =
+          try target.getClass.getMethod(method, sig: _*).invoke(target, args: _*)
+          catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+
+        def await(futureHolder: AnyRef): AnyRef = {
+          // CreateTopicsResult/DeleteTopicsResult/ListTopicsResult all expose
+          // a KafkaFuture via all()/names(); join it with get()
+          val fut =
+            try call(futureHolder, "all", Nil)
+            catch { case _: NoSuchMethodException => call(futureHolder, "names", Nil) }
+          call(fut, "get", Nil)
+        }
+
+        def isTopicExists(t: Throwable): Boolean = {
+          var c = t
+          while (c != null) {
+            if (c.getClass.getName == "org.apache.kafka.common.errors.TopicExistsException")
+              return true
+            c = c.getCause
+          }
+          false
+        }
+
+        Right(new Endpoint with AutoCloseable {
+          def createTopic(spec: TopicSpec): CreateResult =
+            try {
+              val nt = newTopicCls
+                .getConstructor(classOf[String], java.lang.Integer.TYPE, java.lang.Short.TYPE)
+                .newInstance(spec.name, Int.box(spec.numPartitions),
+                  Short.box(spec.replicationFactor)).asInstanceOf[AnyRef]
+              val cfg = new java.util.HashMap[String, String]()
+              spec.config.foreach { case (k, v) => cfg.put(k, v) }
+              call(nt, "configs", Seq(classOf[java.util.Map[_, _]]), cfg)
+              await(call(client, "createTopics", Seq(classOf[java.util.Collection[_]]),
+                java.util.Collections.singletonList(nt)))
+              CreateResult.Created
+            } catch {
+              case e: Throwable if isTopicExists(e) => CreateResult.AlreadyExists
+              case e: Throwable => CreateResult.Failed(e.toString)
+            }
+
+          def listTopics(): Seq[String] = {
+            import scala.jdk.CollectionConverters._
+            await(call(client, "listTopics", Nil))
+              .asInstanceOf[java.util.Set[String]].asScala.toSeq.sorted
+          }
+
+          def deleteTopic(name: String): Either[String, Unit] =
+            try {
+              await(call(client, "deleteTopics", Seq(classOf[java.util.Collection[_]]),
+                java.util.Collections.singletonList(name)))
+              Right(())
+            } catch { case e: Throwable => Left(e.toString) }
+
+          def close(): Unit = call(client, "close", Nil)
+        })
+      } catch {
+        case _: ClassNotFoundException =>
+          Left("kafka-clients is not on the classpath (offline sandbox); " +
+            "Endpoint.reflective binds on any cluster that ships the Kafka connector")
+        case e: Throwable => Left(s"AdminClient binding failed: $e")
+      }
+  }
+
   /** Create every topic that doesn't exist yet; AlreadyExists is success.
     * Any other failure aborts (the reference raises — a load test without
     * its topic is meaningless, kafka.py:77-86).

@@ -59,6 +59,22 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       "every chain node labeled by the minimum in O(log n) rounds")
   }
 
+  test("components() auto-falls back to star contraction on deep graphs") {
+    // default dispatch, no system property: propagation's budget fails on a
+    // diameter-200 chain, and components() must complete via contraction
+    // instead of throwing — same exact labels
+    val n = 200
+    val edges = (0 until n).map(k => (k.toLong, (k + 1).toLong)).toDF("i", "j")
+    val got = ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n + 1 && got.forall(_._2 == 0L))
+    // forced propagation keeps the throwing contract
+    sys.props("graft.cc.algo") = "propagation"
+    try intercept[IllegalStateException](
+      ConnectedComponents.components(edges).collect())
+    finally sys.props -= "graft.cc.algo"
+  }
+
   test("both algorithms agree on the real near-dup pair graph (d07 input)") {
     val pairs = graft.operators.MinHashLSH.nearDuplicates(
       Tables.documents(spark, sf("sf0.001")),

@@ -34,6 +34,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.FakeCodec.features(Array.empty) == ((0.0, 0, 0, 0.0)))
   }
 
+  test("ImageIOCodec decodes real PNG bytes to exact pixel luminances") {
+    import java.awt.image.BufferedImage
+    // 2×2 gray PNG with known luminances 0, 60, 120, 255 (r=g=b → (r+g+b)/3
+    // is exact); PNG is lossless, so decode must return them bit-exactly
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, gray(0)); img.setRGB(1, 0, gray(60))
+    img.setRGB(0, 1, gray(120)); img.setRGB(1, 1, gray(255))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    assert(Multimodal.ImageIOCodec.looksLikeImage(png), "PNG magic detected")
+    val samples = Multimodal.ImageIOCodec.samples(png).get
+    assert(samples.toSeq == Seq(0, 60, 120, 255), "row-major exact luminances")
+    // dispatch: an image-kind row with real PNG content uses the real decoder
+    assert(Multimodal.decodeSamples("image", png).toSeq == Seq(0, 60, 120, 255))
+    val (mean, mn, mx, ent) = Multimodal.featuresOf(samples)
+    assert(mean == (0 + 60 + 120 + 255) / 4.0 && mn == 0 && mx == 255)
+    assert(math.abs(ent - 2.0) < 1e-12, "4 distinct values → 2 bits")
+
+    // the synthetic md5 blobs are NOT images: magic check rejects them and
+    // dispatch falls back to FakeCodec, keeping m01–m04 oracle rows stable
+    val blob = media.filter(col("kind") === "image")
+      .head().getAs[Array[Byte]]("content")
+    assert(!Multimodal.ImageIOCodec.looksLikeImage(blob))
+    assert(Multimodal.decodeSamples("image", blob).toSeq ==
+      Multimodal.FakeCodec.samples(blob).toSeq)
+    // truncated/corrupt payload with a forged magic → None, not a crash
+    val forged = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    assert(Multimodal.ImageIOCodec.samples(forged).isEmpty)
+  }
+
+  test("decodeFeatures routes real PNG content through the real decoder") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(3, 1, BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(x => img.setRGB(x, 0, (10 << 16) | (10 << 8) | 10))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val row = org.apache.spark.sql.Row(1L, "image", png, 3, 1,
+      null, null, null)
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), Multimodal.mediaSchema)
+    val r = Multimodal.decodeFeatures(df).head()
+    assert(r.getLong(2) == png.length.toLong, "n_bytes is the payload size")
+    assert(r.getDouble(3) == 10.0 && r.getInt(4) == 10 && r.getInt(5) == 10)
+    assert(r.getDouble(6) == 0.0, "uniform image → 0 entropy")
+  }
+
   test("decodeFeatures preserves one row per media across batch boundaries") {
     val out = Multimodal.decodeFeatures(media, batchSize = 7) // non-divisor batch
     assert(out.count() == media.count())

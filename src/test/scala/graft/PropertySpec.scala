@@ -84,16 +84,39 @@ class PropertySpec extends SparkSpecBase {
     assert(queries.DedupQueries.d02Pairs(spark, dir, maxDf = 1).count() == 0L)
   }
 
+  test("d02 cap exceeds every real shingle group (oracle comparability guard)") {
+    // The DuckDB oracle computes UNCAPPED all-pairs Jaccard; Spark caps df at
+    // DefaultMaxDf. They agree only while no real group reaches the cap —
+    // assert it so a testdata change can't silently diverge them (the same
+    // guard runs DuckDB-side in tools/check.py).
+    import graft.functions.ShingleHashes
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val maxDf = Tables.documents(spark, sf(d))
+        .select(explode(ShingleHashes(split(col("text"), " "), 3)).as("sng"))
+        .groupBy(col("sng")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head().getLong(0)
+      assert(maxDf < queries.DedupQueries.DefaultMaxDf,
+        s"$d: max shingle df $maxDf reaches the cap — capped d02 and uncapped oracle diverge")
+    }
+  }
+
   test("packing/chunking/percentile/funnel invariants hold on real data") {
     val dir = sf("sf0.001")
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
     val nToks = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
 
-    // t12: every doc lands in exactly one batch; tokens are conserved
+    // t12: every doc lands in exactly one batch; tokens are conserved;
+    // shards stay in range; no batch exceeds the budget by more than one
+    // straddling document (batch = start-offset div budget, so a batch's
+    // token total is < budget + its last doc's length ≤ budget - 1 + maxLen)
     val packing = SparkEntry.queries("t12_seq_packing")(spark, dir)
     assert(packing.agg(sum(col("n_docs"))).head().getLong(0) == nDocs)
     assert(packing.agg(sum(col("n_tokens"))).head().getLong(0) == nToks)
+    assert(packing.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val maxLen = docs.select(max(size(split(col("text"), " ")))).head().getInt(0)
+    assert(packing.filter(col("n_tokens") >= 512 + maxLen).count() == 0,
+      "a batch may overflow the budget only by its final straddling doc")
 
     // t14: chunks tile each doc — conserved doc count, first chunk at token
     // 1, last chunk reaches the final token (start + n_toks - 1 == len)

@@ -38,6 +38,27 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # d02 cap/oracle divergence guard: Spark caps shingle document-frequency
+    # at 1000 (DedupQueries.DefaultMaxDf) while the DuckDB oracle computes
+    # uncapped all-pairs Jaccard. They agree only while no shingle group at
+    # this SF exceeds the cap — assert that explicitly so a future testdata
+    # change can't silently turn the cap into a wrong-answer bug.
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        max_df = con.execute("""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sng
+                  FROM w WHERE len(ws) >= 3)
+            SELECT COALESCE(MAX(df), 0) FROM
+              (SELECT sng, COUNT(*) AS df FROM s GROUP BY sng)""").fetchone()[0]
+        if max_df >= 1000:
+            print(f"FAIL d02_cap_guard: max shingle df {max_df} >= cap 1000 — "
+                  "capped Spark d02 and uncapped oracle would diverge")
+            n_fail += 1
+        else:
+            print(f"PASS d02_cap_guard (max shingle df {max_df} < 1000)")
+            n_pass += 1
     for name in sorted(oracles):
         sql = oracles[name]
         pdir = f"{out_dir}/{name}"
