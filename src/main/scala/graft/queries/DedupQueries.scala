@@ -370,6 +370,63 @@ object DedupQueries extends QueryPack {
       |GROUP BY a.doc_id, b.doc_id
       |ORDER BY i, j""".stripMargin
 
+  /** d11 — semantic corpus dedup, the end-to-end scale pipeline the
+    * embedding family builds toward: LSH sign-buckets (so candidate pairs
+    * come from an equi-join, never all-pairs — d06 is the declared brute
+    * baseline of the same edge set restricted to within-bucket pairs) →
+    * exact quantized cosine ≥ 0.45 threshold graph → connected components
+    * ([[ConnectedComponents.components]]: propagation with star-contraction
+    * fallback) → one kept representative (min vec_id) per cluster with its
+    * size. The oracle reproduces the identical hyperplanes and verifies the
+    * clustering with a recursive transitive-closure CTE (d07's pattern).
+    */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val planes = 4; val dims = 64
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val pairs = q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("i"), col("j"))
+    ConnectedComponents.components(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("rep_vec_id"))
+      .orderBy(col("component"))
+  }
+
+  private val d11Sql: String = {
+    import graft.functions.VectorFunctions.hyperplane
+    val bucketExpr = (0 until 4).map { h =>
+      val wl = hyperplane(h, 64).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
+       |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+       | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       | WHERE list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) >= 0.45),
+       |e2 AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+       |  UNION
+       |  SELECT e2.a, reach.lbl FROM e2 JOIN reach ON e2.b = reach.id
+       |),
+       |comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+       |SELECT component, COUNT(*) AS n_members,
+       |  MIN(id) AS rep_vec_id
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -380,7 +437,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d07_neardup_clusters", d07, Some(d07Sql)),
     QueryDef("d08_corpus_dedup", d08, Some(d08Sql)),
     QueryDef("d09_decontaminate", d09, Some(d09Sql)),
-    QueryDef("d10_chunk_overlap", d10, Some(d10Sql)))
+    QueryDef("d10_chunk_overlap", d10, Some(d10Sql)),
+    QueryDef("d11_semantic_dedup", d11, Some(d11Sql)))
 
   /** d09 — benchmark decontamination: flag corpus docs sharing any word
     * 5-gram with a held-out benchmark set (every 100th doc). The benchmark

@@ -490,6 +490,79 @@ object TextQueries extends QueryPack {
       |  md5(array_to_string(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** t15 — domain-mixture reweighting: per-source token shares and the
+    * sampling weight that would rebalance the mixture to uniform across
+    * sources (the DoReMi/data-mixing bookkeeping a pretraining pipeline
+    * runs before sampling: weight = target_share / current_share). One
+    * map-side-combined aggregation over the corpus (output = |sources| rows),
+    * totals joined back as a broadcast of a single row. All ratios derive
+    * from exact BIGINT token counts in one division each, so both engines
+    * compute bit-identical doubles.
+    */
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"),
+        (col("tot_tokens").cast("double") / (col("n_sources") * col("n_tokens")))
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val t15Sql =
+    """WITH d AS (SELECT source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+      |s AS (SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |  COUNT(*) AS n_sources FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share,
+      |  CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens) AS mix_weight
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** t16 — fixed-quota stratified sample: exactly min(K, |stratum|) docs per
+    * language, selected by smallest md5(doc_id) — the deterministic
+    * "give me 20 spot-check docs per language" op. Complements t05 (RATE
+    * sampling: output grows with corpus; quota sampling: output fixed).
+    * Uses the partial-combinable TopKByScore aggregator, so the shuffle
+    * carries ≤ K rows per (map partition × language) instead of sorting each
+    * language's whole stratum in one window partition — the same 100×-skew
+    * argument as t12's shards. The hash uses 13 hex digits (52 bits) so its
+    * negation is exact in the aggregator's double score and ordering matches
+    * the oracle's BIGINT sort bit-for-bit.
+    */
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    val quota = 20
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val topk = TopKByScore(quota)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), (-h.cast("double")).as("score"))
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), col("score")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val t16Sql =
+    """WITH h AS (SELECT lang, doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+      | FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+      |SELECT lang, rk, doc_id FROM r WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -504,5 +577,7 @@ object TextQueries extends QueryPack {
     QueryDef("t11_vocab_topk", t11, Some(t11Sql)),
     QueryDef("t12_seq_packing", t12, Some(t12Sql)),
     QueryDef("t13_bigram_fluency", t13, Some(t13Sql)),
-    QueryDef("t14_chunking", t14, Some(t14Sql)))
+    QueryDef("t14_chunking", t14, Some(t14Sql)),
+    QueryDef("t15_domain_mix", t15, Some(t15Sql)),
+    QueryDef("t16_quota_sample", t16, Some(t16Sql)))
 }

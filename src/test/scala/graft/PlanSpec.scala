@@ -56,10 +56,17 @@ class PlanSpec extends SparkSpecBase {
       "the benchmark shingle set must broadcast; the corpus side must not shuffle")
   }
 
+  test("t16 quota sample partial-aggregates: no per-language window sort") {
+    val s = planString(run("t16_quota_sample"))
+    assert(!s.contains("Window"),
+      "quota sampling must use the partial-combinable top-k aggregator, " +
+        "not a row_number window that sorts each stratum in one partition")
+  }
+
   test("candidate-join operators never plan a cartesian product") {
     for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
         "j01_temporal_join", "j02_asof_join", "s02_ann_lsh", "s06_ann_lsh_mp",
-        "t13_bigram_fluency", "q13_label_quality")) {
+        "t13_bigram_fluency", "q13_label_quality", "d11_semantic_dedup")) {
       val s = planString(run(name))
       assert(!s.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join, found cartesian")
