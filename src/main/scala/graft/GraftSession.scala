@@ -37,4 +37,33 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Cluster profile for a multi-executor deployment (master comes from
+    * spark-submit). The knobs and their reasoning, sized for ~1000 executors
+    * over ~100 TB of parquet:
+    *
+    *  - shuffle partitions START at 2× total executor cores and AQE
+    *    coalesces down per stage — starting low cannot be fixed at runtime
+    *    (AQE only merges partitions, never splits a straggler);
+    *  - scan splits target 128 MiB so a 100 TB table yields ~800k tasks of
+    *    even size rather than a few giant row-group-bound splits;
+    *  - AQE's advisory post-shuffle size of 64 MiB keeps reduce tasks
+    *    executor-memory-sized with room for join/agg hash tables.
+    *
+    * Exposed as a Map so the profile is spec-checkable and composable with
+    * spark-submit overrides (anything set on the command line wins).
+    */
+  def clusterConfigs(totalCores: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> (totalCores * 2).toString,
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+      (64L * 1024 * 1024).toString)
+
+  /** Cluster session: [[builder]] defaults + [[clusterConfigs]]. */
+  def cluster(appName: String = "graft",
+              totalCores: Int = 16000): SparkSession = {
+    val b = builder(appName)
+    clusterConfigs(totalCores).foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
 }

@@ -101,4 +101,14 @@ class HarnessSpec extends SparkSpecBase {
     assert(table.contains("Success"))
     assert(table.contains(f"${r.durationSec}%.2f seconds"))
   }
+
+  test("cluster profile: AQE-coalescible shuffle width, 128 MiB scan splits") {
+    val c = GraftSession.clusterConfigs(totalCores = 16000)
+    // 2x cores: AQE can only merge partitions, never split a straggler, so
+    // the profile must start wide
+    assert(c("spark.sql.shuffle.partitions").toInt == 32000)
+    assert(c("spark.sql.files.maxPartitionBytes").toLong == 128L * 1024 * 1024)
+    assert(c("spark.sql.adaptive.advisoryPartitionSizeInBytes").toLong ==
+      64L * 1024 * 1024)
+  }
 }

@@ -140,6 +140,29 @@ class PropertySpec extends SparkSpecBase {
     val funnel = SparkEntry.queries("j05_conversion_funnel")(spark, dir)
     assert(funnel.filter(col("n_converted") > col("n_clicks") ||
       col("conv_rate") < 0 || col("conv_rate") > 1).count() == 0)
+
+    // t15: shares partition the corpus (sum to 1); a source's weighted token
+    // mass equals the uniform target (weight · share = 1/n_sources)
+    val mix = SparkEntry.queries("t15_domain_mix")(spark, dir).collect()
+    assert(math.abs(mix.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    val nSrc = mix.length
+    mix.foreach { r =>
+      val bal = r.getAs[Double]("mix_weight") * r.getAs[Double]("token_share")
+      assert(math.abs(bal - 1.0 / nSrc) < 1e-9,
+        "reweighted shares must be uniform across sources")
+    }
+
+    // t16: at most the quota per language; deterministic under repartitioning
+    val quota = SparkEntry.queries("t16_quota_sample")(spark, dir)
+    val perLang = quota.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(perLang.filter(col("n") > 20).count() == 0)
+    assert(quota.select(max(col("rk"))).head().getLong(0) <= 20L)
+
+    // d11: every cluster has >= 2 members (singletons aren't emitted) and the
+    // representative is the component label (min member id)
+    val sem = SparkEntry.queries("d11_semantic_dedup")(spark, dir)
+    assert(sem.filter(col("n_members") < 2 ||
+      col("rep_vec_id") =!= col("component")).count() == 0)
   }
 
   test("generator is collision-free and deterministic across partitionings") {
