@@ -342,6 +342,85 @@ object CoreQueries extends QueryPack {
       |FROM q JOIN embeddings e ON e.vec_id = q.doc_id
       |GROUP BY e.label ORDER BY label""".stripMargin
 
+  /** q14 — TPC-H Q3-style shipping priority: 3-table join (segment-filtered
+    * customers × open orders × not-yet-shipped items), revenue per order,
+    * top 10. The limit+sort plans as TakeOrderedAndProject — per-partition
+    * top-k then a 10-row driver merge, never a global sort of the join
+    * output. Date/segment filters push into the scans; revenue is
+    * decimal-exact then cast to double.
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-07-01 00:00:00").cast("timestamp")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q14Sql =
+    """SELECT l_orderkey,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q15 — TPC-H Q5-style local supplier volume: the 6-table star join
+    * (customer × orders × lineitem × supplier × nation × region) with the
+    * local-supplier constraint (customer and supplier share a nation).
+    * nation/region are broadcast (tiny dims); the fact-side joins shuffle on
+    * their keys once each. Revenue decimal-exact per q02's rule.
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+    val joined = Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    joined.groupBy(col("n_name"))
+      .agg(sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q15Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -355,5 +434,7 @@ object CoreQueries extends QueryPack {
     QueryDef("q10_grid_even_sample", q10, Some(q10Sql)),
     QueryDef("q11_record_split", q11, Some(q11Sql)),
     QueryDef("q12_gen_dedup_pipeline", q12, Some(q12Sql)),
-    QueryDef("q13_label_quality", q13, Some(q13Sql)))
+    QueryDef("q13_label_quality", q13, Some(q13Sql)),
+    QueryDef("q14_shipping_priority", q14, Some(q14Sql)),
+    QueryDef("q15_local_supplier_volume", q15, Some(q15Sql)))
 }

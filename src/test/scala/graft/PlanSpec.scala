@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpecBase {
       "the benchmark shingle set must broadcast; the corpus side must not shuffle")
   }
 
+  test("q14 top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val s = planString(run("q14_shipping_priority"))
+    assert(s.contains("TakeOrderedAndProject"),
+      "limit+orderBy over the join output must plan as top-k")
+  }
+
+  test("q15 six-table star join broadcasts its dims, no cartesian") {
+    val s = planString(run("q15_local_supplier_volume"))
+    assert(s.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("t16 quota sample partial-aggregates: no per-language window sort") {
     val s = planString(run("t16_quota_sample"))
     assert(!s.contains("Window"),
