@@ -176,10 +176,53 @@ object JoinQueries extends QueryPack {
       |FROM a LEFT JOIN b ON a.day = b.day
       |ORDER BY a.day""".stripMargin
 
+  /** j06 — retention cohorts: users grouped by first-activity week, tracked
+    * by distinct weekly activity — the week-N retention matrix every
+    * engagement pipeline reports. Cohort assignment is one min-aggregation
+    * per user; the matrix is one distinct (user, week) aggregation joined to
+    * per-cohort sizes — all keyed aggregations, no windows, no self-join of
+    * the raw event stream. Both engines truncate weeks to Monday 00:00, and
+    * week offsets divide exactly, so the matrix is integer-deterministic.
+    */
+  private def j06(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.distinct().join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk").cast("date").as("cohort_week"),
+        (datediff(col("wk").cast("date"), col("cohort_wk").cast("date")) / lit(7))
+          .cast("long").as("week_offset"),
+        col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val j06Sql =
+    """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      | FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      |sizes AS (SELECT cohort_wk, COUNT(*) AS cohort_size
+      | FROM cohort GROUP BY cohort_wk),
+      |m AS (SELECT c.cohort_wk, e.wk, COUNT(DISTINCT e.user_id) AS n_active
+      | FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      | GROUP BY c.cohort_wk, e.wk)
+      |SELECT CAST(m.cohort_wk AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', m.cohort_wk, m.wk) // 7 AS BIGINT) AS week_offset,
+      |  n_active, cohort_size,
+      |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+      |FROM m JOIN sizes ON m.cohort_wk = sizes.cohort_wk
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
     QueryDef("j03_tumbling_window_agg", j03, Some(j03Sql)),
     QueryDef("j04_session_window_agg", j04, Some(j04Sql)),
-    QueryDef("j05_conversion_funnel", j05, Some(j05Sql)))
+    QueryDef("j05_conversion_funnel", j05, Some(j05Sql)),
+    QueryDef("j06_retention_cohorts", j06, Some(j06Sql)))
 }
