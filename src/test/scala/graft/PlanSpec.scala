@@ -56,10 +56,14 @@ class PlanSpec extends SparkSpecBase {
       "the benchmark shingle set must broadcast; the corpus side must not shuffle")
   }
 
-  test("q14 top-10 plans as TakeOrderedAndProject, not a global sort") {
+  test("q14 top-10 plans as TakeOrderedAndProject, filters reach the scans") {
     val s = planString(run("q14_shipping_priority"))
     assert(s.contains("TakeOrderedAndProject"),
       "limit+orderBy over the join output must plan as top-k")
+    assert(s.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must push into the customer scan")
+    assert(s.contains("LessThan(o_orderdate") && s.contains("GreaterThan(l_shipdate"),
+      "date filters must push into the orders/lineitem scans")
   }
 
   test("q15 six-table star join broadcasts its dims, no cartesian") {
