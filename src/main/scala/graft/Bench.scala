@@ -38,22 +38,13 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(0.5) { fn(spark, sfDir).count() }
-    }
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    // spread (min..max over the 3 runs) only for the re-run queries — the
-    // round-over-round variance record the judge asked for
-    val spread = results.collect { case (k, (_, runs)) if runs.size > 1 =>
-      s"\"" + k + "\":[" + runs.min + "," + runs.max + "]"
-    }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-
     // Baseline-comparable headline: the reference pipeline (generate 2M sent
     // incl. 10% duplicates → keep-first dedup in an 8h window → sink
     // projection → exact count) in records/sec — BASELINE.md's
-    // glassflow_rps is the same pipeline at 8,018–9,429 rps. Median of 3.
+    // glassflow_rps is the same pipeline at 8,018–9,429 rps. Median of 3,
+    // measured FIRST on the fresh session: a 60-GiB heap full of 66 queries'
+    // history full-GCs mid-pipeline otherwise (observed 16 s stalls), which
+    // is measurement contamination, not pipeline cost.
     val sent = 2000000L
     val unique = (sent / 1.1).toLong
     def pipeline(): Unit = {
@@ -74,6 +65,24 @@ object Bench {
     val pipelineRps = if (pipeMed > 0) math.round(sent / pipeMed) else -1L
     val pipeRpsRuns = pipeRuns.map(s => if (s > 0) math.round(sent / s) else -1L)
       .mkString("[", ",", "]")
+
+    // per-query sweep (after the pipeline headline)
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val r = name -> timed(0.5) { fn(spark, sfDir).count() }
+      // drop localCheckpoint blocks (s05/d07/d11 materialize frames eagerly)
+      // so earlier queries' dead blocks don't build GC pressure that skews
+      // later measurements
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      r
+    }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    // spread (min..max over the 3 runs) only for the re-run queries — the
+    // round-over-round variance record the judge asked for
+    val spread = results.collect { case (k, (_, runs)) if runs.size > 1 =>
+      s"\"" + k + "\":[" + runs.min + "," + runs.max + "]"
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}""")
     spark.stop()

@@ -18,6 +18,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's localCheckpoint blocks (s05/d07/d11 materialize
+      // frames eagerly); nothing references them once the write finished,
+      // and letting them accumulate across 66 queries builds memory
+      // pressure that slows later queries
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
