@@ -421,6 +421,38 @@ object CoreQueries extends QueryPack {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q16 — TPC-H Q4-style order priority checking: orders in a quarter that
+    * have AT LEAST ONE late lineitem, counted by priority. The existence
+    * test is a left-semi join (Spark's EXISTS plan) — each order contributes
+    * once no matter how many late items it has, and the probe side carries
+    * only orderkeys, never the lineitem payload.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+    // "late" = shipped more than 60 days after the order date
+    val late = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q16Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -436,5 +468,6 @@ object CoreQueries extends QueryPack {
     QueryDef("q12_gen_dedup_pipeline", q12, Some(q12Sql)),
     QueryDef("q13_label_quality", q13, Some(q13Sql)),
     QueryDef("q14_shipping_priority", q14, Some(q14Sql)),
-    QueryDef("q15_local_supplier_volume", q15, Some(q15Sql)))
+    QueryDef("q15_local_supplier_volume", q15, Some(q15Sql)),
+    QueryDef("q16_priority_checking", q16, Some(q16Sql)))
 }

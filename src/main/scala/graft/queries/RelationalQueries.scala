@@ -204,11 +204,42 @@ object RelationalQueries extends QueryPack {
       |FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, rn""".stripMargin
 
+  /** r07 — CUBE over the documents corpus (lang × source): token totals at
+    * all four grouping levels in ONE pass (per-cell, per-lang, per-source,
+    * grand total) — the data-card cross-tab r01's ROLLUP can't produce
+    * (rollup omits the source-only margin). GROUPING() flags disambiguate
+    * the null super-aggregate rows; within a fixed flag pair the null
+    * pattern is constant, so cross-engine null ordering never matters.
+    */
+  private def r07(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_src"))
+      .orderBy(col("g_lang"), col("g_src"), col("lang"), col("source"))
+  }
+
+  private val r07Sql =
+    """WITH d AS (SELECT lang, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_src
+      |FROM d GROUP BY CUBE (lang, source)
+      |ORDER BY g_lang, g_src, lang, source""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
     QueryDef("r03_exact_stats", r03, Some(r03Sql)),
     QueryDef("r04_set_ops", r04, Some(r04Sql)),
     QueryDef("r05_percentiles", r05, Some(r05Sql)),
-    QueryDef("r06_window_pack", r06, Some(r06Sql)))
+    QueryDef("r06_window_pack", r06, Some(r06Sql)),
+    QueryDef("r07_cube_datacard", r07, Some(r07Sql)))
 }
