@@ -134,4 +134,25 @@ class PlanSpec extends SparkSpecBase {
       assert(!s.contains("CartesianProduct"))
     }
   }
+
+  test("q16 EXISTS plans as a semi join with pushed date filter, no cartesian") {
+    val s = planString(run("q16_priority_checking"))
+    assert(s.contains("LeftSemi"),
+      "the existence test must plan as a semi join (probe carries keys only)")
+    assert(s.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter filter must push into the orders scan")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
+    val s = planString(run("r07_cube_datacard"))
+    assert(s.contains("Expand"),
+      "CUBE must expand grouping sets from a single scan, not union re-scans")
+    // one detail block per distinct scan node (the tree mentions a node twice
+    // under AQE: Final Plan + Initial Plan)
+    assert("Location: InMemoryFileIndex".r.findAllIn(s).size <= 1,
+      "one documents scan feeds all four grouping levels")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "partial + final HashAggregate over the expanded rows")
+  }
 }
