@@ -453,6 +453,76 @@ object CoreQueries extends QueryPack {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q17 — TPC-H Q18-style large-volume customers: orders whose total
+    * lineitem quantity exceeds a threshold, joined back to customer. The
+    * aggregate-then-join shape matters at scale: the HAVING cut runs in the
+    * partial-combined lineitem aggregation FIRST, so only the tiny set of
+    * qualifying order totals (broadcast explicitly — provably small) meets
+    * the orders/customer tables; lineitem payload never re-shuffles.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(d2(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    Tables.orders(s, dir)
+      .join(broadcast(totals), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q17Sql =
+    """WITH t AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING total_qty > 250.0)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM orders JOIN t ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q18 — TPC-H Q19-style disjunctive predicate revenue: lineitem × part on
+    * the equi key with an OR-of-ANDs residual (brand × size × quantity
+    * bands). Exercises Catalyst's disjunction handling: the common
+    * `p_brand IN (...)` / size bound is extractable for scan pruning while
+    * the full residual evaluates post-join, all inside whole-stage codegen.
+    * Grouped by brand so the oracle compares a multi-row result.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q18Sql =
+    """SELECT p_brand,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -469,5 +539,7 @@ object CoreQueries extends QueryPack {
     QueryDef("q13_label_quality", q13, Some(q13Sql)),
     QueryDef("q14_shipping_priority", q14, Some(q14Sql)),
     QueryDef("q15_local_supplier_volume", q15, Some(q15Sql)),
-    QueryDef("q16_priority_checking", q16, Some(q16Sql)))
+    QueryDef("q16_priority_checking", q16, Some(q16Sql)),
+    QueryDef("q17_large_volume_customer", q17, Some(q17Sql)),
+    QueryDef("q18_disjunctive_revenue", q18, Some(q18Sql)))
 }

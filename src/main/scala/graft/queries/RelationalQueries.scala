@@ -234,6 +234,33 @@ object RelationalQueries extends QueryPack {
       |FROM d GROUP BY CUBE (lang, source)
       |ORDER BY g_lang, g_src, lang, source""".stripMargin
 
+  /** r08 — pivot cross-tab: per-source doc counts spread across language
+    * columns. Spark's `pivot` with an EXPLICIT value list compiles to a
+    * single-pass hash aggregate of `count(CASE WHEN lang = v)` columns — one
+    * shuffle on `source`, no per-language re-scan, no transpose; never call
+    * valueless `pivot(col)` at scale (it runs a distinct-collect job on the
+    * driver first). Missing cells coalesce to 0 to match SQL's SUM(CASE).
+    */
+  private def r08(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    p.select(col("source") +: langs.map(l =>
+        coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy(col("source"))
+  }
+
+  private val r08Sql =
+    """SELECT source,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -241,5 +268,6 @@ object RelationalQueries extends QueryPack {
     QueryDef("r04_set_ops", r04, Some(r04Sql)),
     QueryDef("r05_percentiles", r05, Some(r05Sql)),
     QueryDef("r06_window_pack", r06, Some(r06Sql)),
-    QueryDef("r07_cube_datacard", r07, Some(r07Sql)))
+    QueryDef("r07_cube_datacard", r07, Some(r07Sql)),
+    QueryDef("r08_pivot_crosstab", r08, Some(r08Sql)))
 }

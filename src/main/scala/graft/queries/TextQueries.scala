@@ -563,6 +563,75 @@ object TextQueries extends QueryPack {
       |SELECT lang, rk, doc_id FROM r WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  /** t17 — temperature-scaled sampling weights: the multilingual-LM mixing
+    * op (XLM-R style): upsample low-resource languages by exponentiating the
+    * empirical language distribution, here α = 0.5 so the exponential is
+    * `sqrt` — exact (correctly rounded) in IEEE 754 on both engines. The
+    * normalizing sum runs over 52-bit integer quantizations of the scaled
+    * weights, so it is order-independent and the whole result is
+    * bit-deterministic cross-engine (the same trick as t16's hash scores).
+    * One hash agg over the corpus + a broadcast 1-row total; output = langs.
+    */
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val withP = perLang
+      .crossJoin(broadcast(perLang.agg(sum(col("n_docs")).as("n_total"))))
+      .select(col("lang"), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double") / col("n_total")) * 1e9)
+          .cast("long").as("sw"))
+    withP
+      .crossJoin(broadcast(withP.agg(sum(col("sw")).as("sw_total"))))
+      .select(col("lang"), col("n_docs"),
+        (col("sw").cast("double") / col("sw_total")).as("sample_weight"),
+        round(lit(100000.0) * (col("sw").cast("double") / col("sw_total")))
+          .cast("long").as("docs_at_100k"))
+      .orderBy(col("lang"))
+  }
+
+  private val t17Sql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+      |w AS (SELECT lang, n_docs,
+      |  CAST(round(sqrt(CAST(n_docs AS DOUBLE) / n_total) * 1e9) AS BIGINT) AS sw
+      |  FROM c CROSS JOIN t),
+      |wt AS (SELECT CAST(SUM(sw) AS BIGINT) AS sw_total FROM w)
+      |SELECT lang, n_docs,
+      |  CAST(sw AS DOUBLE) / sw_total AS sample_weight,
+      |  CAST(round(100000.0 * (CAST(sw AS DOUBLE) / sw_total)) AS BIGINT) AS docs_at_100k
+      |FROM w CROSS JOIN wt ORDER BY lang""".stripMargin
+
+  /** t18 — training-shard assignment: deterministically hash-partition the
+    * corpus into 64 output shards (the "write the training set as N files"
+    * op) and report each shard's doc/token load. The content-stable md5
+    * shard id reproduces on any engine and any cluster size — unlike a
+    * round-robin or partition-index scheme — and the balance report is the
+    * skew check a 100-TB shard-writer needs before committing output. Uses
+    * 13 hex digits (52 bits, exact in a BIGINT) like t05/t16.
+    */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    Tables.documents(s, dir)
+      .select(pmod(hv, lit(64L)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        max(col("n_toks")).as("max_doc_toks"))
+      .orderBy(col("shard"))
+  }
+
+  private val t18Sql =
+    """WITH d AS (SELECT
+      |  CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 64 AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      | FROM documents)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(MAX(n_toks) AS BIGINT) AS max_doc_toks
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -579,5 +648,7 @@ object TextQueries extends QueryPack {
     QueryDef("t13_bigram_fluency", t13, Some(t13Sql)),
     QueryDef("t14_chunking", t14, Some(t14Sql)),
     QueryDef("t15_domain_mix", t15, Some(t15Sql)),
-    QueryDef("t16_quota_sample", t16, Some(t16Sql)))
+    QueryDef("t16_quota_sample", t16, Some(t16Sql)),
+    QueryDef("t17_temperature_mix", t17, Some(t17Sql)),
+    QueryDef("t18_shard_assign", t18, Some(t18Sql)))
 }
