@@ -144,6 +144,41 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q17 aggregate-then-join broadcasts the HAVING-cut totals") {
+    val s = planString(run("q17_large_volume_customer"))
+    assert(s.contains("BroadcastHashJoin"),
+      "qualifying order totals are provably small and must broadcast")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "lineitem totals must partial-aggregate before the join")
+    assert(s.contains("TakeOrderedAndProject"), "top-100 must plan as top-k")
+  }
+
+  test("q18 disjunctive bands stay an equi-join, no cartesian") {
+    val s = planString(run("q18_disjunctive_revenue"))
+    assert(!s.contains("CartesianProduct"),
+      "OR-of-ANDs must ride the partkey equi-join as a residual filter")
+    assert(s.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("Or(") && l.contains("p_brand")),
+      "the brand/size disjunction must push down to the part scan")
+    assert(s.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("Or(") && l.contains("l_quantity")),
+      "the quantity-band disjunction must push down to the lineitem scan")
+  }
+
+  test("r08 explicit-values pivot is one pass: single scan, no per-lang union") {
+    val s = planString(run("r08_pivot_crosstab"))
+    assert("Location: InMemoryFileIndex".r.findAllIn(s).size <= 1,
+      "pivot with explicit values must not re-scan per pivot column")
+    assert(!s.contains("Union"), "no union of per-language subplans")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+  }
+
+  test("t18 shard report is a single partial-combined hash agg") {
+    val s = planString(run("t18_shard_assign"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
