@@ -33,14 +33,23 @@ object MinHashLSH {
   private def h1(s: Column): Column = s % M32
   private def h2(s: Column): Column = shiftright(s, 28).bitwiseOR(lit(1L))
 
-  /** (doc_id, shingleHashes: array<long>) → (doc_id, m0..m{k-1}). */
+  /** (doc_id, shingleHashes: array<long>) → (doc_id, m0..m{k-1}).
+    *
+    * Computed PER ROW with `transform` + `array_min` — a doc's signature
+    * depends only on its own shingle set, so there is nothing to shuffle.
+    * (The naive explode → groupBy(doc_id) → k MIN aggs form exchanges one
+    * row per (doc × shingle); at 100 TB that shuffle dwarfs the actual
+    * arithmetic.) Docs with no shingles (< n tokens) are dropped, matching
+    * the grouped form which emits no row for an empty group.
+    */
   def signatures(docs: DataFrame, docId: Column, shingleHashes: Column,
                  k: Int): DataFrame = {
-    val exploded = docs.select(docId.as("doc_id"), explode(shingleHashes).as("s"))
-      .select(col("doc_id"), h1(col("s")).as("h1"), h2(col("s")).as("h2"))
-    val aggs = (0 until k).map(j =>
-      min((col("h1") + lit(j.toLong) * col("h2")) % M32).as(s"m$j"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val cols = (0 until k).map { j =>
+      array_min(transform(shingleHashes,
+        s => (h1(s) + lit(j.toLong) * h2(s)) % M32)).as(s"m$j")
+    }
+    docs.filter(size(shingleHashes) > 0)
+      .select(docId.as("doc_id") +: cols: _*)
   }
 
   /** Bands of `r` adjacent signature columns, combined into one long each

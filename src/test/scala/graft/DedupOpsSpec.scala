@@ -63,4 +63,17 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact), "every LSH-verified pair is a true near-dup")
     assert(exact.isEmpty || lsh.nonEmpty, "LSH finds at least some planted pairs")
   }
+
+  test("MinHash signatures are per-row: no shuffle, no explode") {
+    import graft.functions.ShingleHashes
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), ShingleHashes(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val sig = MinHashLSH.signatures(docs, col("doc_id"), col("sh"), 8)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "a doc's signature depends only on its own shingles — nothing may shuffle")
+    assert(!plan.contains("Generate"),
+      "per-row array_min(transform(...)), not explode + groupBy")
+    assert(!plan.contains("HashAggregate"), "no aggregation stage")
+  }
 }
