@@ -43,30 +43,35 @@ object MinHashLSH {
     * the grouped form which emits no row for an empty group.
     */
   def signatures(docs: DataFrame, docId: Column, shingleHashes: Column,
-                 k: Int): DataFrame = {
-    val cols = (0 until k).map { j =>
+                 k: Int): DataFrame =
+    docs.filter(size(shingleHashes) > 0)
+      .select(docId.as("doc_id") +: signatureCols(shingleHashes, k): _*)
+
+  /** The k per-row minhash expressions m0..m{k-1} for a shingle-hash array. */
+  def signatureCols(shingleHashes: Column, k: Int): Seq[Column] =
+    (0 until k).map { j =>
       array_min(transform(shingleHashes,
         s => (h1(s) + lit(j.toLong) * h2(s)) % M32)).as(s"m$j")
     }
-    docs.filter(size(shingleHashes) > 0)
-      .select(docId.as("doc_id") +: cols: _*)
+
+  /** array<struct<band_idx, band_val>> over existing m0..m{k-1} columns. */
+  def bandArray(k: Int, r: Int): Column = {
+    val bands = (0 until k / r).map { b =>
+      val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
+      val bv = cols.reduce((acc, m) => acc * 1000003L + m)
+      struct(lit(b).as("band_idx"), bv.as("band_val"))
+    }
+    array(bands: _*)
   }
 
   /** Bands of `r` adjacent signature columns, combined into one long each
     * (m·1000003 + m' per step — collisions are astronomically rare and only
     * add candidates, which exact verification then filters).
     */
-  def banded(sig: DataFrame, k: Int, r: Int): DataFrame = {
-    val nBands = k / r
-    val bands = (0 until nBands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
-      val bv = cols.reduce((acc, m) => acc * 1000003L + m)
-      struct(lit(b).as("band_idx"), bv.as("band_val"))
-    }
-    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+  def banded(sig: DataFrame, k: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"), explode(bandArray(k, r)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_val").as("band_val"))
-  }
 
   /** Candidate pairs (i < j) colliding on at least one band. */
   def candidates(bandedDf: DataFrame): DataFrame = {

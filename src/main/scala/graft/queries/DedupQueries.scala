@@ -133,7 +133,7 @@ object DedupQueries extends QueryPack {
   /** The full MinHash+LSH pair query (no ORDER BY) — shared by d03 and the
     * clustering oracle d07, which embeds it as a derived table.
     */
-  private val minhashPairsCore = shingleCte +
+  private val minhashBandsCte = shingleCte +
     """,
       |hh AS (SELECT doc_id, s % 4294967296 AS h1, (s >> 28) | 1 AS h2
       | FROM (SELECT doc_id, unnest(s3) AS s FROM sh)),
@@ -146,7 +146,10 @@ object DedupQueries extends QueryPack {
       |bands AS (SELECT doc_id,
       |  unnest([0, 1, 2, 3]) AS bi,
       |  unnest([m0*1000003 + m1, m2*1000003 + m3, m4*1000003 + m5, m6*1000003 + m7]) AS bv
-      | FROM sig),
+      | FROM sig)""".stripMargin
+
+  private val minhashPairsCore = minhashBandsCte +
+    """,
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |  FROM bands a JOIN bands b
       |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
@@ -427,6 +430,39 @@ object DedupQueries extends QueryPack {
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
   }
 
+  /** d12 — greedy band-claim dedup: the batch form of the STREAMING
+    * near-dup admission policy (`StreamingNearDup`, agreement spec-pinned).
+    * Each LSH band key is owned by its first presenter (min doc_id — the
+    * batch stand-in for arrival order); a doc is kept iff it owns all its
+    * bands. One pass, no candidate pairs, no connected components: bands →
+    * map-side-combined MIN per key → equi-join back → per-doc bool_and.
+    * Shuffles carry only (band, doc_id) longs, so the certificate costs
+    * O(n·bands) at any scale — the cheap greedy alternative to d08's exact
+    * cluster-representative dedup.
+    */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("sh"))
+    val bands = MinHashLSH.banded(
+      MinHashLSH.signatures(sh, col("doc_id"), col("sh"), 8), 8, 2)
+    val owners = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(min(col("doc_id")).as("owner"))
+    bands.join(owners, Seq("band_idx", "band_val"))
+      .groupBy(col("doc_id"))
+      .agg(bool_and(col("owner") === col("doc_id")).as("kept"),
+        sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_foreign_bands"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d12Sql = minhashBandsCte +
+    """,
+      |own AS (SELECT bi, bv, MIN(doc_id) AS owner FROM bands GROUP BY bi, bv)
+      |SELECT b.doc_id, BOOL_AND(o.owner = b.doc_id) AS kept,
+      |  CAST(SUM(CASE WHEN o.owner <> b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign_bands
+      |FROM bands b JOIN own o ON b.bi = o.bi AND b.bv = o.bv
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -438,7 +474,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d08_corpus_dedup", d08, Some(d08Sql)),
     QueryDef("d09_decontaminate", d09, Some(d09Sql)),
     QueryDef("d10_chunk_overlap", d10, Some(d10Sql)),
-    QueryDef("d11_semantic_dedup", d11, Some(d11Sql)))
+    QueryDef("d11_semantic_dedup", d11, Some(d11Sql)),
+    QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)))
 
   /** d09 — benchmark decontamination: flag corpus docs sharing any word
     * 5-gram with a held-out benchmark set (every 100th doc). The benchmark
