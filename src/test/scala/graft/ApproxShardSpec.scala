@@ -51,6 +51,29 @@ class ApproxShardSpec extends SparkSpecBase {
     }
   }
 
+  test("HLL sketches shard-merge losslessly (distinct count across 1000 executors)") {
+    // The 100-TB distinct-count path: each executor sketches its partition,
+    // the sketches union associatively — the estimate must be IDENTICAL to
+    // the single-pass global sketch (merge loses nothing), and inside the
+    // standard HLL error envelope vs exact. This is what lets r03-style
+    // distinct stats run as one narrow pass + a tiny union instead of
+    // shuffling raw ids.
+    val ev = Tables.events(spark, sf("sf0.01"))
+      .select(col("user_id"), pmod(col("event_id"), lit(32)).as("shard"))
+    val global = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    val merged = ev.groupBy(col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(merged == global,
+      s"sharded-then-unioned sketch ($merged) must equal the global sketch ($global)")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"sketch estimate $merged vs exact $exact outside the HLL envelope")
+  }
+
   test("shard publish: hive partition layout, pruning, bounded files, sorted content") {
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val docs = Tables.documents(spark, sf("sf0.001"))
