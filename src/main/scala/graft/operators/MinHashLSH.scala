@@ -3,13 +3,13 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ShingleHashes, TextFunctions}
+import graft.functions.{MinHashSig, ShingleHashes, TextFunctions}
 
 /** MinHash + LSH near-duplicate detection over hashed word shingles.
   *
   * Pipeline: shingle-hash (one md5 per shingle → 60-bit long, see
   * ShingleHashes) → k minhashes via Kirsch–Mitzenmacher double hashing
-  * (map-side-combinable MIN aggregations — one shuffle on doc_id) → bands of
+  * (per-row native MinHashSig — zero shuffle) → bands of
   * r adjacent minhashes combined into one integer band value → equi-join on
   * (band index, band value) for candidates (O(n·bands) rows, never O(n²)) →
   * exact Jaccard verification of candidates over the hashed shingle sets.
@@ -27,32 +27,26 @@ import graft.functions.{ShingleHashes, TextFunctions}
   */
 object MinHashLSH {
 
-  private val M32 = 4294967296L // 2^32
-
-  /** Per-shingle double-hash bases. */
-  private def h1(s: Column): Column = s % M32
-  private def h2(s: Column): Column = shiftright(s, 28).bitwiseOR(lit(1L))
-
   /** (doc_id, shingleHashes: array<long>) → (doc_id, m0..m{k-1}).
     *
-    * Computed PER ROW with `transform` + `array_min` — a doc's signature
-    * depends only on its own shingle set, so there is nothing to shuffle.
-    * (The naive explode → groupBy(doc_id) → k MIN aggs form exchanges one
-    * row per (doc × shingle); at 100 TB that shuffle dwarfs the actual
-    * arithmetic.) Docs with no shingles (< n tokens) are dropped, matching
-    * the grouped form which emits no row for an empty group.
+    * Computed PER ROW — a doc's signature depends only on its own shingle
+    * set, so there is nothing to shuffle. (The naive explode →
+    * groupBy(doc_id) → k MIN aggs form exchanges one row per (doc ×
+    * shingle); at 100 TB that shuffle dwarfs the arithmetic. The composable
+    * per-row form `array_min(transform(...))` × k is interpreted, outside
+    * codegen — see MinHashSig, which computes all k minima in one codegen'd
+    * pass.) Docs with no shingles (< n tokens) are dropped, matching the
+    * grouped form which emits no row for an empty group.
     */
   def signatures(docs: DataFrame, docId: Column, shingleHashes: Column,
                  k: Int): DataFrame =
     docs.filter(size(shingleHashes) > 0)
-      .select(docId.as("doc_id") +: signatureCols(shingleHashes, k): _*)
+      .select(docId.as("doc_id"), MinHashSig(shingleHashes, k).as("sig"))
+      .select(col("doc_id") +: mCols(col("sig"), k): _*)
 
-  /** The k per-row minhash expressions m0..m{k-1} for a shingle-hash array. */
-  def signatureCols(shingleHashes: Column, k: Int): Seq[Column] =
-    (0 until k).map { j =>
-      array_min(transform(shingleHashes,
-        s => (h1(s) + lit(j.toLong) * h2(s)) % M32)).as(s"m$j")
-    }
+  /** m0..m{k-1} projections over a `MinHashSig` array column. */
+  def mCols(sig: Column, k: Int): Seq[Column] =
+    (0 until k).map(j => sig.getItem(j).as(s"m$j"))
 
   /** array<struct<band_idx, band_val>> over existing m0..m{k-1} columns. */
   def bandArray(k: Int, r: Int): Column = {

@@ -51,7 +51,7 @@ case class BandOwner(ownerId: Long, openedAt: Long)
 object StreamingNearDup {
 
   /** doc stream → band-key event stream, entirely per-row (signature via
-    * `array_min(transform(...))`, bands via a row-local explode of k/r
+    * the codegen'd MinHashSig, bands via a row-local explode of k/r
     * structs): no shuffle before the stateful stage itself.
     */
   def bandStream(df: DataFrame, docId: Column, tsCol: Column, text: Column,
@@ -60,7 +60,9 @@ object StreamingNearDup {
     df.select(docId.as("doc_id"), tsCol.as("ts"),
         ShingleHashes(TextFunctions.tokens(text), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: col("ts") +: MinHashLSH.signatureCols(col("sh"), k): _*)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.MinHashSig(col("sh"), k).as("sig"))
+      .select(col("doc_id") +: col("ts") +: MinHashLSH.mCols(col("sig"), k): _*)
       .select(col("doc_id"), col("ts"),
         explode(MinHashLSH.bandArray(k, r)).as("band"))
       .select(col("doc_id"), col("ts"),

@@ -64,6 +64,22 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(exact.isEmpty || lsh.nonEmpty, "LSH finds at least some planted pairs")
   }
 
+  test("MinHashSig equals the composable array_min(transform) formula") {
+    import graft.functions.MinHashSig
+    val M32 = 4294967296L
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val both = docs.select(col("doc_id"),
+      MinHashSig(col("sh"), 8).as("native"),
+      array((0 until 8).map(j => array_min(transform(col("sh"), s =>
+        (s % M32 + lit(j.toLong) * shiftright(s, 28).bitwiseOR(lit(1L))) % M32))): _*)
+        .as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0,
+      "the native one-pass expression must match the reference formula exactly")
+  }
+
   test("MinHash signatures are per-row: no shuffle, no explode") {
     import graft.functions.ShingleHashes
     val docs = Tables.documents(spark, sf("sf0.001"))
