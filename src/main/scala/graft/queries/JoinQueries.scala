@@ -218,11 +218,38 @@ object JoinQueries extends QueryPack {
       |FROM m JOIN sizes ON m.cohort_wk = sizes.cohort_wk
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** j07 — sliding (hopping) windows, completing the window triad with j03
+    * (tumbling) and j04 (session): 1-hour windows every 30 minutes, so each
+    * event lands in exactly 2 windows. Spark's `window(ts, size, slide)`
+    * expands rows window-locally (no self-join); the same expression runs
+    * under a watermark in the streaming path. The oracle reproduces the
+    * epoch-aligned assignment by unnesting both candidate starts per event.
+    */
+  private def j07(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  private val j07Sql =
+    """WITH e AS (SELECT event_type, value,
+      |  unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+      |          time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start
+      | FROM events)
+      |SELECT w_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
     QueryDef("j03_tumbling_window_agg", j03, Some(j03Sql)),
     QueryDef("j04_session_window_agg", j04, Some(j04Sql)),
     QueryDef("j05_conversion_funnel", j05, Some(j05Sql)),
-    QueryDef("j06_retention_cohorts", j06, Some(j06Sql)))
+    QueryDef("j06_retention_cohorts", j06, Some(j06Sql)),
+    QueryDef("j07_sliding_window_agg", j07, Some(j07Sql)))
 }
