@@ -31,6 +31,15 @@ object StreamBench {
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_sb_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sb_ckpt").toString
 
+    // SPARK_GRAFT_STREAM_OP=neardup measures the online LSH near-dup
+    // admission path (StreamingNearDup) instead of keyed dedup: synthetic
+    // 20-token docs, every 10th an exact copy of its predecessor, so ~10%
+    // must be rejected on band collision. Reported rate is DOCS/sec (claims
+    // rows / bands-per-doc).
+    if (sys.env.getOrElse("SPARK_GRAFT_STREAM_OP", "dedup") == "neardup") {
+      runNearDup(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
+
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
       Duration.parse("8h"))
@@ -60,6 +69,48 @@ object StreamBench {
     val sunk = sink.read(spark).count()
     val sustained = math.round(sunk / elapsed)
     println(s"""{"metric":"stream_rps","value":$sustained,"unit":"rows/sec","rows":$sunk,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  private def runNearDup(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                         secs: Int, sinkDir: String, ckpt: String,
+                         stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingNearDup
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val seed = when(pmod(col("value"), lit(10)) === 9, col("value") - 1)
+      .otherwise(col("value"))
+    // murmur3-mixed token ids: distinct docs get independent shingle sets
+    // (a linear congruential stream here makes every doc collide with every
+    // other — shingles must be doc-specific, not position-specific)
+    val toks = (0 until 20).map(i =>
+      concat(lit("w"), pmod(hash(seed, lit(i)), lit(50021))))
+    val docs = raw.select(col("value").as("doc_id"), col("timestamp").as("ts"),
+        concat_ws(" ", toks: _*).as("text"))
+      .withWatermark("ts", "10 seconds")
+    val claims = StreamingNearDup.claims(
+      StreamingNearDup.bandStream(docs, col("doc_id"), col("ts"), col("text")),
+      Duration.parse("8h"))
+    val sink = new IdempotentParquetSink(sinkDir)
+    val q = claims.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(1000))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.writeBatch(b, id); ()
+      }
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(secs * 1000L)
+    q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val all = sink.read(spark)
+    val verdicts = StreamingNearDup.combine(all)
+    val nDocs = verdicts.count()
+    val nRejected = verdicts.filter(!col("kept")).count()
+    val sustained = math.round(nDocs / elapsed)
+    println(s"""{"metric":"neardup_rps","value":$sustained,"unit":"docs/sec","docs":$nDocs,"rejected":$nRejected,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 }
