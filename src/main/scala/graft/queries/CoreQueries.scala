@@ -523,6 +523,92 @@ object CoreQueries extends QueryPack {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** q19 — TPC-H Q10-style returned-item report: revenue lost to returns per
+    * customer in a quarter, top 20. The returnflag filter cuts lineitem to
+    * ~1/3 BEFORE the joins (pushed to the scan), orders carries its date
+    * filter likewise; nation is broadcast. The 4-col group key flows through
+    * one shuffle; limit+sort plans as TakeOrderedAndProject.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-07-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-10-01 00:00:00").cast("timestamp")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(d2(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
+        col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q19Sql =
+    """SELECT c_custkey, c_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | c_acctbal, n_name
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q20 — TPC-H Q21-style sole failing supplier: suppliers whose returned
+    * line was the ONLY returned line in a finished multi-supplier order.
+    * The exists/not-exists pair is the semi+anti self-join composition on
+    * lineitem: both sides first collapse to DISTINCT (orderkey, suppkey)
+    * pairs, so the self-joins shuffle 16-byte keys, never lineitem payload,
+    * and all three probes share one orderkey partitioning.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val ret = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val finished = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val cand = ret.join(finished,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val withOther = cand.as("r").join(pairs.as("p"),
+      col("r.l_orderkey") === col("p.l_orderkey") &&
+        col("r.l_suppkey") =!= col("p.l_suppkey"), "left_semi")
+    val sole = withOther.as("r").join(ret.as("r2"),
+      col("r.l_orderkey") === col("r2.l_orderkey") &&
+        col("r.l_suppkey") =!= col("r2.l_suppkey"), "left_anti")
+    sole.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q20Sql =
+    """WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |        WHERE l_returnflag = 'R'),
+      |cand AS (SELECT r.l_orderkey, r.l_suppkey FROM ret r
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |          WHERE o.o_orderkey = r.l_orderkey AND o.o_orderstatus = 'F')
+      |    AND EXISTS (SELECT 1 FROM pairs p
+      |          WHERE p.l_orderkey = r.l_orderkey
+      |            AND p.l_suppkey <> r.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM ret r2
+      |          WHERE r2.l_orderkey = r.l_orderkey
+      |            AND r2.l_suppkey <> r.l_suppkey))
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM cand JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -541,5 +627,7 @@ object CoreQueries extends QueryPack {
     QueryDef("q15_local_supplier_volume", q15, Some(q15Sql)),
     QueryDef("q16_priority_checking", q16, Some(q16Sql)),
     QueryDef("q17_large_volume_customer", q17, Some(q17Sql)),
-    QueryDef("q18_disjunctive_revenue", q18, Some(q18Sql)))
+    QueryDef("q18_disjunctive_revenue", q18, Some(q18Sql)),
+    QueryDef("q19_returned_items", q19, Some(q19Sql)),
+    QueryDef("q20_sole_failing_supplier", q20, Some(q20Sql)))
 }

@@ -244,6 +244,65 @@ object JoinQueries extends QueryPack {
       |FROM e GROUP BY w_start, event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** j08 — SCD2 interval construction (the lakehouse CDC shape): collapse
+    * each user's event stream into runs of consecutive equal event_type and
+    * emit one type-2 dimension row per run — version number, valid_from,
+    * valid_to = next run's start (NULL ⇒ current row). Gaps-and-islands:
+    * lag → change flag → running sum, all inside ONE keyed window partition
+    * per user, so the work is a single shuffle on user_id and state is
+    * bounded by a user's own history (no corpus-wide window; cf. t12's
+    * sharding note). event_id breaks ts ties, making run boundaries — and
+    * therefore every output column — deterministic by construction.
+    */
+  private def j08(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(byUser))
+    val iv = runs.groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val nextRun = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    iv.withColumn("valid_to", lead(col("valid_from"), 1).over(nextRun))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val j08Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, event_type, ts,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS version
+      |  FROM o),
+      |iv AS (
+      |  SELECT user_id, version, event_type,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM r GROUP BY user_id, version, event_type),
+      |x AS (
+      |  SELECT user_id, version, event_type, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |      AS valid_to,
+      |    n_events
+      |  FROM iv)
+      |SELECT user_id, version, event_type, valid_from, valid_to, n_events,
+      |  valid_to IS NULL AS is_current
+      |FROM x ORDER BY user_id, version""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -251,5 +310,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j04_session_window_agg", j04, Some(j04Sql)),
     QueryDef("j05_conversion_funnel", j05, Some(j05Sql)),
     QueryDef("j06_retention_cohorts", j06, Some(j06Sql)),
-    QueryDef("j07_sliding_window_agg", j07, Some(j07Sql)))
+    QueryDef("j07_sliding_window_agg", j07, Some(j07Sql)),
+    QueryDef("j08_scd2_intervals", j08, Some(j08Sql)))
 }

@@ -409,6 +409,89 @@ object SimilarityQueries extends QueryPack {
       |  CAST(MAX(vq) AS DOUBLE) / 10000.0 AS max_v
       |FROM d GROUP BY dim ORDER BY dim""".stripMargin
 
+  private val SubSpaces = 4
+  private val SubDim = 16 // Dims / SubSpaces
+  private val CodeK = 8
+
+  /** s08 — product-quantization codes (the IVF-PQ compression path): split
+    * each 64-dim vector into 4 subspaces of 16 dims, assign every subvector
+    * to its nearest of 8 deterministic sub-centroids (exact integer L2², tie
+    * → smaller centroid id), and report the resulting code-cell histogram
+    * with mean quantization distortion — the codebook-health check a PQ
+    * index build runs before swapping in a new codebook.
+    *
+    * Scale shape: the codebook (4×8 subvectors from a fixed-size
+    * lowest-k-by-md5 sample) collapses to ONE 4-row broadcast frame holding
+    * each subspace's candidate array, so code assignment is per-row — the
+    * corpus never shuffles; argmin runs as an array fold over the 8
+    * candidates (centroid-id-sorted, strict-less keeps the smaller id on
+    * ties). The only exchange is the final ≤32-row histogram aggregation.
+    * L2² uses the ‖a‖²−2a·b+‖b‖² identity over exact quantized-int dot
+    * products, so cells and distortion are bit-identical cross-engine.
+    */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val subIdx = array((0 until SubSpaces).map(i => lit(i)): _*)
+    val sliced = vecs.select(col("vec_id"),
+      posexplode(transform(subIdx,
+        i => slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))))
+        .as(Seq("sub", "sv")))
+    val centIds = vecs.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#pq"))),
+        col("vec_id"))
+      .limit(CodeK)
+    val cents = sliced.join(broadcast(centIds), "vec_id")
+      .select(col("sub"),
+        struct(col("vec_id").as("c_id"), col("sv").as("c_sv")).as("cand"))
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+    val assign = sliced.join(broadcast(cents), "sub")
+      .withColumn("svv", dotLong(col("sv"), col("sv")))
+      .withColumn("best",
+        aggregate(col("cands"),
+          named_struct(lit("d2"), lit(Long.MaxValue), lit("code"), lit(-1L)),
+          (acc, c) => {
+            val d2 = col("svv") -
+              lit(2L) * dotLong(col("sv"), c.getField("c_sv")) +
+              dotLong(c.getField("c_sv"), c.getField("c_sv"))
+            when(d2 < acc.getField("d2"),
+              named_struct(lit("d2"), d2, lit("code"), c.getField("c_id")))
+              .otherwise(acc)
+          }))
+    assign
+      .groupBy(col("sub").cast("long").as("sub"), col("best.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("best.d2")).cast("double") / count(lit(1))).as("mean_d2"))
+      .orderBy(col("sub"), col("code"))
+  }
+
+  private val s08Sql =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |ss AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+      |sl AS (SELECT vec_id, sub,
+      |  list_slice(v, sub * $SubDim + 1, sub * $SubDim + $SubDim) AS sv
+      | FROM q, ss),
+      |cid AS (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#pq'), vec_id LIMIT $CodeK),
+      |c AS (SELECT sub, vec_id AS c_id, sv AS c_sv FROM sl
+      |  WHERE vec_id IN (SELECT vec_id FROM cid)),
+      |d AS (SELECT sl.vec_id, sl.sub, c.c_id,
+      |  CAST(list_dot_product(sl.sv::DOUBLE[], sl.sv::DOUBLE[])
+      |     - 2 * list_dot_product(sl.sv::DOUBLE[], c.c_sv::DOUBLE[])
+      |     + list_dot_product(c.c_sv::DOUBLE[], c.c_sv::DOUBLE[]) AS BIGINT)
+      |    AS d2
+      | FROM sl JOIN c ON sl.sub = c.sub),
+      |a AS (SELECT vec_id, sub, c_id, d2,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_id) AS rn
+      | FROM d)
+      |SELECT CAST(sub AS BIGINT) AS sub, c_id AS code, COUNT(*) AS n_vecs,
+      |  CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS mean_d2
+      |FROM a WHERE rn = 1
+      |GROUP BY sub, c_id ORDER BY sub, code""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -416,5 +499,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s04_ann_ivf", s04, Some(s04Sql)),
     QueryDef("s05_ann_recall", s05, Some(s05Sql)),
     QueryDef("s06_ann_lsh_mp", s06, Some(s06Sql)),
-    QueryDef("s07_dim_stats", s07, Some(s07Sql)))
+    QueryDef("s07_dim_stats", s07, Some(s07Sql)),
+    QueryDef("s08_pq_codes", s08, Some(s08Sql)))
 }

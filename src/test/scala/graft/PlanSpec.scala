@@ -179,6 +179,45 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("Window") && !s.contains("CartesianProduct"))
   }
 
+  test("q19 returned-item report: pushed filters, broadcast nation, top-20") {
+    val s = planString(run("q19_returned_items"))
+    assert(s.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("EqualTo(l_returnflag,R)")),
+      "the returnflag filter must cut lineitem at the scan, before any join")
+    assert(s.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(s.contains("TakeOrderedAndProject"), "top-20 must plan as top-k")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q20 sole-failing-supplier: semi+anti self-join on key pairs only") {
+    val s = planString(run("q20_sole_failing_supplier"))
+    assert(s.contains("LeftSemi"), "the EXISTS probes must plan as semi joins")
+    assert(s.contains("LeftAnti"),
+      "the NOT EXISTS probe must plan as an anti join")
+    assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+      "the <> suppkey conjunct rides the orderkey equi-join as a residual")
+  }
+
+  test("j08 SCD2 intervals: keyed windows, no corpus-wide window partition") {
+    val s = planString(run("j08_scd2_intervals"))
+    assert(s.contains("Window"), "gaps-and-islands runs as window functions")
+    assert(!s.contains("SinglePartition"),
+      "every window/aggregate must stay partitioned by user, never global")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("s08 PQ code assignment is per-row: broadcast codebook, one tiny agg") {
+    val s = planString(run("s08_pq_codes"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the 4-row codebook frame must broadcast; the corpus must not shuffle")
+    assert(!s.contains("SortMergeJoin"),
+      "no shuffle join anywhere in code assignment")
+    assert(!s.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "the ≤32-row histogram aggregates with map-side combine")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),

@@ -165,6 +165,55 @@ class PropertySpec extends SparkSpecBase {
       col("rep_vec_id") =!= col("component")).count() == 0)
   }
 
+  test("SCD2/PQ/TPC-H-shape invariants hold on real data") {
+    val dir = sf("sf0.001")
+    val ev = Tables.events(spark, dir)
+
+    // j08: per user — versions are contiguous from 1, intervals tile the
+    // history (valid_to(k) == valid_from(k+1)), exactly one open (current)
+    // interval, and run sizes conserve the user's event count
+    val scd = SparkEntry.queries("j08_scd2_intervals")(spark, dir)
+    val perUser = scd.groupBy(col("user_id")).agg(
+      min(col("version")).as("vmin"), max(col("version")).as("vmax"),
+      count(lit(1)).as("n_runs"),
+      sum(col("is_current").cast("long")).as("n_open"),
+      sum(col("n_events")).as("n_ev"))
+    assert(perUser.filter(col("vmin") =!= 1 || col("vmax") =!= col("n_runs") ||
+      col("n_open") =!= 1).count() == 0,
+      "versions must be contiguous with exactly one current row per user")
+    val evCounts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_raw"))
+    assert(perUser.join(evCounts, "user_id")
+      .filter(col("n_ev") =!= col("n_raw")).count() == 0,
+      "runs must conserve each user's event count")
+    import org.apache.spark.sql.expressions.Window
+    val nxt = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    assert(scd.withColumn("nf", lead(col("valid_from"), 1).over(nxt))
+      .filter(col("nf").isNotNull && col("valid_to") =!= col("nf"))
+      .count() == 0, "intervals must tile: valid_to == next valid_from")
+
+    // s08: histogram covers every (vector, subspace) exactly once; codes are
+    // drawn from the 8-centroid codebook; distortion is non-negative
+    val pq = SparkEntry.queries("s08_pq_codes")(spark, dir)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val perSub = pq.groupBy(col("sub")).agg(sum(col("n_vecs")).as("n"),
+      countDistinct(col("code")).as("n_codes"))
+    assert(perSub.count() == 4 &&
+      perSub.filter(col("n") =!= nVecs || col("n_codes") > 8).count() == 0,
+      "each subspace must assign every vector to one of ≤8 codes")
+    assert(pq.filter(col("mean_d2") < 0).count() == 0)
+
+    // q20: a sole failing supplier exists only for multi-supplier orders, so
+    // numwait is bounded by the supplier's own distinct returned orders
+    val q20 = SparkEntry.queries("q20_sole_failing_supplier")(spark, dir)
+    assert(q20.filter(col("numwait") < 1).count() == 0)
+
+    // q19: the top-20 rows descend by revenue (full tiebreak)
+    val q19 = SparkEntry.queries("q19_returned_items")(spark, dir).collect()
+    val revs = q19.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "rows must descend by revenue")
+  }
+
   test("generator is collision-free and deterministic across partitionings") {
     val a = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 1)
     val b = EventGenerator.generate(spark, 300L, seed = 7L, numPartitions = 8)
