@@ -84,7 +84,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}"""
+    println(json)
+    // Persist the full artifact too: the driver captures stdout via `tail`,
+    // which has truncated the medians dict before (BENCH_r03) — a committed
+    // file can't lose data that way.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "results/bench_latest.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

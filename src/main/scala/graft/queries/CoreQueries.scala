@@ -609,6 +609,74 @@ object CoreQueries extends QueryPack {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** q21 — TPC-H Q13-style customer-order histogram: how many customers
+    * placed 0, 1, 2, … urgent orders. The LEFT OUTER join preserves
+    * customers with no qualifying orders (the 0-bucket — the one relational
+    * shape semi/anti joins can't express: aggregation over preserved
+    * nulls). The priority filter applies to the orders side BEFORE the
+    * outer join (equivalent to an ON-clause filter for LEFT OUTER, so it
+    * pushes to the scan); the first aggregation shuffles on c_custkey, the
+    * second on the tiny c_count domain.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q21Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN
+      |        (SELECT o_custkey, o_orderkey FROM orders
+      |         WHERE o_orderpriority = '1-URGENT') o
+      |        ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q22 — TPC-H Q22-style untapped-balance report: per market segment,
+    * the customers whose balance beats the all-positive-balance average but
+    * who placed no urgent order. Exercises the correlated-scalar-subquery
+    * shape: Spark plans the AVG as a 1-row aggregate broadcast (the
+    * crossJoin is with that literal 1-row frame), then a broadcast-able
+    * anti join against the urgent-order custkeys. The average is computed
+    * as exact-decimal-sum ÷ count so both engines derive bit-identical
+    * thresholds (see the pack scaladoc).
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgPos = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(d2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(d2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q22Sql =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = customer.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -629,5 +697,7 @@ object CoreQueries extends QueryPack {
     QueryDef("q17_large_volume_customer", q17, Some(q17Sql)),
     QueryDef("q18_disjunctive_revenue", q18, Some(q18Sql)),
     QueryDef("q19_returned_items", q19, Some(q19Sql)),
-    QueryDef("q20_sole_failing_supplier", q20, Some(q20Sql)))
+    QueryDef("q20_sole_failing_supplier", q20, Some(q20Sql)),
+    QueryDef("q21_order_histogram", q21, Some(q21Sql)),
+    QueryDef("q22_untapped_balance", q22, Some(q22Sql)))
 }

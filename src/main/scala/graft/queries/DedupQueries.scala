@@ -477,18 +477,31 @@ object DedupQueries extends QueryPack {
     QueryDef("d11_semantic_dedup", d11, Some(d11Sql)),
     QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)))
 
+  /** Benchmark-set size for d09. A real decontamination run sweeps the
+    * corpus against a FIXED held-out suite (a few thousand eval docs), so
+    * the query must encode that invariant: the benchmark side is a
+    * fixed-size deterministic sample — lowest-k by md5(doc_id), the same
+    * engine-portable sampler as `SimilarityQueries.sampleIds` — NOT a
+    * corpus fraction (`doc_id % 100` grew with the corpus and made the
+    * broadcast unboundable at 100×).
+    */
+  private val BenchDocsK = 50
+
   /** d09 — benchmark decontamination: flag corpus docs sharing any word
-    * 5-gram with a held-out benchmark set (every 100th doc). The benchmark
-    * shingle list is tiny → broadcast hash join; the corpus side streams
-    * through map-side, no shuffle of the big side — the standard
-    * test-set-overlap sweep at lake scale.
+    * 5-gram with the held-out benchmark set ([[BenchDocsK]] docs, fixed at
+    * any corpus size). The benchmark shingle list is O(k) → broadcast hash
+    * join; the corpus side streams through map-side — neither the
+    * membership anti-join nor the overlap join ever shuffles the big side.
     */
   private def d09(s: SparkSession, dir: String): DataFrame = {
+    val benchIds = Tables.documents(s, dir).select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(BenchDocsK)
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 5).as("s5"))
-    val benchEx = sh.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val benchEx = sh.join(broadcast(benchIds), Seq("doc_id"))
       .select(col("doc_id").as("b_id"), explode(col("s5")).as("sng"))
-    val corpusEx = sh.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    val corpusEx = sh.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), explode(col("s5")).as("sng"))
     corpusEx.join(broadcast(benchEx), "sng")
       .groupBy(col("doc_id"))
@@ -498,13 +511,17 @@ object DedupQueries extends QueryPack {
   }
 
   private val d09Sql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(ws) - 3),
       |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15)) AS BIGINT))) AS s5
       | FROM w),
-      |be AS (SELECT doc_id AS b_id, unnest(s5) AS sng FROM sh WHERE doc_id % 100 = 0),
-      |ce AS (SELECT doc_id, unnest(s5) AS sng FROM sh WHERE doc_id % 100 <> 0)
+      |bid AS (SELECT doc_id FROM documents
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BenchDocsK),
+      |be AS (SELECT sh.doc_id AS b_id, unnest(s5) AS sng
+      |       FROM sh JOIN bid ON sh.doc_id = bid.doc_id),
+      |ce AS (SELECT doc_id, unnest(s5) AS sng FROM sh
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM bid))
       |SELECT ce.doc_id, COUNT(*) AS n_hits,
       |  COUNT(DISTINCT be.b_id) AS n_bench_docs
       |FROM ce JOIN be ON ce.sng = be.sng

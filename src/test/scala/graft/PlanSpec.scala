@@ -56,6 +56,24 @@ class PlanSpec extends SparkSpecBase {
       "the benchmark shingle set must broadcast; the corpus side must not shuffle")
   }
 
+  test("q21 outer-join histogram: pushed priority filter, nulls preserved") {
+    val s = planString(run("q21_order_histogram"))
+    assert(s.contains("LeftOuter"),
+      "zero-order customers must be preserved by a LEFT OUTER join")
+    assert(s.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "the ON-side priority filter must push into the orders scan")
+    assert(!s.contains("CartesianProduct"), "no cartesian")
+  }
+
+  test("q22 scalar-subquery threshold broadcasts as a 1-row frame") {
+    val s = planString(run("q22_untapped_balance"))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "the scalar AVG must join as a broadcast 1-row frame, not a shuffle")
+    assert(s.contains("LeftAnti"),
+      "no-urgent-order membership must plan as an anti join")
+    assert(!s.contains("CartesianProduct"), "no cartesian")
+  }
+
   test("q14 top-10 plans as TakeOrderedAndProject, filters reach the scans") {
     val s = planString(run("q14_shipping_priority"))
     assert(s.contains("TakeOrderedAndProject"),

@@ -59,6 +59,20 @@ def main():
         else:
             print(f"PASS d02_cap_guard (max shingle df {max_df} < 1000)")
             n_pass += 1
+    # d06 growth guard: d06's all-pairs cosine sweep is the DECLARED
+    # definitional baseline (scale paths are s02/s04/s06) and is safe only
+    # while the embeddings table stays test-sized. A testdata scale-up must
+    # become a loud gate failure here, not a silent quadratic.
+    if os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        n_emb = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+        if n_emb > 10000:
+            print(f"FAIL d06_size_guard: embeddings has {n_emb} rows > 10000 — "
+                  "d06's definitional all-pairs baseline is quadratic; "
+                  "re-scope it to a fixed-size sample before scaling testdata")
+            n_fail += 1
+        else:
+            print(f"PASS d06_size_guard (embeddings rows {n_emb} <= 10000)")
+            n_pass += 1
     for name in sorted(oracles):
         sql = oracles[name]
         pdir = f"{out_dir}/{name}"
