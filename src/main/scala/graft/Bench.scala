@@ -75,7 +75,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       r
     }
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+    val qsFull = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // spread (min..max over the 3 runs) only for the re-run queries — the
     // round-over-round variance record the judge asked for
@@ -84,16 +84,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}"""
+    // Stdout is tail-captured by the driver (last ~2000 chars, and sbt's
+    // "[success] Total time ..." trailer eats ~90 of them) — BENCH_r03/r04
+    // both came back parsed:null because the full-name medians dict pushed
+    // the line past the window. The stdout line therefore uses each query's
+    // unique id prefix ("q01_pricing_summary" → "q01") and 3-decimal
+    // medians; the full-name, full-precision artifact (plus spread and
+    // per-run rps) goes to the results file.
+    val qsShort = results.map { case (k, (med, _)) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f"$med%.3f"
+    }.mkString("{", ",", "}")
+    require(results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size,
+      "query id prefixes must stay unique for the compact stdout dict")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"runs_per_query":"median-of-3 above 0.5s","full":"results/bench_latest.json"}"""
+    require(json.length < 1600,
+      s"stdout bench line is ${json.length} chars — would truncate in the " +
+        "driver's 2000-char tail window; shorten before adding queries")
     println(json)
-    // Persist the full artifact too: the driver captures stdout via `tail`,
-    // which has truncated the medians dict before (BENCH_r03) — a committed
-    // file can't lose data that way.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "results/bench_latest.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
