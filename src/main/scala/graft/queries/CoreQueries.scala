@@ -677,6 +677,176 @@ object CoreQueries extends QueryPack {
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q23 — TPC-H Q2-style minimum-cost supplier: for each size-1 part, the
+    * supplier(s) whose average sale price over lineitem is that part's
+    * minimum (the reference shape's correlated MIN subquery, expressed as a
+    * window MIN over the aggregated frame). Scale shape: lineitem collapses
+    * to one row per (partkey, suppkey) in a map-side-combined agg FIRST; the
+    * part filter joins as a broadcast BEFORE the window, so the windowed
+    * frame is |qualifying pairs|, never lineitem; supplier is a broadcast.
+    * The window's partkey shuffle moves only the tiny aggregated frame.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    val sized = Tables.part(s, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ps.join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_price", min(col("avg_price")).over(w))
+      .filter(col("avg_price") === col("min_price"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("avg_price"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  private val q23Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |m AS (SELECT l_partkey, MIN(avg_price) AS min_price FROM ps GROUP BY l_partkey)
+      |SELECT p.p_partkey, s.s_name, ps.avg_price
+      |FROM ps
+      |JOIN m ON ps.l_partkey = m.l_partkey AND ps.avg_price = m.min_price
+      |JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_size = 1
+      |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** q24 — TPC-H Q7-style volume shipping: bilateral trade between two
+    * nations by ship year. The two nation joins are broadcasts applied on
+    * the dimension side BEFORE touching lineitem; the symmetric pair filter
+    * is a post-join predicate over two 25-row domains. One shuffle: the
+    * final 3-column group key.
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val supp = Tables.supplier(s, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(d2(col("l_extendedprice")) *
+          (one - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q24Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    EXTRACT(year FROM l_shipdate) AS l_year,
+      |    l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n1.n_name <> n2.n_name) t
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q25 — TPC-H Q11-style important stock: parts whose sales value through
+    * one nation's suppliers exceeds a fixed fraction of that nation's total.
+    * The correlated scalar total is a 1-row aggregate broadcast (crossJoin
+    * with a literal 1-row frame — the q22 pattern); the per-part agg is
+    * map-side combined. Threshold compare is exact: both sides derive from
+    * exact DECIMAL sums cast to double once.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(d2(col("l_extendedprice"))).cast("double").as("value"))
+    val total = vals.agg(sum(col("value")).as("total_value"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value") > col("total_value") * 0.002)
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  private val q25Sql =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = 'NATION_3')
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, value FROM v
+      |WHERE value > (SELECT SUM(value) FROM v) * 0.002
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** q26 — TPC-H Q8-style market share: one nation's share of revenue from
+    * a region's customers, by order year. The conditional-aggregate-ratio
+    * shape: SUM(CASE)/SUM in one pass — no second join or self-union.
+    * Dimension chains (customer→nation→region, supplier→nation) collapse
+    * to broadcasts before lineitem is touched; one shuffle on the year key.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val euroCust = Tables.customer(s, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(s, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = d2(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(euroCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_1", rev)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+        sum(rev).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q26Sql =
+    """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -699,5 +869,9 @@ object CoreQueries extends QueryPack {
     QueryDef("q19_returned_items", q19, Some(q19Sql)),
     QueryDef("q20_sole_failing_supplier", q20, Some(q20Sql)),
     QueryDef("q21_order_histogram", q21, Some(q21Sql)),
-    QueryDef("q22_untapped_balance", q22, Some(q22Sql)))
+    QueryDef("q22_untapped_balance", q22, Some(q22Sql)),
+    QueryDef("q23_min_cost_supplier", q23, Some(q23Sql)),
+    QueryDef("q24_volume_shipping", q24, Some(q24Sql)),
+    QueryDef("q25_important_stock", q25, Some(q25Sql)),
+    QueryDef("q26_market_share", q26, Some(q26Sql)))
 }

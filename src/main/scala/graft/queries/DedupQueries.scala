@@ -463,6 +463,32 @@ object DedupQueries extends QueryPack {
       |FROM bands b JOIN own o ON b.bi = o.bi AND b.bv = o.bv
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
+  /** d13 — prefix-fingerprint dedup: cluster docs by the md5 of their first
+    * 16 tokens, catching truncation and shared-boilerplate copies that
+    * full-content exact dedup (d01) misses — same opening, divergent tails.
+    * O(n): one per-row fingerprint inside codegen, one map-side-combined
+    * agg on a 32-char key; in a crawl pipeline this is the cheap pass
+    * between exact dedup and MinHash. Reports only colliding clusters with
+    * the keep-min representative.
+    */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val pfx = md5(concat_ws(" ", slice(tokens(col("text")), 1, 16)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pfx.as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_md5"))
+  }
+
+  private val d13Sql =
+    """WITH p AS (SELECT doc_id,
+      |  md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')) AS prefix_md5
+      | FROM documents)
+      |SELECT prefix_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM p GROUP BY prefix_md5 HAVING COUNT(*) > 1
+      |ORDER BY prefix_md5""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -475,7 +501,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d09_decontaminate", d09, Some(d09Sql)),
     QueryDef("d10_chunk_overlap", d10, Some(d10Sql)),
     QueryDef("d11_semantic_dedup", d11, Some(d11Sql)),
-    QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)))
+    QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)),
+    QueryDef("d13_prefix_dedup", d13, Some(d13Sql)))
 
   /** Benchmark-set size for d09. A real decontamination run sweeps the
     * corpus against a FIXED held-out suite (a few thousand eval docs), so

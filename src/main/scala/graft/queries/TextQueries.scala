@@ -632,6 +632,70 @@ object TextQueries extends QueryPack {
       |  CAST(MAX(n_toks) AS BIGINT) AS max_doc_toks
       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** t19 — stable train/val/test split: assign each doc to a split by a
+    * content-stable hash fraction (80/10/10) and report per-(split, lang)
+    * doc/token loads. The hash-based assignment is THE reproducible-split
+    * op: it never changes when the corpus is re-partitioned, re-ordered, or
+    * incrementally extended (new docs land in splits at the target rates
+    * without moving old ones) — unlike randomSplit, whose assignment depends
+    * on partitioning. 13 hex digits (52 bits) are exact in a double, and the
+    * divisor 2^52 is a power of two, so the fraction is an exact scaling —
+    * bit-identical in any engine. One map-side-combined agg; output =
+    * |splits × langs|.
+    */
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val frac = hv.cast("double") / lit(4503599627370496.0) // 2^52, exact
+    val split = when(frac < 0.8, "train").when(frac < 0.9, "val")
+      .otherwise(lit("test"))
+    Tables.documents(s, dir)
+      .select(split.as("split"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val t19Sql =
+    """WITH d AS (SELECT lang,
+      |  CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS frac,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      | FROM documents)
+      |SELECT CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+      |  ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  /** t20 — weighted priority sample: k docs sampled with probability
+    * increasing in weight (here n_chars — "prefer longer docs"), via
+    * Duffield–Lund–Thorup priority sampling (Priority sampling for
+    * estimation of arbitrary subset sums, JACM 2007): priority = u/w with
+    * u uniform from a content-stable hash; keep the k smallest (equivalent
+    * to their w/u largest-k form). Deterministic and engine-portable where
+    * A-ES's exp/log keys are not: u is a 52-bit hash (exact in a double),
+    * w a small integer, and one IEEE division is correctly rounded — so
+    * both engines compute bit-identical priorities. Plans as
+    * TakeOrderedAndProject: per-partition top-k, no global sort, the
+    * sample never exceeds k rows on the wire at any corpus size.
+    */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val hv = conv(substring(md5(concat(lit("wsample:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (hv.cast("double") / col("n_chars").cast("double")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
+  private val t20Sql =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+      |FROM documents
+      |ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -650,5 +714,7 @@ object TextQueries extends QueryPack {
     QueryDef("t15_domain_mix", t15, Some(t15Sql)),
     QueryDef("t16_quota_sample", t16, Some(t16Sql)),
     QueryDef("t17_temperature_mix", t17, Some(t17Sql)),
-    QueryDef("t18_shard_assign", t18, Some(t18Sql)))
+    QueryDef("t18_shard_assign", t18, Some(t18Sql)),
+    QueryDef("t19_train_split", t19, Some(t19Sql)),
+    QueryDef("t20_weighted_sample", t20, Some(t20Sql)))
 }

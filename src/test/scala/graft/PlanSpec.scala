@@ -236,6 +236,56 @@ class PlanSpec extends SparkSpecBase {
       "the ≤32-row histogram aggregates with map-side combine")
   }
 
+  test("q23 min-cost supplier: aggregate first, window over pairs, dims broadcast") {
+    val s = planString(run("q23_min_cost_supplier"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "lineitem must collapse to (partkey, suppkey) pairs map-side before anything else")
+    assert(s.contains("BroadcastHashJoin"),
+      "the size-filtered part list and supplier must broadcast")
+    assert(s.contains("Window"), "the correlated MIN is a window over the pairs frame")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q24 volume shipping: nation dims fold into broadcasts before lineitem") {
+    val s = planString(run("q24_volume_shipping"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the filtered supplier/customer sides must broadcast")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q25 important stock: scalar total broadcasts as a 1-row frame") {
+    val s = planString(run("q25_important_stock"))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "the corpus total must join as a broadcast 1-row frame")
+    assert(s.contains("LeftSemi"),
+      "nation membership must plan as a semi join (keys only on the probe)")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+  }
+
+  test("q26 market share is one conditional-aggregate pass, no second join") {
+    val s = planString(run("q26_market_share"))
+    assert(s.contains("BroadcastHashJoin"), "dim chains must broadcast")
+    assert(!s.contains("Union"),
+      "share = SUM(CASE)/SUM in one pass, not a union of two aggregations")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("t20 weighted sample plans as top-k, never a global sort") {
+    val s = planString(run("t20_weighted_sample"))
+    assert(s.contains("TakeOrderedAndProject"),
+      "priority sampling must take per-partition top-k; the corpus never sorts")
+    assert(!s.contains("Exchange hashpartitioning"), "no shuffle before the take")
+  }
+
+  test("t19 split report and d13 prefix dedup are single partial-combined aggs") {
+    for (name <- Seq("t19_train_split", "d13_prefix_dedup")) {
+      val s = planString(run(name))
+      assert("HashAggregate".r.findAllIn(s).size >= 2,
+        s"$name needs partial + final HashAggregate")
+      assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+    }
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
