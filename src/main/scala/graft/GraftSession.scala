@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Commit writes only the batch's changelog; full snapshots move to the
+      // background maintenance thread. Without this every commit uploads a
+      // full RocksDB snapshot — measured 25 s (summed across 32 partitions)
+      // per batch on 1M state rows, the dominant cost of the streaming
+      // near-dup stage.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session: local[N] with shuffle partitions = N. */

@@ -85,7 +85,12 @@ object StreamingNearDup {
            state: GroupState[BandOwner]): Iterator[BandClaim] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))
+        // fast path: most band keys see exactly one event per batch — skip
+        // the sort's tuple-key allocations for singleton groups
+        val seq = evs.toSeq
+        val sorted =
+          if (seq.lengthCompare(2) < 0) seq
+          else seq.sortBy(e => (e.ts.getTime, e.doc_id))
         var st = state.getOption
         val out = sorted.map { e =>
           val t = e.ts.getTime
