@@ -92,12 +92,19 @@ object Main {
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
     }
     val spark = session()
+    // SPARK_GRAFT_PROFILE=1: print whole-run task-metric totals (GC, shuffle,
+    // spill) after the variants — the scale-curve diagnosis tool.
+    val profiler =
+      if (sys.env.get("SPARK_GRAFT_PROFILE").contains("1"))
+        Some(graft.harness.Profiling.attach(spark))
+      else None
     try {
       val exec = new TestExecutor(testId,
         opts.getOrElse("results-dir", "results"), spark, pipelineCfg)
       val rs = exec.runTests(variants,
         resume = !opts.contains("no-resume"),
         sinkRoot = opts.getOrElse("sink-dir", "/tmp/graft_sink"))
+      profiler.foreach(p => System.err.println(s"[profile] ${p.report}"))
       rs.foreach(r => println(
         s"[main] ${r.variantId} success=${r.resultSuccess.getOrElse(false)} " +
           s"rps=${r.resultGlassflowRps.getOrElse(0.0)}"))

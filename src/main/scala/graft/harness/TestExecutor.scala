@@ -89,8 +89,22 @@ final class TestExecutor(testId: String, resultsDir: String,
     val dupes = gen.where(col("row_id") < duplicates)
     val sent = gen.unionAll(dupes)
 
+    // The topic boundary: publish parallelism (num_processes, the
+    // reference's producer-pool size) must not leak into the engine — in
+    // the reference the Kafka topic re-partitions between producers and the
+    // dedup engine (src/utils/kafka.py topic partitions), and without this
+    // hop the dedup's map-side partial aggregation runs INSIDE the
+    // num_processes-partition generation stage: at 100M records that is two
+    // tasks each building a ~23M-entry min_by hash map (measured: 3 of 32
+    // cores busy, 55 GiB RSS, rps halved vs 20M — the scale cliff).
+    // Partitioning BY THE DEDUP KEY keeps total shuffles at one: the
+    // groupBy((event_id, bucket)) downstream is satisfied by
+    // hashpartitioning(event_id) and adds no second exchange.
+    val topic = sent.repartition(spark.sparkContext.defaultParallelism,
+      col("event_id"))
+
     // The engine: windowed keep-first dedup + sink projection.
-    val deduped = Dedup.tumbling(sent, Seq("event_id"),
+    val deduped = Dedup.tumbling(topic, Seq("event_id"),
       to_timestamp(col("created_at")), Duration.parse(dedupWindow).millis,
       col("row_id"))
     val projected = MappingProjection(deduped, sinkMapping)
