@@ -131,7 +131,11 @@ object StreamBench {
     // killed in-flight batch's work is discarded — capacity is the
     // quantization-free number (for keyed dedup, which keeps up with its
     // offered rate, the two agree).
-    val dataBatches = progress.filter(_.numInputRows > 0)
+    // Option-wrap the durationMs lookup: it's a java.util.Map and a progress
+    // entry without the key would null-unbox into an NPE AFTER the
+    // measurement already ran; entries with no duration are dropped.
+    val dataBatches = progress.filter(p => p.numInputRows > 0 &&
+      Option(p.durationMs.get("triggerExecution")).exists(_.toLong > 0))
     val capacity =
       if (dataBatches.isEmpty) 0L
       else math.round(dataBatches.map(_.numInputRows).sum * 1000.0 /

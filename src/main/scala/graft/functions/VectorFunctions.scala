@@ -67,4 +67,53 @@ object VectorFunctions {
       val w = array(hyperplane(h, dims).map(lit): _*)
       when(dotLong(vQuantized, w) >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** LSH scale parameters. A FIXED plane count makes within-bucket joins
+    * O(n²/2^planes) — quadratic at any setting once n outgrows it. Instead
+    * the plane count adapts: `planesFor(n)` chooses the smallest width (with
+    * floor [[MinPlanes]]) such that expected band-bucket occupancy
+    * n / 2^planes never exceeds [[TargetBucketSize]], so candidate volume
+    * per bucket is bounded by a constant at ANY corpus size (PropertySpec
+    * pins this for n up to 10^13). Recall loss from narrower buckets is
+    * recovered by hashing [[LshBands]] independent bands (disjoint
+    * hyperplane sets) and unioning candidates — d03's banded-MinHash
+    * recall/cost trade, applied to sign LSH.
+    */
+  val TargetBucketSize = 64
+  val MinPlanes = 8
+  val LshBands = 4
+
+  /** Planes per band for a corpus of n vectors: max(MinPlanes,
+    * ceil(log2(n / TargetBucketSize))) — guarantees n / 2^planes ≤
+    * TargetBucketSize for every n (for n below 2^MinPlanes·Target the floor
+    * already over-partitions).
+    */
+  def planesFor(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / TargetBucketSize) / math.log(2.0)).toInt
+    math.max(MinPlanes, needed)
+  }
+
+  /** Per-band sign-bucket values: band t hashes with the disjoint hyperplane
+    * set [t·p, (t+1)·p). Returns an array of `bands` longs — posexplode to
+    * (band_idx, band_val) rows for the candidate equi-join.
+    */
+  def lshBandVals(vQuantized: Column, bands: Int, planesPerBand: Int,
+                  dims: Int): Column =
+    array((0 until bands).map { t =>
+      (0 until planesPerBand).map { h =>
+        val w = array(hyperplane(t * planesPerBand + h, dims).map(lit): _*)
+        when(dotLong(vQuantized, w) >= 0, lit(1L << h)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** DuckDB rendering of one band's [[lshBandVals]] value — same hyperplanes,
+    * same bit order, so oracle SQL reproduces bucket ids exactly.
+    */
+  def lshBandValSql(band: Int, planesPerBand: Int, dims: Int): String =
+    (0 until planesPerBand).map { h =>
+      val wl = hyperplane(band * planesPerBand + h, dims)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
 }

@@ -68,8 +68,11 @@ object ConnectedComponents {
     var labels = adj.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // coalesce: SUM over an EMPTY frame is NULL — an empty edge set (legal:
+    // a bucketed candidate stage can find zero pairs) must converge to an
+    // empty labeling, not throw on getLong
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     // labels only ever decrease, so the total is a cheap convergence witness
     var prevSum = labelSum(labels)
     var iter = 0

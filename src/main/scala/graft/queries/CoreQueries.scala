@@ -718,9 +718,13 @@ object CoreQueries extends QueryPack {
 
   /** q24 — TPC-H Q7-style volume shipping: bilateral trade between two
     * nations by ship year. The two nation joins are broadcasts applied on
-    * the dimension side BEFORE touching lineitem; the symmetric pair filter
-    * is a post-join predicate over two 25-row domains. One shuffle: the
-    * final 3-column group key.
+    * the dimension side BEFORE touching the fact tables, and BOTH fact
+    * sides are nation-cut before they meet: lineitem by broadcast(supp),
+    * orders by broadcast(cust) — each surviving only the 2-of-25-nations
+    * slice. The l_orderkey join of those two cut sides is the one
+    * irreducible fact-fact exchange (at deployment scale, co-bucket both
+    * tables on orderkey to delete it; at bench scale AQE broadcasts the cut
+    * orders side); the only other shuffle is the final 3-column group key.
     */
   private def q24(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(s, dir)
@@ -732,10 +736,12 @@ object CoreQueries extends QueryPack {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .filter(col("n_name").isin("NATION_1", "NATION_2"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ordersCut = Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
     Tables.lineitem(s, dir)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ordersCut, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
@@ -768,36 +774,42 @@ object CoreQueries extends QueryPack {
     * one nation's suppliers exceeds a fixed fraction of that nation's total.
     * The correlated scalar total is a 1-row aggregate broadcast (crossJoin
     * with a literal 1-row frame — the q22 pattern); the per-part agg is
-    * map-side combined. Threshold compare is exact: both sides derive from
-    * exact DECIMAL sums cast to double once.
+    * map-side combined. Threshold compare is exact: BOTH sides stay exact
+    * DECIMAL through every sum (the total is a DECIMAL sum of the per-part
+    * DECIMAL sums — summing the per-part doubles would be accumulation-
+    * order-dependent and could flip a part sitting near the 0.2% threshold
+    * between engines or runs) and cast to double exactly once.
     */
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val supp = Tables.supplier(s, dir)
       .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_name") === "NATION_3")
       .select(col("s_suppkey"))
-    val vals = Tables.lineitem(s, dir)
+    val valsDec = Tables.lineitem(s, dir)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
-      .agg(sum(d2(col("l_extendedprice"))).cast("double").as("value"))
-    val total = vals.agg(sum(col("value")).as("total_value"))
-    vals.crossJoin(broadcast(total))
+      .agg(sum(d2(col("l_extendedprice"))).as("value_dec"))
+    val total = valsDec.agg(sum(col("value_dec")).cast("double").as("total_value"))
+    valsDec.crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("value"),
+        col("total_value"))
       .filter(col("value") > col("total_value") * 0.002)
       .select(col("l_partkey"), col("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
   private val q25Sql =
-    """WITH v AS (
+    """WITH vd AS (
       |  SELECT l_partkey,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
       |  FROM lineitem
       |  WHERE l_suppkey IN (
       |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |    WHERE n_name = 'NATION_3')
       |  GROUP BY l_partkey)
-      |SELECT l_partkey, value FROM v
-      |WHERE value > (SELECT SUM(value) FROM v) * 0.002
+      |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value FROM vd
+      |WHERE CAST(value_dec AS DOUBLE) >
+      |      CAST((SELECT SUM(value_dec) FROM vd) AS DOUBLE) * 0.002
       |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** q26 — TPC-H Q8-style market share: one nation's share of revenue from

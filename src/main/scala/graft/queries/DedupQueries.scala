@@ -374,9 +374,9 @@ object DedupQueries extends QueryPack {
       |ORDER BY i, j""".stripMargin
 
   /** d11 — semantic corpus dedup, the end-to-end scale pipeline the
-    * embedding family builds toward: LSH sign-buckets (so candidate pairs
-    * come from an equi-join, never all-pairs — d06 is the declared brute
-    * baseline of the same edge set restricted to within-bucket pairs) →
+    * embedding family builds toward: banded LSH sign-buckets (candidate
+    * pairs come from a (band, value) equi-join with size-adaptive bucket
+    * width, never all-pairs — d06 is the declared brute baseline) →
     * exact quantized cosine ≥ 0.45 threshold graph → connected components
     * ([[ConnectedComponents.components]]: propagation with star-contraction
     * fallback) → one kept representative (min vec_id) per cluster with its
@@ -385,17 +385,27 @@ object DedupQueries extends QueryPack {
     */
   private def d11(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    val planes = 4; val dims = 64
+    // Bucket width adapts to corpus size (planesFor: expected per-band
+    // occupancy ≤ TargetBucketSize at any n — never the O(n²/2^const) of a
+    // fixed plane count); LshBands independent bands keep recall. The SQL
+    // oracle pins the MinPlanes floor, which planesFor returns at every
+    // verify scale (see SimilarityQueries.SqlPlanes).
+    val p = planesFor(Tables.embeddings(s, dir).count())
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
-      .withColumn("bucket", lshBucket(col("v"), planes, dims))
-    val pairs = q.as("a").join(q.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        (dotLong(col("a.v"), col("b.v")).cast("double")
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= 0.45)
+    val bands = q.select(col("vec_id"),
+      posexplode(lshBandVals(col("v"), LshBands, p, 64)).as(Seq("bi", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val pairs = cand
+      .join(q.as("x"), col("i") === col("x.vec_id"))
+      .join(q.as("y"), col("j") === col("y.vec_id"))
+      .filter((dotLong(col("x.v"), col("y.v")).cast("double")
+        / (col("x.nrm") * col("y.nrm"))) >= 0.45)
       .select(col("i"), col("j"))
     ConnectedComponents.components(pairs)
       .groupBy(col("component"))
@@ -404,20 +414,23 @@ object DedupQueries extends QueryPack {
   }
 
   private val d11Sql: String = {
-    import graft.functions.VectorFunctions.hyperplane
-    val bucketExpr = (0 until 4).map { h =>
-      val wl = hyperplane(h, 64).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
-    }.mkString(" + ")
+    import graft.functions.VectorFunctions.{LshBands, MinPlanes, lshBandValSql}
+    val bis = (0 until LshBands).mkString("[", ", ", "]")
+    val bvs = (0 until LshBands)
+      .map(t => "(" + lshBandValSql(t, MinPlanes, 64) + ")")
+      .mkString("[", ",\n  ", "]")
     s"""WITH RECURSIVE q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
-       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
-       |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
-       | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       | WHERE list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
-       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
-       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) >= 0.45),
+       |bands AS (SELECT vec_id, unnest($bis) AS bi, unnest($bvs) AS bv FROM q),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       | FROM bands a JOIN bands b
+       |   ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT i, j
+       | FROM cand JOIN q x ON x.vec_id = cand.i JOIN q y ON y.vec_id = cand.j
+       | WHERE list_dot_product(x.v::DOUBLE[], y.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(x.v::DOUBLE[], x.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(y.v::DOUBLE[], y.v::DOUBLE[]))) >= 0.45),
        |e2 AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
        |reach(id, lbl) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)

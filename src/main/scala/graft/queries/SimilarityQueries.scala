@@ -18,7 +18,17 @@ import graft.functions.VectorFunctions._
 object SimilarityQueries extends QueryPack {
 
   private val Dims = 64
-  private val Planes = 4
+
+  /** Planes per band at the VERIFY scale (sf0.01/sf0.001, ≤2000 vectors —
+    * `planesFor` stays at its MinPlanes floor). The DataFrame side computes
+    * `planesFor(count)` at runtime so bucket count grows with the corpus
+    * (bounded occupancy, see VectorFunctions); the SQL oracle is a static
+    * string, so it pins the floor value. If the verify corpus ever grows past
+    * 2^MinPlanes·TargetBucketSize (16384 rows) the oracle diverges loudly
+    * (hash mismatch), not silently.
+    */
+  private val SqlPlanes = graft.functions.VectorFunctions.MinPlanes
+  private val Bands = graft.functions.VectorFunctions.LshBands
 
   /** Fixed sizes for the measurement query/pair samples. A modulus filter
     * (`vec_id % 25`) selects n/25 queries — measurement cost O(n²/25), still
@@ -105,68 +115,93 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  /** Shared LSH candidate generator: the fixed QueryK query sample joined
-    * to all vectors in matching buckets — always an equi-join on bucket id,
-    * never a cartesian. Single-probe searches the query's own bucket;
-    * multi-probe additionally probes the `Planes` buckets at Hamming
-    * distance 1 (one flipped sign bit), recovering neighbors that a single
-    * near-zero hyperplane margin pushed across a boundary — the standard
-    * recall/cost knob for sign LSH. Probe buckets are distinct and each
-    * vector lives in exactly one bucket, so no pair is generated twice.
+  /** Shared banded-LSH candidate generator: every vector hashes into
+    * [[Bands]] independent sign-LSH bands ([[lshBandVals]], `p` planes each,
+    * `p = planesFor(n)` so per-band bucket occupancy is bounded by a
+    * constant at any corpus size); candidates are the DISTINCT union over
+    * bands of same-(band, value) pairs with the fixed QueryK query sample —
+    * an equi-join on (band_idx, band_val), never a cartesian. Multi-probe
+    * additionally probes the p buckets at Hamming distance 1 within each
+    * band (one flipped sign bit) — the standard recall/cost knob for sign
+    * LSH.
+    *
+    * Scale shape: the corpus side never shuffles. Band rows are
+    * (vec_id, bi, bv) longs only; the query side (fixed-k × bands × probes)
+    * is broadcast into the candidate join, and the verification join
+    * broadcasts the candidate list (≤ QueryK · Bands · probes ·
+    * TargetBucketSize rows) back against the corpus.
     */
-  private def lshPairsFrom(base: DataFrame, ids: DataFrame,
+  private def lshPairsFrom(base: DataFrame, ids: DataFrame, p: Int,
                            multiProbe: Boolean): DataFrame = {
-    val q = base.withColumn("bucket", lshBucket(col("v"), Planes, Dims))
-    val own = q.join(broadcast(ids), "vec_id")
-    val queries =
+    val bands = base.select(col("vec_id"),
+      posexplode(lshBandVals(col("v"), Bands, p, Dims)).as(Seq("bi", "bv")))
+    val own = bands.join(broadcast(ids), "vec_id")
+    val qBands =
       if (!multiProbe) own
       else {
-        val masks = array(lit(0L) +: (0 until Planes).map(h => lit(1L << h)): _*)
-        own.select(col("vec_id"), col("v"), col("nrm"),
-          explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+        val masks = array(lit(0L) +: (0 until p).map(h => lit(1L << h)): _*)
+        own.select(col("vec_id"), col("bi"),
+          explode(transform(masks, m => col("bv").bitwiseXOR(m))).as("bv"))
       }
-    queries.as("a").join(q.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    val cand = bands.as("b").join(broadcast(qBands.as("a")),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        (dotLong(col("a.v"), col("b.v")).cast("double")
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val qv = base.join(broadcast(ids), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    base.as("nn").join(broadcast(cand.join(qv, "query_id")),
+        col("nn.vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotLong(col("qv"), col("nn.v")).cast("double")
+          / (col("qnrm") * col("nn.nrm"))).as("cos"))
   }
 
-  /** s02 — LSH-bucketed ANN: 4 deterministic md5-derived hyperplanes hash
-    * every vector to a 16-bucket sign signature; neighbor search joins on
-    * bucket equality (no cartesian), then exact top-3 re-rank inside the
-    * bucket. Same query set as s01, so recall is directly observable (s05).
+  /** Banded (band_idx, band_val) SQL CTE over the quantized CTE `q` —
+    * DuckDB zips the parallel unnests positionally, mirroring posexplode.
     */
-  private def s02(s: SparkSession, dir: String): DataFrame =
-    topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK),
+  private def bandsCteSql(p: Int): String = {
+    val bis = (0 until Bands).mkString("[", ", ", "]")
+    val bvs = (0 until Bands)
+      .map(t => "(" + graft.functions.VectorFunctions.lshBandValSql(t, p, Dims) + ")")
+      .mkString("[", ",\n  ", "]")
+    s"bands AS (SELECT vec_id, unnest($bis) AS bi, unnest($bvs) AS bv FROM q)"
+  }
+
+  /** s02 — banded-LSH ANN: [[Bands]] sign-LSH bands of `planesFor(n)`
+    * deterministic md5-derived hyperplanes each; candidates from the
+    * (band, value) equi-join unioned across bands, then exact top-3 re-rank.
+    * Same query set as s01, so recall is directly observable (s05).
+    */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val p = planesFor(Tables.embeddings(s, dir).count())
+    topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK), p,
       multiProbe = false), 3)
       .orderBy(col("query_id"), col("rk"))
+  }
 
-  private val s02Sql: String = {
-    val planeLists = (0 until Planes).map { h =>
-      hyperplane(h, Dims).mkString("[", ", ", "]")
-    }
-    val bucketExpr = planeLists.zipWithIndex.map { case (wl, h) =>
-      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
-    }.mkString(" + ")
+  private val s02Sql: String =
     s"""WITH q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
-       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
+       |${bandsCteSql(SqlPlanes)},
        |qs AS (${sampleSql(QueryK)}),
-       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
-       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
-       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
-       | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       | FROM bands a JOIN bands b
+       |   ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id <> b.vec_id
        | WHERE a.vec_id IN (SELECT vec_id FROM qs)),
+       |p AS (SELECT cand.query_id, cand.neighbor_id,
+       |  list_dot_product(x.v::DOUBLE[], y.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(x.v::DOUBLE[], x.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(y.v::DOUBLE[], y.v::DOUBLE[]))) AS cos
+       | FROM cand JOIN q x ON x.vec_id = cand.query_id
+       |           JOIN q y ON y.vec_id = cand.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
        | FROM p)
        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
-  }
 
   /** s03 — label-cohesion analytics: mean within- vs cross-label cosine over
     * a fixed-size deterministic sample (PairSampleK vectors → k(k-1)/2 pairs
@@ -209,38 +244,69 @@ object SimilarityQueries extends QueryPack {
       |    / COUNT(*) / 1000000.0 AS mean_cos_r6
       |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin
 
-  /** s04 — IVF-style ANN: a deterministic centroid set (every 97th vector)
-    * partitions the space into cells; every vector is assigned to its
-    * nearest centroid (one broadcast join — the centroid table is tiny, the
-    * big side never shuffles); a query probes its nprobe=2 nearest cells and
-    * exact-ranks only those cells' members. The inverted-file layout is the
+  /** Fixed centroid count for s04 — a constant, never a corpus fraction:
+    * the broadcast codebook is provably O(IvfK) at any scale.
+    */
+  private val IvfK = 64
+  private val NProbe = 2
+
+  /** s04 — IVF-style ANN, s08's codebook shape: the centroid set is a
+    * FIXED-[[IvfK]] lowest-k-by-salted-md5 sample (the same engine-portable
+    * sampler as [[sampleIds]]; '#ivf' salt decorrelates it from the query
+    * sample), collapsed into ONE broadcast frame holding the sorted
+    * candidate array. Cell assignment is a per-row argmax fold over the
+    * broadcast array — the corpus NEVER shuffles and the broadcast never
+    * grows with n (the previous modulus sample was n/97 rows: an unbounded
+    * broadcast plus an O(n²/97) crossJoin score matrix). A query probes its
+    * [[NProbe]] nearest cells and exact-ranks only those cells' members,
+    * via a broadcast of the (query × probe-cell) list against the assigned
+    * corpus — again no corpus shuffle. The inverted-file layout is the
     * scale path when hyperplane LSH (s02) recall is too coarse: cells adapt
     * to the data distribution.
     */
   private def s04From(q: DataFrame, ids: DataFrame): DataFrame = {
-    val cents = q.filter(pmod(col("vec_id"), lit(97)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
-    val scored = q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dotLong(col("v"), col("c_v")).cast("double")
-          / (col("nrm") * col("c_nrm"))).as("ccos"))
-    // cell assignment: argmax centroid (ties → smaller c_id)
-    val assign = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
-    val cells = q.join(assign, "vec_id")
-    // query probes: top-2 nearest centroids per query (same tie rule)
-    val topc = TopKByScore(2)
-    val probes = scored.join(broadcast(ids), "vec_id")
-      .groupBy(col("vec_id").as("query_id"))
+    val centIds = q.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#ivf"))),
+        col("vec_id"))
+      .limit(IvfK)
+    val cents = q.join(broadcast(centIds), "vec_id")
+      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
+        col("v").as("c_v"), col("nrm").as("c_nrm")))).as("cands"))
+    // per-row nearest-centroid fold (argmax ccos; candidates are c_id-sorted
+    // and the comparison is strict, so exact double ties keep the smaller
+    // c_id — the same rule as the oracle's ROW_NUMBER(ORDER BY ccos DESC, c_id))
+    val withCell = q.crossJoin(broadcast(cents))
+      .withColumn("best", aggregate(col("cands"),
+        named_struct(lit("ccos"), lit(-2.0), lit("cell"), lit(-1L)),
+        (acc, c) => {
+          val ccos = dotLong(col("v"), c.getField("c_v")).cast("double") /
+            (col("nrm") * c.getField("c_nrm"))
+          when(ccos > acc.getField("ccos"),
+            named_struct(lit("ccos"), ccos, lit("cell"), c.getField("c_id")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
+    // query probes: explode the codebook only for the fixed-k query rows
+    val topc = TopKByScore(NProbe)
+    val probes = q.join(broadcast(ids), "vec_id")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), explode(col("cands")).as("c"))
+      .select(col("vec_id").as("query_id"), col("c.c_id").as("c_id"),
+        (dotLong(col("v"), col("c.c_v")).cast("double") /
+          (col("nrm") * col("c.c_nrm"))).as("ccos"))
+      .groupBy(col("query_id"))
       .agg(topc(col("c_id"), col("ccos")).as("pc"))
       .select(col("query_id"), explode(col("pc.id")).as("p_cell"))
-    val pairs = probes
-      .join(q.as("qq"), col("query_id") === col("qq.vec_id"))
-      .join(cells.as("nn"), col("p_cell") === col("nn.cell")
-        && col("nn.vec_id") =!= col("query_id"))
+    val qv = q.join(broadcast(ids), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val pairs = withCell.as("nn")
+      .join(broadcast(probes.join(broadcast(qv), "query_id")),
+        col("p_cell") === col("nn.cell") &&
+        col("nn.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("nn.vec_id").as("neighbor_id"),
-        (dotLong(col("qq.v"), col("nn.v")).cast("double")
-          / (col("qq.nrm") * col("nn.nrm"))).as("cos"))
+        (dotLong(col("qv"), col("nn.v")).cast("double")
+          / (col("qnrm") * col("nn.nrm"))).as("cos"))
     topkRank(pairs, 3).orderBy(col("query_id"), col("rk"))
   }
 
@@ -251,7 +317,10 @@ object SimilarityQueries extends QueryPack {
     s"""WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, v AS c_v FROM q WHERE vec_id % 97 = 0),
+      |cid AS (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#ivf'), vec_id LIMIT $IvfK),
+      |c AS (SELECT q.vec_id AS c_id, q.v AS c_v FROM q
+      |  WHERE q.vec_id IN (SELECT vec_id FROM cid)),
       |qs AS (${sampleSql(QueryK)}),
       |score AS (SELECT q.vec_id, q.v, c.c_id,
       |  list_dot_product(q.v::DOUBLE[], c.c_v::DOUBLE[]) /
@@ -280,35 +349,37 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
 
-  /** s06 — multi-probe LSH ANN: s02 plus Hamming-1 probe buckets. Compare
-    * the s05 recall rows to see what the extra probes buy.
+  /** s06 — multi-probe banded-LSH ANN: s02 plus Hamming-1 probe buckets
+    * within each band. Compare the s05 recall rows to see what the extra
+    * probes buy.
     */
-  private def s06(s: SparkSession, dir: String): DataFrame =
-    topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK),
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val p = planesFor(Tables.embeddings(s, dir).count())
+    topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK), p,
       multiProbe = true), 3)
       .orderBy(col("query_id"), col("rk"))
+  }
 
   private val s06Sql: String = {
-    val planeLists = (0 until Planes).map { h =>
-      hyperplane(h, Dims).mkString("[", ", ", "]")
-    }
-    val bucketExpr = planeLists.zipWithIndex.map { case (wl, h) =>
-      s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
-    }.mkString(" + ")
-    val maskList = (0L +: (0 until Planes).map(h => 1L << h)).mkString("[", ", ", "]")
+    val maskList =
+      (0L +: (0 until SqlPlanes).map(h => 1L << h)).mkString("[", ", ", "]")
     s"""WITH q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
-       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM q),
+       |${bandsCteSql(SqlPlanes)},
        |qs AS (${sampleSql(QueryK)}),
        |mk AS (SELECT unnest($maskList) AS m),
-       |qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), CAST(m AS BIGINT)) AS bucket
-       | FROM bk, mk WHERE vec_id IN (SELECT vec_id FROM qs)),
-       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
-       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
-       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
-       | FROM qp a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |qp AS (SELECT vec_id, bi, xor(CAST(bv AS BIGINT), CAST(m AS BIGINT)) AS bv
+       | FROM bands, mk WHERE vec_id IN (SELECT vec_id FROM qs)),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       | FROM qp a JOIN bands b
+       |   ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id <> b.vec_id),
+       |p AS (SELECT cand.query_id, cand.neighbor_id,
+       |  list_dot_product(x.v::DOUBLE[], y.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(x.v::DOUBLE[], x.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(y.v::DOUBLE[], y.v::DOUBLE[]))) AS cos
+       | FROM cand JOIN q x ON x.vec_id = cand.query_id
+       |           JOIN q y ON y.vec_id = cand.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
        | FROM p)
@@ -332,6 +403,7 @@ object SimilarityQueries extends QueryPack {
     * four measurements themselves, each exactly once.
     */
   private def s05(s: SparkSession, dir: String): DataFrame = {
+    val p = planesFor(Tables.embeddings(s, dir).count())
     val vecs = baseVecs(s, dir).localCheckpoint()
     val ids = sampleIds(s, dir, QueryK).localCheckpoint()
     val exact = s01From(vecs, ids).filter(col("rk") <= 3)
@@ -348,8 +420,8 @@ object SimilarityQueries extends QueryPack {
           col("n_possible"),
           (col("n_hits").cast("double") / col("n_possible")).as("recall"))
     }
-    val lsh = topkRank(lshPairsFrom(vecs, ids, multiProbe = false), 3)
-    val lshMp = topkRank(lshPairsFrom(vecs, ids, multiProbe = true), 3)
+    val lsh = topkRank(lshPairsFrom(vecs, ids, p, multiProbe = false), 3)
+    val lshMp = topkRank(lshPairsFrom(vecs, ids, p, multiProbe = true), 3)
     val ivf = s04From(vecs, ids)
     stats(lsh, "lsh")
       .unionAll(stats(lshMp, "lsh_mp"))

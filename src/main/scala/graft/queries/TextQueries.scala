@@ -683,7 +683,11 @@ object TextQueries extends QueryPack {
     val k = 100
     val hv = conv(substring(md5(concat(lit("wsample:"),
       col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    // weight 0 is undefined in priority sampling (and a 0/0-adjacent NULL
+    // priority would sort engine-dependently): zero-length docs are
+    // ineligible, filtered identically in the SQL oracle
     Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         (hv.cast("double") / col("n_chars").cast("double")).as("priority"))
       .orderBy(col("priority"), col("doc_id"))
@@ -694,6 +698,7 @@ object TextQueries extends QueryPack {
     """SELECT doc_id, lang, n_chars,
       |  CAST(CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
       |FROM documents
+      |WHERE n_chars > 0
       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(

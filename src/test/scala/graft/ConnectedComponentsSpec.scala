@@ -19,6 +19,16 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("empty edge set yields an empty labeling on both algorithms") {
+    // legal input: a bucketed candidate stage (d11's banded LSH) can find
+    // zero qualifying pairs — components() must return empty, not throw on
+    // the NULL SUM convergence witness
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(ConnectedComponents.labelPropagation(empty).isEmpty)
+    assert(ConnectedComponents.starContraction(empty).isEmpty)
+    assert(ConnectedComponents.components(empty).isEmpty)
+  }
+
   test("long chain converges within the iteration budget") {
     val n = 15
     val edges = (0 until n).map(k => (k.toLong, (k + 1).toLong)).toDF("i", "j")

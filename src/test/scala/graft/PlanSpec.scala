@@ -225,6 +225,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("s04 IVF: fixed-K broadcast codebook, corpus never shuffles for assignment") {
+    val s = planString(run("s04_ann_ivf"))
+    // cell assignment is a per-row fold over the broadcast IvfK-row codebook
+    // (BroadcastNestedLoopJoin against the 1-row candidate-array frame);
+    // probe matching broadcasts the fixed-k query list — the corpus side
+    // never sort-merge-joins or cartesians anywhere in the pipeline
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "the collapsed codebook must join as a broadcast 1-row frame")
+    assert(s.contains("BroadcastHashJoin"),
+      "probe-cell matching must broadcast the query side")
+    assert(!s.contains("SortMergeJoin"),
+      "no shuffle join anywhere in IVF assignment or probing")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("s08 PQ code assignment is per-row: broadcast codebook, one tiny agg") {
     val s = planString(run("s08_pq_codes"))
     assert(s.contains("BroadcastHashJoin"),

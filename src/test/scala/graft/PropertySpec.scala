@@ -100,6 +100,29 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("∀ n: LSH bucket occupancy n/2^planesFor(n) is bounded by the target, not by n") {
+    import graft.functions.VectorFunctions._
+    // the scale contract behind s02/s06/d11: expected per-band bucket
+    // occupancy never exceeds TargetBucketSize at ANY corpus size — the
+    // plane count grows with log2(n) instead of freezing at a constant
+    // (a fixed plane count makes candidate joins O(n²/2^const))
+    val sizes = Seq(1L, 100L, 500L, 2000L, 16384L, 100000L, 10000000L,
+      1000000000L, 1000000000000L, 10000000000000L)
+    for (n <- sizes) {
+      val p = planesFor(n)
+      assert(p >= MinPlanes, s"floor violated at n=$n")
+      assert(n.toDouble / math.pow(2.0, p) <= TargetBucketSize,
+        s"expected occupancy ${n.toDouble / math.pow(2.0, p)} exceeds " +
+          s"$TargetBucketSize at n=$n (p=$p)")
+      assert(p <= 62, s"band value must fit a long at n=$n")
+    }
+    // the static SQL oracles pin the MinPlanes floor — planesFor must sit at
+    // that floor for every verify-scale corpus (sf0.001/sf0.01/sf0.1), else
+    // DataFrame and oracle hyperplane sets would diverge
+    for (n <- Seq(500L, 2000L, 5000L))
+      assert(planesFor(n) == MinPlanes, s"SQL-oracle floor broken at n=$n")
+  }
+
   test("packing/chunking/percentile/funnel invariants hold on real data") {
     val dir = sf("sf0.001")
     val docs = Tables.documents(spark, dir)

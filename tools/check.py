@@ -73,6 +73,45 @@ def main():
         else:
             print(f"PASS d06_size_guard (embeddings rows {n_emb} <= 10000)")
             n_pass += 1
+    # d05 occupancy guard: d05's banded SimHash segments are fixed-width
+    # (6 segments x 10 bits = 1024 values/segment). Within-segment-value
+    # occupancy drives the candidate join's output (occ*(occ-1)/2 pairs per
+    # value) — if any value's occupancy outgrows a constant, the
+    # pair-verification stage grows a quadratic tail and d05 must widen its
+    # segments (SimHash.pairsWithin) before testdata scales further.
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        max_occ = con.execute("""
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            h AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+                  FROM tok),
+            bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS s
+              FROM h, (SELECT unnest(range(0, 60)) AS b) bs GROUP BY doc_id, b),
+            sig AS (SELECT doc_id,
+                SUM(CASE WHEN s > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                    ELSE 0 END) AS simhash
+              FROM bits GROUP BY doc_id),
+            seg AS (SELECT seg_idx,
+                (CAST(simhash AS BIGINT) >> CAST(seg_idx * 10 AS INTEGER))
+                  & 1023 AS seg_val
+              FROM sig, (SELECT unnest(range(0, 6)) AS seg_idx) s6)
+            SELECT COALESCE(MAX(occ), 0) FROM
+              (SELECT seg_idx, seg_val, COUNT(*) AS occ
+               FROM seg GROUP BY seg_idx, seg_val)""").fetchone()[0]
+        if max_occ > 200:
+            print(f"FAIL d05_segment_guard: a 10-bit SimHash segment value "
+                  f"holds {max_occ} docs > 200 — the within-segment candidate "
+                  "join grows a quadratic tail; widen segments in "
+                  "SimHash.pairsWithin before scaling testdata")
+            n_fail += 1
+        else:
+            print(f"PASS d05_segment_guard (max segment-value occupancy "
+                  f"{max_occ} <= 200)")
+            n_pass += 1
     for name in sorted(oracles):
         sql = oracles[name]
         pdir = f"{out_dir}/{name}"
