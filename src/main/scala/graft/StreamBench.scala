@@ -41,6 +41,7 @@ object StreamBench {
       runNearDup(spark, rps, secs, sinkDir, ckpt, stateStore,
         stateful = op == "neardup"); return
     }
+    if (op == "join") { runJoin(spark, rps, secs, sinkDir, ckpt, stateStore); return }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -71,6 +72,63 @@ object StreamBench {
     val sunk = sink.read(spark).count()
     val sustained = math.round(sunk / elapsed)
     println(s"""{"metric":"stream_rps","value":$sustained,"unit":"rows/sec","rows":$sunk,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=join measures the streaming temporal join
+    * (TemporalJoin.stream — the reference pipeline's declared two-topic join
+    * stage): two independent rate sources at `rps` each, equi-key on the row
+    * value with |l_ts − r_ts| ≤ 5 s, watermarks = tolerance on both sides so
+    * join state stays bounded (each side buffers ~rps · (tolerance + slack)
+    * rows, evicted as the watermark advances). The two sources run in
+    * lockstep, so each left row matches ~1 right row — reported rows/s is
+    * matched-output rows through the idempotent sink, with state rows and
+    * commit times from the last progress entries.
+    */
+  private def runJoin(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                      secs: Int, sinkDir: String, ckpt: String,
+                      stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.TemporalJoin
+    def side(prefix: String) = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+      .select(col("value").as(s"${prefix}_key"),
+        col("timestamp").as(s"${prefix}_ts"))
+    val joined = TemporalJoin.stream(
+      side("l"), side("r").withColumn("r_payload", col("r_key") * 7L),
+      "l_key", "r_key", "l_ts", "r_ts", Duration.parse("5s"))
+    val sink = new IdempotentParquetSink(sinkDir)
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(1000))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.writeBatch(b, id); ()
+      }
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(secs * 1000L)
+    q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    progress.takeRight(4).foreach(p => System.err.println(
+      s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
+        s"durMs=${p.durationMs} " +
+        s"state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs} rows=${s.numRowsTotal}").mkString(";")}"))
+    val dataBatches = progress.filter(p => p.numInputRows > 0 &&
+      Option(p.durationMs.get("triggerExecution")).exists(_.toLong > 0))
+    val capacity =
+      if (dataBatches.isEmpty) 0L
+      else math.round(dataBatches.map(_.numInputRows).sum * 1000.0 /
+        dataBatches.map(_.durationMs.get("triggerExecution").toLong).sum)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val commitMs = dataBatches.flatMap(_.stateOperators.map(_.commitTimeMs))
+    val avgCommitMs =
+      if (commitMs.isEmpty) 0L else commitMs.sum / commitMs.size
+    val matched = sink.read(spark).count()
+    val sustained = math.round(matched / elapsed)
+    println(s"""{"metric":"join_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"matched":$matched,"state_rows":$stateRows,"avg_commit_ms":$avgCommitMs,"elapsed_sec":$elapsed,"offered_rps_per_side":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -130,7 +188,11 @@ object StreamBench {
     // sustained grows batches until only ~2 complete per window and the
     // killed in-flight batch's work is discarded — capacity is the
     // quantization-free number (for keyed dedup, which keeps up with its
-    // offered rate, the two agree).
+    // offered rate, the two agree). Measure at a BOUNDED offered rate
+    // (SPARK_GRAFT_STREAM_RPS ≈ 1-3× expected capacity): at extreme offered
+    // rates the rate source backfills the first batch so far past the
+    // measurement window that no data batch completes and capacity samples
+    // only warmup (the round-5 46.6k reading vs 186k at 250k offered).
     // Option-wrap the durationMs lookup: it's a java.util.Map and a progress
     // entry without the key would null-unbox into an NPE AFTER the
     // measurement already ran; entries with no duration are dropped.
