@@ -859,6 +859,125 @@ object CoreQueries extends QueryPack {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  /** q27 — TPC-H Q9-style product-type profit: per supplier nation per
+    * order year, the summed profit on parts whose name contains 'red'.
+    * The synthetic schema has no partsupp, so 0.6·p_retailprice·l_quantity
+    * stands in for ps_supplycost·l_quantity — the shape is unchanged: an
+    * exact-DECIMAL computed expression aggregated across a multi-way join.
+    * Scale shape: the name-filtered part list and the supplier→nation chain
+    * fold into broadcasts BEFORE lineitem is touched; the l_orderkey join
+    * against the 2-column orders projection is the one fact-fact exchange
+    * (co-bucket on orderkey at deployment scale); one shuffle for the
+    * (nation, year) group key. Every term stays exact DECIMAL until the
+    * single final double cast (0.6 is exact in DECIMAL(2,1)).
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profit = d2(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)")) -
+      d2(col("p_retailprice")) * col("l_quantity").cast("decimal(12,2)") *
+        lit(0.6).cast("decimal(2,1)")
+    Tables.lineitem(s, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q27Sql =
+    """SELECT nation, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    - CAST(p_retailprice AS DECIMAL(12,2))
+      |      * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1)) AS profit
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON o_orderkey = l_orderkey) t
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q28 — TPC-H Q17-style small-quantity revenue: the average yearly
+    * revenue that would be lost by refusing orders below 20% of a part's
+    * average order quantity, for one brand. The correlated
+    * `0.2·avg(l_quantity)` per part is the aggregate-then-broadcast shape
+    * (q23's rule): per-part thresholds are computed FIRST in one
+    * map-side-combined agg over the brand-semi-joined lineitem, then the
+    * resulting |brand parts|-row frame broadcasts against lineitem — never
+    * a correlated re-scan, and the threshold derives from an exact DECIMAL
+    * sum ÷ count so both engines compare against bit-identical doubles.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+    val thresh = Tables.lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+        / count(lit(1)) * 0.2).as("qty_thresh"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum(d2(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  private val q28Sql =
+    """WITH t AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) * 0.2 AS qty_thresh
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+      |  GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN t ON lineitem.l_partkey = t.l_partkey
+      |WHERE l_quantity < qty_thresh""".stripMargin
+
+  /** q29 — TPC-H Q12-style priority counts by shipping class (adapted: the
+    * synthetic schema has no l_shipmode/l_commitdate, so the return-flag
+    * classes stand in for ship modes and the predicate is a one-year
+    * shipdate window): per class, how many high-priority (1-URGENT/2-HIGH)
+    * vs lower-priority orders shipped — the conditional two-way-count
+    * shape: one pass, SUM(CASE) twice, no union and no second join. The
+    * date range is a plain predicate so it pushes into the lineitem scan.
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q29Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -885,5 +1004,8 @@ object CoreQueries extends QueryPack {
     QueryDef("q23_min_cost_supplier", q23, Some(q23Sql)),
     QueryDef("q24_volume_shipping", q24, Some(q24Sql)),
     QueryDef("q25_important_stock", q25, Some(q25Sql)),
-    QueryDef("q26_market_share", q26, Some(q26Sql)))
+    QueryDef("q26_market_share", q26, Some(q26Sql)),
+    QueryDef("q27_nation_profit", q27, Some(q27Sql)),
+    QueryDef("q28_small_qty_revenue", q28, Some(q28Sql)),
+    QueryDef("q29_priority_counts", q29, Some(q29Sql)))
 }

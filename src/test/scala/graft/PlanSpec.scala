@@ -285,6 +285,34 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q27 profit: part/supplier broadcast before lineitem, partial agg, no cartesian") {
+    val s = planString(run("q27_nation_profit"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the name-filtered part list and supplier→nation chain must broadcast")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q28 correlated threshold aggregates first, broadcasts, never re-scans") {
+    val s = planString(run("q28_small_qty_revenue"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the per-part threshold frame must broadcast against lineitem")
+    assert(s.contains("LeftSemi"),
+      "brand membership must plan as a semi join")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+  }
+
+  test("q29 conditional counts: pushed date range, one pass, no union") {
+    val s = planString(run("q29_priority_counts"))
+    assert(s.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate")),
+      "the shipdate window must push into the lineitem scan")
+    assert(!s.contains("Union"),
+      "high/low counts are SUM(CASE) in one pass, not a union of two aggs")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("t20 weighted sample plans as top-k, never a global sort") {
     val s = planString(run("t20_weighted_sample"))
     assert(s.contains("TakeOrderedAndProject"),
