@@ -125,37 +125,37 @@ object SimilarityQueries extends QueryPack {
     * band (one flipped sign bit) — the standard recall/cost knob for sign
     * LSH.
     *
-    * Scale shape: the corpus side never shuffles. Band rows are
-    * (vec_id, bi, bv) longs only; the query side (fixed-k × bands × probes)
-    * is broadcast into the candidate join, and the verification join
-    * broadcasts the candidate list (≤ QueryK · Bands · probes ·
-    * TargetBucketSize rows) back against the corpus.
+    * Scale shape: the corpus side never shuffles — its banded frame (vectors
+    * included: a pure projection feeding the map-side probe of a broadcast
+    * hash join costs nothing on the wire) streams through one
+    * BroadcastHashJoin against the tiny query side (fixed-k × bands ×
+    * probes, query vectors attached), scores in the same stage, and the only
+    * exchanges in the whole candidate pipeline are the pair-dedup DISTINCT
+    * and topkRank's final aggregation — both over ≤ QueryK · Bands · probes
+    * · TargetBucketSize candidate rows. Scoring before the distinct is safe:
+    * a pair colliding in several bands produces bit-identical cos values.
     */
   private def lshPairsFrom(base: DataFrame, ids: DataFrame, p: Int,
                            multiProbe: Boolean): DataFrame = {
-    val bands = base.select(col("vec_id"),
+    val bands = base.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(lshBandVals(col("v"), Bands, p, Dims)).as(Seq("bi", "bv")))
     val own = bands.join(broadcast(ids), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bi"), col("bv"))
     val qBands =
       if (!multiProbe) own
       else {
         val masks = array(lit(0L) +: (0 until p).map(h => lit(1L << h)): _*)
-        own.select(col("vec_id"), col("bi"),
+        own.select(col("query_id"), col("qv"), col("qnrm"), col("bi"),
           explode(transform(masks, m => col("bv").bitwiseXOR(m))).as("bv"))
       }
-    val cand = bands.as("b").join(broadcast(qBands.as("a")),
+    bands.as("b").join(broadcast(qBands.as("a")),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+        col("query_id") =!= col("b.vec_id"))
+      .select(col("query_id"), col("b.vec_id").as("neighbor_id"),
+        (dotLong(col("qv"), col("b.v")).cast("double")
+          / (col("qnrm") * col("b.nrm"))).as("cos"))
       .distinct()
-    val qv = base.join(broadcast(ids), "vec_id")
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    base.as("nn").join(broadcast(cand.join(qv, "query_id")),
-        col("nn.vec_id") === col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotLong(col("qv"), col("nn.v")).cast("double")
-          / (col("qnrm") * col("nn.nrm"))).as("cos"))
   }
 
   /** Banded (band_idx, band_val) SQL CTE over the quantized CTE `q` —
