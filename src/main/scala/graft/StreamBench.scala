@@ -14,6 +14,18 @@ import graft.streaming.{StreamingDedup, StreamingPipeline}
   * the same shape: Kafka-source dedup ETL sustained rate.
   */
 object StreamBench {
+
+  /** stop() with the session's bounded stopTimeout throws on an abandoned
+    * in-flight batch — that's the expected overload-regime outcome, not a
+    * bench failure (completed-batch metrics are already collected).
+    */
+  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.stop()
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[streambench] stop timed out; in-flight batch abandoned")
+    }
+
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
@@ -28,6 +40,12 @@ object StreamBench {
     if (stateStore.equalsIgnoreCase("hdfs"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    // Bound query.stop(): the default (0 = wait forever) hangs the bench in
+    // the overload regime — offered ≫ sustained grows the in-flight batch
+    // past any fixed measurement window, and stop() would wait out the whole
+    // thing. 15 s lets a normal batch drain; a ballooned one is abandoned
+    // (the sink only counts COMPLETED batches either way).
+    spark.conf.set("spark.sql.streaming.stopTimeout", "15000")
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_sb_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sb_ckpt").toString
 
@@ -64,7 +82,7 @@ object StreamBench {
     // would chase a live rate source forever when offered > sustained)
     val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
-    q.stop()
+    stopQuietly(q)
     val elapsed = (System.nanoTime() - t0) / 1e9
     q.recentProgress.takeRight(3).foreach(p => System.err.println(
       s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
@@ -108,7 +126,7 @@ object StreamBench {
       .start()
     val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
-    q.stop()
+    stopQuietly(q)
     val elapsed = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress.toSeq
     progress.takeRight(4).foreach(p => System.err.println(
@@ -176,7 +194,7 @@ object StreamBench {
       .start()
     val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
-    q.stop()
+    stopQuietly(q)
     val elapsed = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress.toSeq
     progress.takeRight(4).foreach(p => System.err.println(
