@@ -26,6 +26,16 @@ object StreamBench {
         System.err.println("[streambench] stop timed out; in-flight batch abandoned")
     }
 
+  /** None when NO epoch was ever committed (deep-overload runs where even
+    * batch 0 outlived the window + stopTimeout): the sink's epoch glob then
+    * matches nothing and read() would kill the bench after measurement.
+    */
+  private def sunkOrEmpty(sink: IdempotentParquetSink,
+                          spark: org.apache.spark.sql.SparkSession)
+      : Option[org.apache.spark.sql.DataFrame] =
+    try Some(sink.read(spark))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
@@ -87,7 +97,7 @@ object StreamBench {
     q.recentProgress.takeRight(3).foreach(p => System.err.println(
       s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
         s"durMs=${p.batchDuration}"))
-    val sunk = sink.read(spark).count()
+    val sunk = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val sustained = math.round(sunk / elapsed)
     println(s"""{"metric":"stream_rps","value":$sustained,"unit":"rows/sec","rows":$sunk,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
@@ -144,7 +154,7 @@ object StreamBench {
     val commitMs = dataBatches.flatMap(_.stateOperators.map(_.commitTimeMs))
     val avgCommitMs =
       if (commitMs.isEmpty) 0L else commitMs.sum / commitMs.size
-    val matched = sink.read(spark).count()
+    val matched = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val sustained = math.round(matched / elapsed)
     println(s"""{"metric":"join_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"matched":$matched,"state_rows":$stateRows,"avg_commit_ms":$avgCommitMs,"elapsed_sec":$elapsed,"offered_rps_per_side":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
@@ -220,9 +230,9 @@ object StreamBench {
       if (dataBatches.isEmpty) 0L
       else math.round(dataBatches.map(_.numInputRows).sum * 1000.0 /
         dataBatches.map(_.durationMs.get("triggerExecution").toLong).sum)
-    val verdicts = sink.read(spark)
-    val nDocs = verdicts.count()
-    val nRejected = verdicts.filter(!col("kept")).count()
+    val verdicts = sunkOrEmpty(sink, spark)
+    val nDocs = verdicts.map(_.count()).getOrElse(0L)
+    val nRejected = verdicts.map(_.filter(!col("kept")).count()).getOrElse(0L)
     val sustained = math.round(nDocs / elapsed)
     println(s"""{"metric":"neardup_rps","value":$sustained,"unit":"docs/sec","capacity_rps":$capacity,"docs":$nDocs,"rejected":$nRejected,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()

@@ -36,6 +36,18 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized total row count of `<sfDir>/<name>.parquet` — sizes scale
+    * parameters (VectorFunctions.planesFor) without paying a count job on
+    * every query build. Safe per JVM: the driver's testdata dirs are
+    * immutable within a session.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$sfDir/$name",
+      _ => java.lang.Long.valueOf(apply(spark, sfDir, name).count())).longValue()
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "customer")

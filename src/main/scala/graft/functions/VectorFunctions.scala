@@ -58,16 +58,6 @@ object VectorFunctions {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Sign-bucket id over `planes` hyperplanes: bit h set iff w_h · v >= 0.
-    * Cheap (planes × dims multiply-adds per row), no shuffle — the hash side
-    * of LSH-bucketed ANN.
-    */
-  def lshBucket(vQuantized: Column, planes: Int, dims: Int): Column =
-    (0 until planes).map { h =>
-      val w = array(hyperplane(h, dims).map(lit): _*)
-      when(dotLong(vQuantized, w) >= 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** LSH scale parameters. A FIXED plane count makes within-bucket joins
     * O(n²/2^planes) — quadratic at any setting once n outgrows it. Instead
     * the plane count adapts: `planesFor(n)` chooses the smallest width (with

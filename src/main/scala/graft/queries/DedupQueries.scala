@@ -390,7 +390,7 @@ object DedupQueries extends QueryPack {
     // fixed plane count); LshBands independent bands keep recall. The SQL
     // oracle pins the MinPlanes floor, which planesFor returns at every
     // verify scale (see SimilarityQueries.SqlPlanes).
-    val p = planesFor(Tables.embeddings(s, dir).count())
+    val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))

@@ -175,7 +175,7 @@ object SimilarityQueries extends QueryPack {
     * Same query set as s01, so recall is directly observable (s05).
     */
   private def s02(s: SparkSession, dir: String): DataFrame = {
-    val p = planesFor(Tables.embeddings(s, dir).count())
+    val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
     topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK), p,
       multiProbe = false), 3)
       .orderBy(col("query_id"), col("rk"))
@@ -354,7 +354,7 @@ object SimilarityQueries extends QueryPack {
     * probes buy.
     */
   private def s06(s: SparkSession, dir: String): DataFrame = {
-    val p = planesFor(Tables.embeddings(s, dir).count())
+    val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
     topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK), p,
       multiProbe = true), 3)
       .orderBy(col("query_id"), col("rk"))
@@ -403,7 +403,7 @@ object SimilarityQueries extends QueryPack {
     * four measurements themselves, each exactly once.
     */
   private def s05(s: SparkSession, dir: String): DataFrame = {
-    val p = planesFor(Tables.embeddings(s, dir).count())
+    val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
     val vecs = baseVecs(s, dir).localCheckpoint()
     val ids = sampleIds(s, dir, QueryK).localCheckpoint()
     val exact = s01From(vecs, ids).filter(col("rk") <= 3)
