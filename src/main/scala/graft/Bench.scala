@@ -42,7 +42,7 @@ object Bench {
     // incl. 10% duplicates → keep-first dedup in an 8h window → sink
     // projection → exact count) in records/sec — BASELINE.md's
     // glassflow_rps is the same pipeline at 8,018–9,429 rps. Median of 3,
-    // measured FIRST on the fresh session: a 60-GiB heap full of 66 queries'
+    // measured FIRST on the fresh session: a 60-GiB heap full of the query suite's
     // history full-GCs mid-pipeline otherwise (observed 16 s stalls), which
     // is measurement contamination, not pipeline cost.
     val sent = 2000000L

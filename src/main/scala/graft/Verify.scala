@@ -20,7 +20,7 @@ object Verify {
       }
       // drop this query's localCheckpoint blocks (s05/d07/d11 materialize
       // frames eagerly); nothing references them once the write finished,
-      // and letting them accumulate across 66 queries builds memory
+      // and letting them accumulate across the whole query suite builds memory
       // pressure that slows later queries
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
