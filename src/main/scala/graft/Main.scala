@@ -13,14 +13,28 @@ import graft.harness.GridGenerator.{ParamRange, ParamValues}
   *   graft.Main single --test-id T --records 100000 [--processes 4] ...
   *   graft.Main results --results-file results/T_results.csv
   *   graft.Main query  --name q01_pricing_summary --sf-dir /root/testdata/sf0.001
-  *                     [--limit 20]   (or --name list to enumerate)
+  *                     [--limit 20] [--explain] [--time [runs]]
+  *                     (or --name list to enumerate)
   */
 object Main {
 
-  private def parseArgs(args: Seq[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ args.filter(_ == "--no-resume").map(_ => "no-resume" -> "true").toMap
+  /** `--key value` pairs plus bare `--flag`s (mapped to ""), so boolean
+    * flags (--no-resume, --explain, --time) don't shift the pairing of
+    * whatever follows them.
+    */
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          out(a.drop(2)) = args(i + 1); i += 2
+        } else { out(a.drop(2)) = ""; i += 1 }
+      } else i += 1
+    }
+    out.toMap
+  }
 
   private def session(): SparkSession = GraftSession.local("graft-cli")
 
@@ -50,9 +64,26 @@ object Main {
     val spark = session()
     try {
       val df = fn(spark, dir)
-      val n = df.count()
-      println(s"[query] $name rows=$n")
-      df.show(limit, truncate = false)
+      if (opts.contains("explain")) {
+        // the plan-audit affordance: the same formatted explain PlanSpec
+        // pins (untruncated PushedFilters/ReadSchema node fields)
+        df.collect() // materialize so AQE finalizes the plan
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else if (opts.contains("time")) {
+        val runs = opts.get("time").filter(_.nonEmpty).map(_.toInt).getOrElse(3)
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[query] $name runs=$runs median=${times(times.size / 2)}%.3f" +
+          f"s min=${times.head}%.3fs max=${times.last}%.3fs")
+      } else {
+        val n = df.count()
+        println(s"[query] $name rows=$n")
+        df.show(limit, truncate = false)
+      }
     } finally spark.stop()
   }
 
