@@ -50,6 +50,49 @@ class StreamBatchAgreementSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("temporal join (J1 streaming form): file-stream replay == batch") {
+    // the bench's join-stage shape (StreamBench op=join) on real data:
+    // per-user clicks joined to purchases within ±30 min, both sides
+    // replayed as streams — must converge to TemporalJoin.batch exactly
+    val dir = sf("sf0.001")
+    val tol = graft.config.Duration.parse("30m")
+    def side(df: org.apache.spark.sql.DataFrame, typ: String, p: String) = df
+      .filter(col("event_type") === typ)
+      .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val ev = Tables.events(spark, dir)
+    val batch = graft.streaming.TemporalJoin.batch(
+      side(ev, "click", "l"), side(ev, "purchase", "r"),
+      "l_user", "r_user", col("l_ts"), col("r_ts"), tol)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_tj_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    def stream() = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val streamed = graft.streaming.TemporalJoin.stream(
+      side(stream(), "click", "l"), side(stream(), "purchase", "r"),
+      "l_user", "r_user", "l_ts", "r_ts", tol)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tj").toString
+    val q = streamed.writeStream.format("memory").queryName("tj_out")
+      .outputMode("append") // stream-stream inner join emits matches as found
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val a = spark.table("tj_out").collect().map(_.toSeq).toSet
+      val b = batch.collect().map(_.toSeq).toSet
+      assert(a == b, "streaming temporal join must converge to the batch answer")
+      assert(b.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session window agg (ST7 streaming form): file-stream replay == batch") {
     val dir = sf("sf0.001")
     def agg(df: org.apache.spark.sql.DataFrame) = df
