@@ -86,16 +86,13 @@ object VectorFunctions {
 
   /** Per-band sign-bucket values: band t hashes with the disjoint hyperplane
     * set [t·p, (t+1)·p). Returns an array of `bands` longs — posexplode to
-    * (band_idx, band_val) rows for the candidate equi-join.
+    * (band_idx, band_val) rows for the candidate equi-join. One native
+    * codegen call for all bands (see LshBandSig — the compositional
+    * bands×planes expression forest bloats generated code at scale widths).
     */
   def lshBandVals(vQuantized: Column, bands: Int, planesPerBand: Int,
                   dims: Int): Column =
-    array((0 until bands).map { t =>
-      (0 until planesPerBand).map { h =>
-        val w = array(hyperplane(t * planesPerBand + h, dims).map(lit): _*)
-        when(dotLong(vQuantized, w) >= 0, lit(1L << h)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    LshBandSig(vQuantized, bands, planesPerBand, dims)
 
   /** DuckDB rendering of one band's [[lshBandVals]] value — same hyperplanes,
     * same bit order, so oracle SQL reproduces bucket ids exactly.

@@ -59,6 +59,35 @@ class TextVectorSpec extends SparkSpecBase {
     assert(VF.hyperplane(1, 64).toSeq != w1.toSeq)
   }
 
+  test("LshBandSig matches the per-plane sign definition on real embeddings") {
+    // the fused codegen expression must agree bit-for-bit with the
+    // definitional form: band t bit h set iff hyperplane(t*p+h) . v >= 0
+    val bands = 4; val p = 8; val dims = 64
+    val rows = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VF.quantize(col("embedding")).as("v"))
+      .withColumn("sig", VF.lshBandVals(col("v"), bands, p, dims))
+      .select(col("v"), col("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val v = r.getSeq[Long](0)
+      val sig = r.getSeq[Long](1)
+      assert(sig.length == bands)
+      for (t <- 0 until bands) {
+        val expected = (0 until p).map { h =>
+          val w = VF.hyperplane(t * p + h, dims)
+          val dot = v.indices.map(i => v(i) * w(i)).sum
+          if (dot >= 0) 1L << h else 0L
+        }.sum
+        assert(sig(t) == expected, s"band $t mismatch")
+      }
+    }
+    // null vector -> null signature (UnaryExpression null propagation)
+    val nulls = Seq(Tuple1(null.asInstanceOf[Seq[Long]])).toDF("v")
+      .select(VF.lshBandVals(col("v"), bands, p, dims).as("sig")).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("BpeApply: rank-ordered merges, earlier merges shadow later entries") {
     import graft.functions.BpeApply
     def enc(s: String): (Long, Long) = {
