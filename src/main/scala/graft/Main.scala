@@ -22,7 +22,7 @@ object Main {
     * flags (--no-resume, --explain, --time) don't shift the pairing of
     * whatever follows them.
     */
-  private def parseArgs(args: Seq[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     var i = 0
     while (i < args.length) {

@@ -102,6 +102,18 @@ class HarnessSpec extends SparkSpecBase {
     assert(table.contains(f"${r.durationSec}%.2f seconds"))
   }
 
+  test("CLI parseArgs: bare flags don't shift the pairing of later args") {
+    val got = Main.parseArgs(Seq("--test-id", "t1", "--no-resume",
+      "--records", "5", "--explain", "--time", "7"))
+    assert(got("test-id") == "t1")
+    assert(got.contains("no-resume") && got("no-resume") == "")
+    assert(got("records") == "5")
+    assert(got.contains("explain"))
+    assert(got("time") == "7")
+    assert(Main.parseArgs(Seq("--time")) == Map("time" -> ""))
+    assert(Main.parseArgs(Nil).isEmpty)
+  }
+
   test("cluster profile: AQE-coalescible shuffle width, 128 MiB scan splits") {
     val c = GraftSession.clusterConfigs(totalCores = 16000)
     // 2x cores: AQE can only merge partitions, never split a straggler, so
