@@ -38,6 +38,19 @@ object Main {
 
   private def session(): SparkSession = GraftSession.local("graft-cli")
 
+  /** Option value with absent, bare (`--records` with nothing after), and
+    * empty all treated as "use the default" — a malformed numeric still
+    * fails, but at parse time with the flag named, not as a raw
+    * NumberFormatException after Spark startup.
+    */
+  private def strOpt(opts: Map[String, String], key: String, default: String): String =
+    opts.get(key).filter(_.nonEmpty).getOrElse(default)
+
+  private def intOpt(opts: Map[String, String], key: String, default: Int): Int =
+    opts.get(key).filter(_.nonEmpty).map { v =>
+      v.toIntOption.getOrElse(sys.error(s"--$key expects an integer, got '$v'"))
+    }.getOrElse(default)
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("run") => run(parseArgs(args.toSeq.tail), single = false)
     case Some("single") => run(parseArgs(args.toSeq.tail), single = true)
@@ -59,19 +72,22 @@ object Main {
     }
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name' — use --name list"))
-    val dir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
-    val limit = opts.get("limit").map(_.toInt).getOrElse(20)
+    val dir = strOpt(opts, "sf-dir", "/root/testdata/sf0.001")
+    val limit = intOpt(opts, "limit", 20)
     val spark = session()
     try {
       val df = fn(spark, dir)
       if (opts.contains("explain")) {
         // the plan-audit affordance: the same formatted explain PlanSpec
-        // pins (untruncated PushedFilters/ReadSchema node fields)
-        df.collect() // materialize so AQE finalizes the plan
+        // pins (untruncated PushedFilters/ReadSchema node fields). Execute
+        // the query's own physical plan (AQE finalizes on execution) without
+        // collecting rows to the driver — an RDD count discards them on the
+        // executors.
+        df.queryExecution.toRdd.count()
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       } else if (opts.contains("time")) {
-        val runs = opts.get("time").filter(_.nonEmpty).map(_.toInt).getOrElse(3)
+        val runs = math.max(1, intOpt(opts, "time", 3))
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, dir).count()
@@ -91,22 +107,22 @@ object Main {
 
   private def run(opts: Map[String, String], single: Boolean): Unit = {
     val testId = opts.getOrElse("test-id", "local")
-    val hasPipeCfg = opts.contains("pipeline-config")
+    val hasPipeCfg = opts.get("pipeline-config").exists(_.nonEmpty)
     // dedup/sink axes: explicit flag wins; otherwise a loaded pipeline
     // config supplies them (axis omitted → executor falls back to it);
     // otherwise the reference defaults
     def optAxis(name: String, flag: String, default: String,
                 mk: String => GridGenerator.ParamSpec): Seq[(String, GridGenerator.ParamSpec)] =
-      opts.get(flag) match {
+      opts.get(flag).filter(_.nonEmpty) match {
         case Some(v) => Seq(name -> mk(v))
         case None if hasPipeCfg => Seq.empty
         case None => Seq(name -> mk(default))
       }
     val axes: Seq[(String, GridGenerator.ParamSpec)] = Seq(
-      "num_processes" -> ParamValues(longs(opts.getOrElse("processes", "2"))),
-      "total_records" -> ParamValues(longs(opts.getOrElse("records", "100000"))),
+      "num_processes" -> ParamValues(longs(strOpt(opts, "processes", "2"))),
+      "total_records" -> ParamValues(longs(strOpt(opts, "records", "100000"))),
       "duplication_rate" -> ParamValues(
-        opts.getOrElse("dup-rate", "0.1").split(",").toSeq.map(_.trim.toDouble))) ++
+        strOpt(opts, "dup-rate", "0.1").split(",").toSeq.map(_.trim.toDouble))) ++
       optAxis("deduplication_window", "dedup-window", "8h",
         v => ParamValues(v.split(",").toSeq.map(_.trim))) ++
       optAxis("max_batch_size", "batch-size", "5000", v => ParamValues(longs(v))) ++
@@ -116,9 +132,9 @@ object Main {
     val variants =
       if (single) all.take(1)
       else GridGenerator.evenSample(all,
-        opts.get("max-combinations").map(_.toInt).getOrElse(-1))
+        intOpt(opts, "max-combinations", -1))
     println(s"[main] $testId: ${variants.size} variant(s)")
-    val pipelineCfg = opts.get("pipeline-config").map { p =>
+    val pipelineCfg = opts.get("pipeline-config").filter(_.nonEmpty).map { p =>
       graft.config.PipelineConfigJson.fromJson(
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
     }

@@ -29,12 +29,34 @@ object StreamBench {
   /** None when NO epoch was ever committed (deep-overload runs where even
     * batch 0 outlived the window + stopTimeout): the sink's epoch glob then
     * matches nothing and read() would kill the bench after measurement.
+    * Only the path-missing condition is absorbed — any other analysis
+    * failure (corrupt epoch, schema conflict) is a real bug and still
+    * propagates instead of masquerading as a 0-row run.
     */
   private def sunkOrEmpty(sink: IdempotentParquetSink,
                           spark: org.apache.spark.sql.SparkSession)
       : Option[org.apache.spark.sql.DataFrame] =
     try Some(sink.read(spark))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+        None
+    }
+
+  /** Completed-data-batch capacity: rows through COMPLETED batches over
+    * their processing time (quantization-free; see the measurement note in
+    * runNearDup). Progress entries without a positive triggerExecution are
+    * dropped — the durationMs lookup is a java.util.Map and an absent key
+    * would null-unbox into an NPE after the measurement already ran.
+    */
+  private def capacityOf(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Long = {
+    val dataBatches = progress.filter(p => p.numInputRows > 0 &&
+      Option(p.durationMs.get("triggerExecution")).exists(_.toLong > 0))
+    if (dataBatches.isEmpty) 0L
+    else math.round(dataBatches.map(_.numInputRows).sum * 1000.0 /
+      dataBatches.map(_.durationMs.get("triggerExecution").toLong).sum)
+  }
 
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
@@ -143,15 +165,11 @@ object StreamBench {
       s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
         s"durMs=${p.durationMs} " +
         s"state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs} rows=${s.numRowsTotal}").mkString(";")}"))
-    val dataBatches = progress.filter(p => p.numInputRows > 0 &&
-      Option(p.durationMs.get("triggerExecution")).exists(_.toLong > 0))
-    val capacity =
-      if (dataBatches.isEmpty) 0L
-      else math.round(dataBatches.map(_.numInputRows).sum * 1000.0 /
-        dataBatches.map(_.durationMs.get("triggerExecution").toLong).sum)
+    val capacity = capacityOf(progress)
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
-    val commitMs = dataBatches.flatMap(_.stateOperators.map(_.commitTimeMs))
+    val commitMs = progress.filter(_.numInputRows > 0)
+      .flatMap(_.stateOperators.map(_.commitTimeMs))
     val avgCommitMs =
       if (commitMs.isEmpty) 0L else commitMs.sum / commitMs.size
     val matched = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
@@ -221,15 +239,7 @@ object StreamBench {
     // rates the rate source backfills the first batch so far past the
     // measurement window that no data batch completes and capacity samples
     // only warmup (the round-5 46.6k reading vs 186k at 250k offered).
-    // Option-wrap the durationMs lookup: it's a java.util.Map and a progress
-    // entry without the key would null-unbox into an NPE AFTER the
-    // measurement already ran; entries with no duration are dropped.
-    val dataBatches = progress.filter(p => p.numInputRows > 0 &&
-      Option(p.durationMs.get("triggerExecution")).exists(_.toLong > 0))
-    val capacity =
-      if (dataBatches.isEmpty) 0L
-      else math.round(dataBatches.map(_.numInputRows).sum * 1000.0 /
-        dataBatches.map(_.durationMs.get("triggerExecution").toLong).sum)
+    val capacity = capacityOf(progress)
     val verdicts = sunkOrEmpty(sink, spark)
     val nDocs = verdicts.map(_.count()).getOrElse(0L)
     val nRejected = verdicts.map(_.filter(!col("kept")).count()).getOrElse(0L)

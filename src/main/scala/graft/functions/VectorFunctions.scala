@@ -103,4 +103,18 @@ object VectorFunctions {
         .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v::DOUBLE[], $wl::DOUBLE[]) >= 0 THEN ${1L << h} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The full banded (vec_id, bi, bv) CTE over a quantized CTE named `q` —
+    * DuckDB zips the parallel unnests positionally, mirroring posexplode.
+    * ONE renderer for every oracle that joins on band buckets (s02/s06/d11):
+    * the bit layout here and in [[lshBandVals]]/LshBandSig must never drift
+    * apart, so neither may two SQL copies of it.
+    */
+  def lshBandsCteSql(bands: Int, planesPerBand: Int, dims: Int): String = {
+    val bis = (0 until bands).mkString("[", ", ", "]")
+    val bvs = (0 until bands)
+      .map(t => "(" + lshBandValSql(t, planesPerBand, dims) + ")")
+      .mkString("[", ",\n  ", "]")
+    s"bands AS (SELECT vec_id, unnest($bis) AS bi, unnest($bvs) AS bv FROM q)"
+  }
 }

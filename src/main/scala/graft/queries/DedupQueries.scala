@@ -414,15 +414,11 @@ object DedupQueries extends QueryPack {
   }
 
   private val d11Sql: String = {
-    import graft.functions.VectorFunctions.{LshBands, MinPlanes, lshBandValSql}
-    val bis = (0 until LshBands).mkString("[", ", ", "]")
-    val bvs = (0 until LshBands)
-      .map(t => "(" + lshBandValSql(t, MinPlanes, 64) + ")")
-      .mkString("[", ",\n  ", "]")
+    import graft.functions.VectorFunctions.{LshBands, MinPlanes, lshBandsCteSql}
     s"""WITH RECURSIVE q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
-       |bands AS (SELECT vec_id, unnest($bis) AS bi, unnest($bvs) AS bv FROM q),
+       |${lshBandsCteSql(LshBands, MinPlanes, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        | FROM bands a JOIN bands b
        |   ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id),

@@ -158,16 +158,11 @@ object SimilarityQueries extends QueryPack {
       .distinct()
   }
 
-  /** Banded (band_idx, band_val) SQL CTE over the quantized CTE `q` —
-    * DuckDB zips the parallel unnests positionally, mirroring posexplode.
+  /** Banded (band_idx, band_val) SQL CTE over the quantized CTE `q` — the
+    * shared renderer, so this oracle and d11's can't drift apart.
     */
-  private def bandsCteSql(p: Int): String = {
-    val bis = (0 until Bands).mkString("[", ", ", "]")
-    val bvs = (0 until Bands)
-      .map(t => "(" + graft.functions.VectorFunctions.lshBandValSql(t, p, Dims) + ")")
-      .mkString("[", ",\n  ", "]")
-    s"bands AS (SELECT vec_id, unnest($bis) AS bi, unnest($bvs) AS bv FROM q)"
-  }
+  private def bandsCteSql(p: Int): String =
+    graft.functions.VectorFunctions.lshBandsCteSql(Bands, p, Dims)
 
   /** s02 — banded-LSH ANN: [[Bands]] sign-LSH bands of `planesFor(n)`
     * deterministic md5-derived hyperplanes each; candidates from the

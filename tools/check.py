@@ -106,9 +106,11 @@ def main():
               FROM sig, (SELECT unnest(range(0, 6)) AS seg_idx) s6),
             occ AS (SELECT seg_idx, seg_val, COUNT(*) AS o
                     FROM seg GROUP BY seg_idx, seg_val)
-            SELECT COALESCE(SUM(o * (o - 1) / 2), 0)
-                   / ((SELECT COUNT(*) FROM sig)
-                      * ((SELECT COUNT(*) FROM sig) - 1) / 2.0)
+            SELECT COALESCE(
+                     COALESCE(SUM(o * (o - 1) / 2), 0)
+                     / NULLIF((SELECT COUNT(*) FROM sig)
+                              * ((SELECT COUNT(*) FROM sig) - 1) / 2.0, 0),
+                     0)
             FROM occ""").fetchone()[0]
         if cand_ratio > 0.3:
             print(f"FAIL d05_segment_guard: banded candidates are "
