@@ -978,6 +978,94 @@ object CoreQueries extends QueryPack {
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q30 — TPC-H Q6-style forecast revenue: one scan, zero joins — the
+    * whole query is three pushable range predicates and a single exact-
+    * DECIMAL product sum. Every predicate reaches the parquet scan
+    * (PlanSpec-pinned): at 100 TB this query's cost is IO on the pruned
+    * row groups, nothing else.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24)
+      .agg(sum(d2(col("l_extendedprice")) * col("l_discount").cast("decimal(4,2)"))
+        .cast("double").as("revenue"))
+
+  private val q30Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.04
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q31 — TPC-H Q14-style promotion share: the revenue fraction from one
+    * part type in a shipdate year, as a conditional-aggregate ratio
+    * (q26's SUM(CASE)/SUM shape) over the lineitem⋈broadcast(part) join —
+    * one pass, no union, both sides exact DECIMAL until the final ratio.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val rev = d2(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg((sum(when(col("p_type") === "ECONOMY", rev)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
+        sum(rev).cast("double")).as("promo_share_pct"))
+  }
+
+  private val q31Sql =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_share_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'""".stripMargin
+
+  /** q32 — TPC-H Q15-style top supplier: the supplier(s) whose quarterly
+    * revenue equals the maximum. The revenue "view" is one map-side-combined
+    * agg; the correlated MAX is a 1-row aggregate broadcast (q22's scalar
+    * pattern) compared in exact DECIMAL — so ties are exact, never a double
+    * epsilon — and supplier names attach via broadcast at the end.
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(d2(col("l_extendedprice")) *
+        (one - col("l_discount").cast("decimal(4,2)"))).as("total_dec"))
+    val mx = r.agg(max(col("total_dec")).as("max_dec"))
+    r.crossJoin(broadcast(mx))
+      .filter(col("total_dec") === col("max_dec"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q32Sql =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+      |FROM r JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_dec = (SELECT MAX(total_dec) FROM r)
+      |ORDER BY s_suppkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -1007,5 +1095,8 @@ object CoreQueries extends QueryPack {
     QueryDef("q26_market_share", q26, Some(q26Sql)),
     QueryDef("q27_nation_profit", q27, Some(q27Sql)),
     QueryDef("q28_small_qty_revenue", q28, Some(q28Sql)),
-    QueryDef("q29_priority_counts", q29, Some(q29Sql)))
+    QueryDef("q29_priority_counts", q29, Some(q29Sql)),
+    QueryDef("q30_forecast_revenue", q30, Some(q30Sql)),
+    QueryDef("q31_promo_share", q31, Some(q31Sql)),
+    QueryDef("q32_top_supplier", q32, Some(q32Sql)))
 }

@@ -313,6 +313,35 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q30 single-scan revenue: every range predicate reaches the scan") {
+    val s = planString(run("q30_forecast_revenue"))
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity")) {
+      assert(s.linesIterator.exists(l => l.contains("PushedFilters") && l.contains(p)),
+        s"predicate $p must push into the lineitem scan")
+    }
+    assert(!s.contains("Join"), "Q6 shape has no join at all")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+  }
+
+  test("q31 promo share: one conditional-aggregate pass over a broadcast join") {
+    val s = planString(run("q31_promo_share"))
+    assert(s.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!s.contains("Union"), "share = SUM(CASE)/SUM in one pass")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q32 top supplier: scalar MAX broadcasts, revenue agg partial-combines") {
+    val s = planString(run("q32_top_supplier"))
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+        s.contains("BroadcastHashJoin Cross"),
+      "the quarterly MAX must join as a broadcast 1-row frame")
+    assert(s.contains("BroadcastHashJoin"), "supplier names attach by broadcast")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial + final agg")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("t20 weighted sample plans as top-k, never a global sort") {
     val s = planString(run("t20_weighted_sample"))
     assert(s.contains("TakeOrderedAndProject"),
