@@ -1066,6 +1066,39 @@ object CoreQueries extends QueryPack {
       |WHERE total_dec = (SELECT MAX(total_dec) FROM r)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q33 — TPC-H Q16-style supplier-count report: distinct suppliers able
+    * to ship each surviving (brand, type, size) combination — the
+    * distinct-count-after-negated-filters shape (brand <>, type NOT LIKE,
+    * size IN) no other query covers. The part cut broadcasts; lineitem
+    * provides the (partkey, suppkey) capability pairs and collapses to
+    * DISTINCT pairs map-side BEFORE the count, so the count's shuffle
+    * carries pairs, never raw lineitem.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val partCut = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#3" &&
+        !col("p_type").startsWith("ECONOMY") &&
+        col("p_size").isin(1, 2, 3, 4, 5))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(partCut), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q33Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#3'
+      |  AND p_type NOT LIKE 'ECONOMY%'
+      |  AND p_size IN (1, 2, 3, 4, 5)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -1098,5 +1131,6 @@ object CoreQueries extends QueryPack {
     QueryDef("q29_priority_counts", q29, Some(q29Sql)),
     QueryDef("q30_forecast_revenue", q30, Some(q30Sql)),
     QueryDef("q31_promo_share", q31, Some(q31Sql)),
-    QueryDef("q32_top_supplier", q32, Some(q32Sql)))
+    QueryDef("q32_top_supplier", q32, Some(q32Sql)),
+    QueryDef("q33_supplier_counts", q33, Some(q33Sql)))
 }

@@ -342,6 +342,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q33 supplier counts: pair-distinct before the count, part cut broadcast") {
+    val s = planString(run("q33_supplier_counts"))
+    assert(s.contains("BroadcastHashJoin"), "the negated part cut must broadcast")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "pair distinct + count must both partial-aggregate")
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"))
+  }
+
   test("t20 weighted sample plans as top-k, never a global sort") {
     val s = planString(run("t20_weighted_sample"))
     assert(s.contains("TakeOrderedAndProject"),
