@@ -303,6 +303,83 @@ object JoinQueries extends QueryPack {
       |  valid_to IS NULL AS is_current
       |FROM x ORDER BY user_id, version""".stripMargin
 
+  /** j09 — interval-overlap range join: for every user session (j04's
+    * 30-minute-gap sessions, interval [first ts, last ts]), the number of
+    * OTHER sessions — any user — overlapping it in time. The load-
+    * concurrency measure behind capacity planning, and the operator class
+    * Spark has no native form for: an interval self-join with NO equi key,
+    * which naive formulations execute as BroadcastNestedLoopJoin — O(n²)
+    * comparisons and a broadcast of half the corpus at scale.
+    *
+    * Scale shape: time is cut into fixed 1-hour bins; each session explodes
+    * to the bins it spans (bounded by session length / bin width), the self
+    * join becomes an EQUI-join on bin (hash-partitionable, no broadcast of
+    * the big side), the exact overlap predicate filters inside the bin
+    * match, and pairs found in several shared bins collapse with one
+    * distinct. Overlap is reflexive, so every session matches itself —
+    * `count−1` avoids a second left join for zero-concurrency sessions.
+    * The bins are internal to the plan (the oracle joins on the raw
+    * predicate), so bin width only tunes fan-out, never results. PlanSpec
+    * pins the no-nested-loop shape.
+    *
+    * Cost class, honestly: per-bin occupancy is the CONCURRENCY (sessions
+    * per hour), so the join does Σ occ² work — linear in corpus length,
+    * quadratic in density. That is output-proportional, not wasteful:
+    * Σ n_concurrent (the answer's own mass) is the same Σ occ² up to the
+    * near-miss constant that bin width controls, and this form generalizes
+    * to pair ENUMERATION (who overlapped whom), which no cheaper plan
+    * yields. A deployment needing only the counts would instead take two
+    * order-statistic lookups per session (#starts ≤ end − #ends < start −
+    * 1) off a prefix-summed per-bin count table — O(n), no pair
+    * materialization — at the price of losing the pair list.
+    */
+  private def j09(s: SparkSession, dir: String): DataFrame = {
+    val binSec = 3600L
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("session_end"))
+    val binned = sess.withColumn("bin",
+      explode(sequence(
+        floor(col("session_start").cast("long") / binSec).cast("long"),
+        floor(col("session_end").cast("long") / binSec).cast("long"))))
+    val a = binned.select(col("bin").as("a_bin"), col("user_id").as("a_user"),
+      col("session_start").as("a_start"), col("session_end").as("a_end"))
+    val b = binned.select(col("bin").as("b_bin"), col("user_id").as("b_user"),
+      col("session_start").as("b_start"), col("session_end").as("b_end"))
+    a.join(b, col("a_bin") === col("b_bin"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_user"), col("a_start"), col("b_user"), col("b_start"))
+      .distinct()
+      .groupBy(col("a_user").as("user_id"), col("a_start").as("session_start"))
+      .agg((count(lit(1)) - 1).as("n_concurrent"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val j09Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE OR
+      |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessed AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o),
+      |s AS (
+      |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM sessed GROUP BY user_id, session_id)
+      |SELECT a.user_id, a.session_start,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS n_concurrent
+      |FROM s a JOIN s b
+      |  ON a.session_start <= b.session_end AND b.session_start <= a.session_end
+      |GROUP BY a.user_id, a.session_start
+      |ORDER BY a.user_id, a.session_start""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -311,5 +388,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j05_conversion_funnel", j05, Some(j05Sql)),
     QueryDef("j06_retention_cohorts", j06, Some(j06Sql)),
     QueryDef("j07_sliding_window_agg", j07, Some(j07Sql)),
-    QueryDef("j08_scd2_intervals", j08, Some(j08Sql)))
+    QueryDef("j08_scd2_intervals", j08, Some(j08Sql)),
+    QueryDef("j09_concurrent_sessions", j09, Some(j09Sql)))
 }

@@ -559,6 +559,63 @@ object SimilarityQueries extends QueryPack {
       |FROM a WHERE rn = 1
       |GROUP BY sub, c_id ORDER BY sub, code""".stripMargin
 
+  /** s09 — int8 scalar quantization (the 4× embedding-compression path a
+    * 100 TB vector store runs before PQ/IVF even enter the picture): each
+    * dimension's global [min, max] maps to 256 uniform cells, every value
+    * becomes its cell index, and the per-vector L1 reconstruction error
+    * (against cell midpoints) is reported alongside the codes.
+    *
+    * Scale shape: the per-dim min/max aggregate reduces to 64 rows, is
+    * collapsed into ONE dim-sorted broadcast array (the s08 codebook
+    * collapse), and encoding is a per-row `transform` over that array — the
+    * corpus never shuffles; the only exchange is the 64-row stats agg.
+    * All arithmetic is exact-int or a single long/long division whose
+    * quotient is ≥5e-6 away from any integer (numerators < 2^53), so
+    * `floor` is the true mathematical floor in both engines — codes and
+    * errors are bit-identical cross-engine with no rounding-mode hazard.
+    */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
+    val mm = vecs
+      .select(posexplode(col("vq")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("mm"))
+    vecs.crossJoin(broadcast(mm))
+      .withColumn("pairs", transform(col("vq"), (x, i) => {
+        val e = element_at(col("mm"), i + 1)
+        val mn = e.getField("mn")
+        val span = e.getField("mx") - mn + lit(1L)
+        val code = floor((x - mn) * lit(256L) / span)
+        val recon = mn + floor((code * lit(2L) + lit(1L)) * span / lit(512L))
+        struct(code.as("code"), abs(x - recon).as("d"))
+      }))
+      .select(col("vec_id"),
+        col("pairs.code").as("codes"),
+        aggregate(col("pairs"), lit(0L), (a, p) => a + p.getField("d"))
+          .as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s09Sql =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+      | FROM embeddings),
+      |d AS (SELECT vec_id, unnest(vq) AS v,
+      |  CAST(generate_subscripts(vq, 1) AS BIGINT) AS dim FROM q),
+      |mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM d GROUP BY dim),
+      |c AS (SELECT vec_id, dim, v, mn, mx,
+      |  CAST(floor((v - mn) * 256 / (mx - mn + 1)) AS BIGINT) AS code
+      | FROM d JOIN mm USING (dim)),
+      |r AS (SELECT vec_id, dim, code,
+      |  ABS(v - (mn + CAST(floor((code * 2 + 1) * (mx - mn + 1) / 512) AS BIGINT))) AS e
+      | FROM c)
+      |SELECT vec_id, list(code ORDER BY dim) AS codes,
+      |  CAST(SUM(e) AS BIGINT) AS err
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -567,5 +624,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s05_ann_recall", s05, Some(s05Sql)),
     QueryDef("s06_ann_lsh_mp", s06, Some(s06Sql)),
     QueryDef("s07_dim_stats", s07, Some(s07Sql)),
-    QueryDef("s08_pq_codes", s08, Some(s08Sql)))
+    QueryDef("s08_pq_codes", s08, Some(s08Sql)),
+    QueryDef("s09_sq_codes", s09, Some(s09Sql)))
 }

@@ -701,6 +701,58 @@ object TextQueries extends QueryPack {
       |WHERE n_chars > 0
       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
 
+  /** t21 — token-concentration scoring: Gini–Simpson collision mass and
+    * top-token share per document, the unigram-distribution half of the
+    * repetition family (t07 measures repeated 3-gram RUNS; this measures how
+    * much of the doc one token — or the head of the distribution — owns,
+    * the "page of 'cookie cookie cookie…'" filter corpus pipelines run
+    * before training). simpson = P(two random tokens are equal) =
+    * Σc(c−1)/(n(n−1)); top_share = max count / n.
+    *
+    * Zero shuffle: the token histogram never materializes — one fold over
+    * the doc's SORTED token array carries (prev, run, max run, pair sum),
+    * where extending a run from c−1 to c adds 2(c−1) to Σc(c−1). All-int
+    * accumulation (order-free), one double division per output — bit-exact
+    * cross-engine. Per-row cost is the array sort, the same bound as t07.
+    */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("maxc"), lit(0L).as("s2"))
+    val folded = aggregate(array_sort(ws), zero,
+      (acc, w) => {
+        val run = when(acc.getField("prev") === w, acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("maxc"), run).as("maxc"),
+          (acc.getField("s2") + lit(2L) * (run - 1)).as("s2"))
+      })
+    docs.filter(size(ws) >= 2)
+      .select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        folded.getField("maxc").as("max_count"),
+        folded.getField("s2").as("pair_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("max_count"),
+        col("pair_sum"),
+        (col("pair_sum").cast("double")
+          / (col("n_tokens") * (col("n_tokens") - 1))).as("simpson"),
+        (col("max_count").cast("double") / col("n_tokens")).as("top_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t21Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+      |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(MAX(c) AS BIGINT) AS max_count,
+      |        CAST(SUM(c * (c - 1)) AS BIGINT) AS pair_sum
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, max_count, pair_sum,
+      |  CAST(pair_sum AS DOUBLE) / (n_tokens * (n_tokens - 1)) AS simpson,
+      |  CAST(max_count AS DOUBLE) / n_tokens AS top_share
+      |FROM a WHERE n_tokens >= 2 ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -721,5 +773,6 @@ object TextQueries extends QueryPack {
     QueryDef("t17_temperature_mix", t17, Some(t17Sql)),
     QueryDef("t18_shard_assign", t18, Some(t18Sql)),
     QueryDef("t19_train_split", t19, Some(t19Sql)),
-    QueryDef("t20_weighted_sample", t20, Some(t20Sql)))
+    QueryDef("t20_weighted_sample", t20, Some(t20Sql)),
+    QueryDef("t21_token_concentration", t21, Some(t21Sql)))
 }

@@ -366,6 +366,36 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("j09 interval overlap joins on the time bin, never a nested loop") {
+    val s = planString(run("j09_concurrent_sessions"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "the range join must become an equi-join on bin — a nested loop is O(n²)")
+    assert(s.contains("Join") || s.contains("ShuffledHashJoin") ||
+      s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin"),
+      "a real join node on the bin key must exist")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "pair distinct + concurrency count must both partial-aggregate")
+  }
+
+  test("s09 scalar quantization encodes per-row off one broadcast stats array") {
+    val s = planString(run("s09_sq_codes"))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "the 1-row dim-stats frame must broadcast; the corpus side never shuffles")
+    // exactly one exchange: the 64-row min/max aggregate. The corpus→output
+    // path is scan → broadcast-join → project (no hashpartitioning of vecs).
+    assert(!s.contains("Exchange hashpartitioning(vec_id"),
+      "encoding must not shuffle the corpus")
+  }
+
+  test("t21 token concentration is one scan, zero shuffle, partial-combined") {
+    val s = planString(run("t21_token_concentration"))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "the histogram never materializes — the fold runs inside the scan stage")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+    assert("Location: InMemoryFileIndex".r.findAllIn(s).size <= 1,
+      "one documents scan")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),

