@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampType}
+
+/** Optimizer rule: re-plan an interval-overlap join with NO equi key as a
+  * bin-exploded equi-join.
+  *
+  * A join whose condition is only opposing range predicates —
+  * `a.lo <= b.hi AND b.lo <= a.hi` (interval overlap) or
+  * `b.lo <= a.t AND a.t <= b.hi` (point-in-interval) — gives Spark's join
+  * planner no equi key, so it falls back to BroadcastNestedLoopJoin or
+  * CartesianProduct: O(|L|·|R|) comparisons and a broadcast of a whole
+  * side. This rule rewrites the LOGICAL plan instead: each side explodes
+  * to the fixed-width bins its interval spans, the join becomes an
+  * equi-join on bin (hash-partitionable, AQE-eligible, no broadcast of the
+  * big side), the ORIGINAL predicate is re-checked exactly inside the bin
+  * match, and multiplicity is preserved without a distinct by the
+  * reference-point condition: a matching pair is emitted only in the FIRST
+  * bin the two intervals share, `bin == max(binOf(minL), binOf(minR))`
+  * (the grid-join dedup used by spatial engines).
+  *
+  * Correctness notes (RangeJoinRuleSpec pins each):
+  *  - matching rows always share a bin: for any pair satisfying the two
+  *    opposing predicates, max(minL,minR) <= min(maxL,maxR), so the value
+  *    range [min,max] of each side — which the explode covers completely,
+  *    via least/greatest it also covers malformed lo>hi intervals — always
+  *    intersects;
+  *  - the bin transform (floor(seconds / width)) is monotone, so each
+  *    side's bin set is the full integer range between its endpoints and
+  *    the shared bins are contiguous — exactly one satisfies the
+  *    reference-point equality;
+  *  - NULL bounds: sequence(null,·) is NULL, explode emits nothing — the
+  *    same rows the naive join drops (NULL comparison is never TRUE);
+  *  - the rewritten join HAS an equality conjunct, so the rule can never
+  *    match its own output (no fixed-point loop).
+  *
+  * Scope guards: inner joins only, no equi conjunct already present (then
+  * the hash planner is already right), no user join hint (an explicit
+  * broadcast wins), deterministic condition, bounds typed timestamp/int/
+  * long. `spark.graft.rangeJoin.enabled` (default true) switches the rule;
+  * `spark.graft.rangeJoin.binSize` (default 3600 — seconds for timestamps,
+  * plain units for numerics) tunes bin width, which only moves the
+  * near-miss constant, never results. A production deployment would add a
+  * stats gate (skip when one side is broadcast-small); this sandbox pins
+  * the rewrite itself.
+  */
+case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+
+  private def binSize: Long =
+    conf.getConfString("spark.graft.rangeJoin.binSize", "3600").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    val w = binSize
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if hint == JoinHint.NONE && cond.deterministic =>
+        extractOverlap(j, cond) match {
+          case Some(ov) => rewrite(j, left, right, cond, ov, w)
+          case None => j
+        }
+    }
+  }
+
+  /** The four bound expressions of an overlap condition: one `l <= r`
+    * conjunct (left-only expr vs right-only expr) and one `r <= l`.
+    */
+  private case class Overlap(lLow: Expression, rHigh: Expression,
+                             rLow: Expression, lHigh: Expression)
+
+  private def extractOverlap(j: Join, cond: Expression): Option[Overlap] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def side(e: Expression): Int =
+      if (e.references.isEmpty) 0
+      else if (e.references.subsetOf(j.left.outputSet)) 1
+      else if (e.references.subsetOf(j.right.outputSet)) 2
+      else 0
+    def supported(e: Expression): Boolean = e.dataType match {
+      case TimestampType | LongType | IntegerType => true
+      case _ => false
+    }
+    // an equi conjunct between the sides means the hash planner already
+    // has a key — never second-guess it
+    val hasEqui = conjuncts.exists {
+      case EqualTo(x, y) => (side(x) == 1 && side(y) == 2) ||
+        (side(x) == 2 && side(y) == 1)
+      case EqualNullSafe(x, y) => (side(x) == 1 && side(y) == 2) ||
+        (side(x) == 2 && side(y) == 1)
+      case _ => false
+    }
+    if (hasEqui) return None
+    // normalize every comparison conjunct to x <= y (strictness is
+    // irrelevant for binning; the original condition is re-applied exactly)
+    val le = conjuncts.collect {
+      case LessThanOrEqual(x, y) => (x, y)
+      case LessThan(x, y) => (x, y)
+      case GreaterThanOrEqual(x, y) => (y, x)
+      case GreaterThan(x, y) => (y, x)
+    }.filter { case (x, y) => supported(x) && supported(y) }
+    val lr = le.find { case (x, y) => side(x) == 1 && side(y) == 2 }
+    val rl = le.find { case (x, y) => side(x) == 2 && side(y) == 1 }
+    (lr, rl) match {
+      case (Some((lLow, rHigh)), Some((rLow, lHigh))) =>
+        Some(Overlap(lLow, rHigh, rLow, lHigh))
+      case _ => None
+    }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, ov: Overlap, w: Long): LogicalPlan = {
+    // Sequence and Cast are TimeZoneAwareExpressions — without an explicit
+    // timeZoneId the rewritten plan is unresolved and the optimizer rejects it
+    val tz = Some(conf.sessionLocalTimeZone)
+    // floor(seconds / w): monotone; exact for |seconds| < 2^53 / w
+    def toBin(e: Expression): Expression =
+      Floor(Divide(Cast(e, DoubleType, tz), Literal(w.toDouble)))
+    def bins(lo: Expression, hi: Expression): Expression =
+      Sequence(toBin(Least(Seq(lo, hi))), toBin(Greatest(Seq(lo, hi))),
+        Some(Literal(1L)), tz)
+    val binL = AttributeReference("__graft_bin_l", LongType, nullable = false)()
+    val binR = AttributeReference("__graft_bin_r", LongType, nullable = false)()
+    val genL = Generate(Explode(bins(ov.lLow, ov.lHigh)), Nil,
+      outer = false, None, Seq(binL), left)
+    val genR = Generate(Explode(bins(ov.rLow, ov.rHigh)), Nil,
+      outer = false, None, Seq(binR), right)
+    // first-shared-bin reference point: emit each matching pair exactly once
+    val refPoint = EqualTo(binL,
+      Greatest(Seq(toBin(Least(Seq(ov.lLow, ov.lHigh))),
+        toBin(Least(Seq(ov.rLow, ov.rHigh))))))
+    val newCond = And(And(cond, EqualTo(binL, binR)), refPoint)
+    Project(j.output,
+      Join(genL, genR, Inner, Some(newCond), JoinHint.NONE))
+  }
+}
+
+/** `SparkSessionExtensions` hook: `.withExtensions(GraftExtensions)` on any
+  * builder, or `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(RangeJoinRule.apply)
+}
+
+object GraftExtensions extends GraftExtensions

@@ -380,6 +380,33 @@ object JoinQueries extends QueryPack {
       |GROUP BY a.user_id, a.session_start
       |ORDER BY a.user_id, a.session_start""".stripMargin
 
+  /** j10 — j09's concurrency measure written the way a USER would write it:
+    * the raw overlap predicate, no manual binning. The no-equi-key join
+    * would plan as BroadcastNestedLoopJoin; `graft.plans.RangeJoinRule`
+    * (registered through SparkSessionExtensions on every graft session)
+    * rewrites the logical plan into the binned equi-join j09 builds by
+    * hand — same bins, same reference-point dedup, exact multiplicity —
+    * so this query IS the rule's end-to-end oracle check: it shares j09's
+    * SQL oracle verbatim, and PlanSpec pins that no nested loop survives.
+    * Timestamp bounds here also exercise the rule's epoch-seconds cast
+    * path (RangeJoinRuleSpec covers the integer path).
+    */
+  private def j10(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("session_end"))
+    val a = sess.select(col("user_id").as("a_user"),
+      col("session_start").as("a_start"), col("session_end").as("a_end"))
+    val b = sess.select(col("user_id").as("b_user"),
+      col("session_start").as("b_start"), col("session_end").as("b_end"))
+    a.join(b, col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .groupBy(col("a_user").as("user_id"), col("a_start").as("session_start"))
+      .agg((count(lit(1)) - 1).as("n_concurrent"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -389,5 +416,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j06_retention_cohorts", j06, Some(j06Sql)),
     QueryDef("j07_sliding_window_agg", j07, Some(j07Sql)),
     QueryDef("j08_scd2_intervals", j08, Some(j08Sql)),
-    QueryDef("j09_concurrent_sessions", j09, Some(j09Sql)))
+    QueryDef("j09_concurrent_sessions", j09, Some(j09Sql)),
+    QueryDef("j10_concurrent_auto", j10, Some(j09Sql)))
 }

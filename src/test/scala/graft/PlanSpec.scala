@@ -377,6 +377,13 @@ class PlanSpec extends SparkSpecBase {
       "pair distinct + concurrency count must both partial-aggregate")
   }
 
+  test("j10 naive interval join is auto-rewritten by RangeJoinRule: no nested loop") {
+    val s = planString(run("j10_concurrent_auto"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "the optimizer rule must rewrite the raw overlap predicate to a bin equi-join")
+    assert(s.contains("__graft_bin"), "the rule's bin key must drive the join")
+  }
+
   test("s09 scalar quantization encodes per-row off one broadcast stats array") {
     val s = planString(run("s09_sq_codes"))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
