@@ -92,6 +92,9 @@ object StreamBench {
         stateful = op == "neardup"); return
     }
     if (op == "join") { runJoin(spark, rps, secs, sinkDir, ckpt, stateStore); return }
+    if (op == "windowagg") {
+      runWindowAgg(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -175,6 +178,59 @@ object StreamBench {
     val matched = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val sustained = math.round(matched / elapsed)
     println(s"""{"metric":"join_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"matched":$matched,"state_rows":$stateRows,"avg_commit_ms":$avgCommitMs,"elapsed_sec":$elapsed,"offered_rps_per_side":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=windowagg measures the watermarked tumbling-
+    * window aggregation (ST7's streaming leg — j03's shape as a live
+    * query): rate source → 5 s watermark → 10 s windows × 1000 keys →
+    * count/sum, append mode so a window row reaches the sink exactly once,
+    * when the watermark closes it. The reported rate is INPUT rows/s
+    * through completed batches (the output is intentionally tiny — ~100
+    * closed windows/s — so sink rows would measure nothing); state is
+    * bounded at keys × open windows ≈ 2000 rows regardless of offered
+    * rate.
+    */
+  private def runWindowAgg(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                           secs: Int, sinkDir: String, ckpt: String,
+                           stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val agged = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+      .withWatermark("timestamp", "5 seconds")
+      .groupBy(window(col("timestamp"), "10 seconds").as("w"),
+        pmod(col("value"), lit(1000L)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("w_start"), col("k"), col("n"), col("sum_v"))
+    val sink = new IdempotentParquetSink(sinkDir)
+    val q = agged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(1000))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.writeBatch(b, id); ()
+      }
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(secs * 1000L)
+    stopQuietly(q)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    progress.takeRight(4).foreach(p => System.err.println(
+      s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
+        s"durMs=${p.durationMs} " +
+        s"state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs} rows=${s.numRowsTotal}").mkString(";")}"))
+    val capacity = capacityOf(progress)
+    val inputRows = progress.map(_.numInputRows).sum
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val commitMs = progress.filter(_.numInputRows > 0)
+      .flatMap(_.stateOperators.map(_.commitTimeMs))
+    val avgCommitMs =
+      if (commitMs.isEmpty) 0L else commitMs.sum / commitMs.size
+    val closed = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
+    val sustained = math.round(inputRows / elapsed)
+    println(s"""{"metric":"windowagg_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inputRows,"closed_windows":$closed,"state_rows":$stateRows,"avg_commit_ms":$avgCommitMs,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
