@@ -144,11 +144,69 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(GraftExtensions)` on any
-  * builder, or `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * builder, or `spark.sql.extensions=graft.plans.GraftExtensions`. Injects
+  * the optimizer rule above and registers the engine's native codegen
+  * expressions as SQL functions, so the pure-SQL face of the library can
+  * run the same per-row dedup/similarity kernels the DataFrame API uses
+  * (SqlInterfaceSpec pins SQL == DataFrame for each):
+  *
+  *   graft_dot_long(a, b)                 exact integer dot product
+  *   graft_shingle_hashes(text, n)        distinct word-n-gram 60-bit hashes
+  *   graft_minhash_sig(shingles, k)       all k minhashes in one pass
+  *   graft_lsh_band_sig(vec, bands, planesPerBand, dims)  banded sign-LSH
+  *
+  * Size parameters must be integer literals — they select codegen shapes
+  * (hyperplane matrices, signature widths), not per-row data.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def litInt(fn: String, args: Seq[Expression], pos: Int): Int =
+    args(pos) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.size}")
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans.GraftExtensions", name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(RangeJoinRule.apply)
+    ext.injectFunction((FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long", "exact integer dot product"),
+      (args: Seq[Expression]) => {
+        arity("graft_dot_long", args, 2)
+        graft.functions.DotProductLong(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "distinct word-n-gram hashes"),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", args, 2)
+        graft.functions.ShingleHashes(args(0),
+          litInt("graft_shingle_hashes", args, 1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "k minhashes of a shingle-hash array"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_sig", args, 2)
+        graft.functions.MinHashSig(args(0), litInt("graft_minhash_sig", args, 1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_band_sig"),
+      info("graft_lsh_band_sig", "banded random-hyperplane LSH signature"),
+      (args: Seq[Expression]) => {
+        arity("graft_lsh_band_sig", args, 4)
+        graft.functions.LshBandSig(args(0),
+          litInt("graft_lsh_band_sig", args, 1),
+          litInt("graft_lsh_band_sig", args, 2),
+          litInt("graft_lsh_band_sig", args, 3))
+      }))
+  }
 }
 
 object GraftExtensions extends GraftExtensions

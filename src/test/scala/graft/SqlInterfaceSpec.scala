@@ -65,6 +65,49 @@ class SqlInterfaceSpec extends SparkSpecBase {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("native codegen kernels are callable from plain SQL and match the DataFrame path") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.{MinHashSig, ShingleHashes, VectorFunctions}
+    Tables.registerAll(spark, sf("sf0.001"))
+    // exact integer dot product (the similarity family's kernel)
+    val dotSql = spark.sql(
+      """SELECT vec_id, graft_dot_long(q, q) AS d FROM
+        |(SELECT vec_id,
+        |   transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings) ORDER BY vec_id LIMIT 50""".stripMargin)
+      .collect().map(_.toSeq)
+    val q = VectorFunctions.quantize(col("embedding"))
+    val dotDf = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorFunctions.dotLong(q, q).as("d"))
+      .orderBy(col("vec_id")).limit(50).collect().map(_.toSeq)
+    assert(dotSql.sameElements(dotDf) && dotSql.nonEmpty)
+    // shingles → minhash signature (the dedup family's kernel)
+    val sigSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_minhash_sig(graft_shingle_hashes(split(text, ' '), 3), 8) AS sig
+        |FROM documents ORDER BY doc_id LIMIT 20""".stripMargin)
+      .collect().map(_.toSeq)
+    val sigDf = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), ColumnBridge.column(MinHashSig(
+        ColumnBridge.expression(ColumnBridge.column(ShingleHashes(
+          ColumnBridge.expression(split(col("text"), " ")), 3))), 8)).as("sig"))
+      .orderBy(col("doc_id")).limit(20).collect().map(_.toSeq)
+    assert(sigSql.sameElements(sigDf))
+    // banded LSH signature
+    val lsh = spark.sql(
+      """SELECT graft_lsh_band_sig(
+        |  transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |  4, 8, 64) AS bs
+        |FROM embeddings LIMIT 5""".stripMargin).collect()
+    assert(lsh.length == 5 && lsh.forall(_.getSeq[Long](0).length == 4))
+    // size parameters select codegen shapes — non-literals must be rejected
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array(1L), CAST(vec_id AS INT)) FROM embeddings")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("correlated EXISTS subquery decorrelates and answers correctly") {
     Tables.registerAll(spark, sf("sf0.001"))
     val got = spark.sql(
