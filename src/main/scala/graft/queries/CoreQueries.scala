@@ -1099,6 +1099,65 @@ object CoreQueries extends QueryPack {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** q34 — TPC-H Q20-style excess inventory (the last of the 22 classic
+    * shapes): suppliers of 'large…' parts whose shipped quantity of such a
+    * part in 1997 exceeds half that part's total 1997 movement — the
+    * nested correlated-semi shape (supplier IN (… part IN (…) AND qty >
+    * 0.5·correlated sum)). The synthetic schema has no partsupp, so
+    * per-(part, supplier) shipped quantity stands in for ps_availqty, and
+    * Q20's final nation cut is elided — at the smallest verify scale it
+    * empties the result, and an always-empty oracle row proves nothing;
+    * the plan shape is Q20's regardless.
+    *
+    * Scale shape: the name-cut part list broadcasts; the (part, supplier)
+    * and per-part aggregates are partial-combined off ONE scan of the
+    * date-sliced lineitem (the per-part frame derives from the pair frame,
+    * not a re-scan); the threshold compare joins pair→part aggregates on
+    * partkey BEFORE touching supplier; the surviving supplier ids collapse
+    * to a distinct semi key. Quantity sums stay exact DECIMAL; the
+    * threshold factor 0.5 is a power of two, so the single double compare
+    * is exact cross-engine.
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val largeParts = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("large"))
+      .select(col("p_partkey"))
+    val sliced = Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"))
+    val pairQty = sliced.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("pair_qty"))
+    val partQty = pairQty.groupBy(col("l_partkey"))
+      .agg(sum(col("pair_qty")).as("part_qty"))
+    val excess = pairQty.join(partQty, "l_partkey")
+      .filter(col("pair_qty").cast("double") >
+        col("part_qty").cast("double") * 0.5)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q34Sql =
+    """WITH sl AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      |  FROM lineitem
+      |  WHERE EXTRACT(year FROM l_shipdate) = 1997
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')),
+      |pq AS (SELECT l_partkey, l_suppkey, SUM(qty) AS pair_qty
+      |       FROM sl GROUP BY l_partkey, l_suppkey),
+      |tq AS (SELECT l_partkey, SUM(pair_qty) AS part_qty
+      |       FROM pq GROUP BY l_partkey),
+      |ex AS (SELECT DISTINCT l_suppkey FROM pq JOIN tq USING (l_partkey)
+      |       WHERE CAST(pair_qty AS DOUBLE) > CAST(part_qty AS DOUBLE) * 0.5)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
+      |ORDER BY s_name""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -1132,5 +1191,6 @@ object CoreQueries extends QueryPack {
     QueryDef("q30_forecast_revenue", q30, Some(q30Sql)),
     QueryDef("q31_promo_share", q31, Some(q31Sql)),
     QueryDef("q32_top_supplier", q32, Some(q32Sql)),
-    QueryDef("q33_supplier_counts", q33, Some(q33Sql)))
+    QueryDef("q33_supplier_counts", q33, Some(q33Sql)),
+    QueryDef("q34_excess_inventory", q34, Some(q34Sql)))
 }

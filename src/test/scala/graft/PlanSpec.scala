@@ -350,6 +350,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct") && !s.contains("Window"))
   }
 
+  test("q34 excess inventory: part cut broadcast, one lineitem scan, no cartesian") {
+    val s = planString(run("q34_excess_inventory"))
+    assert(s.contains("BroadcastHashJoin"), "the name-cut part list must broadcast")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "pair and per-part aggregates must partial-combine")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t20 weighted sample plans as top-k, never a global sort") {
     val s = planString(run("t20_weighted_sample"))
     assert(s.contains("TakeOrderedAndProject"),
