@@ -511,7 +511,61 @@ object DedupQueries extends QueryPack {
     QueryDef("d10_chunk_overlap", d10, Some(d10Sql)),
     QueryDef("d11_semantic_dedup", d11, Some(d11Sql)),
     QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)),
-    QueryDef("d13_prefix_dedup", d13, Some(d13Sql)))
+    QueryDef("d13_prefix_dedup", d13, Some(d13Sql)),
+    QueryDef("d14_minhash_calibration", d14, Some(d14Sql)))
+
+  /** d14 — MinHash calibration: for every LSH candidate pair, the
+    * signature-estimated Jaccard (matching minhash positions / k) against
+    * the exact shingle-set Jaccard, with the absolute estimation error —
+    * the measurement that tells a 100 TB dedup deployment whether its
+    * (k, r, threshold) setting over- or under-merges, the dedup family's
+    * analogue of s05's ANN recall harness. Candidates come from the same
+    * band equi-join as d03 (never a cartesian); signatures are per-row
+    * codegen (MinHashSig); est is an integer count over a power-of-two k
+    * and jac an exact-int ratio, so every double — including the error
+    * subtraction — is bit-identical cross-engine.
+    */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val withSh = Tables.documents(s, dir).select(col("doc_id"),
+      ShingleHashes(tokens(col("text")), 3).as("shingles"))
+    val sig = MinHashLSH.signatures(withSh, col("doc_id"), col("shingles"), k)
+    val cand = MinHashLSH.candidates(MinHashLSH.banded(sig, k, r = 2))
+    val sigA = sig.toDF("ia" +: (0 until k).map(j => s"am$j"): _*)
+    val sigB = sig.toDF("jb" +: (0 until k).map(j => s"bm$j"): _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"am$j") === col(s"bm$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val sets = withSh.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sigA, col("i") === col("ia"))
+      .join(sigB, col("j") === col("jb"))
+      .join(sets.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("j") === col("sb.doc_id"))
+      .select(col("i"), col("j"), matches.as("matches"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jac"))
+      .select(col("i"), col("j"), col("matches"),
+        (col("matches").cast("double") / k).as("est"), col("jac"),
+        abs(col("matches").cast("double") / k - col("jac")).as("err"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d14Sql = minhashBandsCte +
+    """,
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM bands a JOIN bands b
+      |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |m AS (SELECT i, j,
+      |  CAST((x.m0 = y.m0)::INT + (x.m1 = y.m1)::INT + (x.m2 = y.m2)::INT +
+      |       (x.m3 = y.m3)::INT + (x.m4 = y.m4)::INT + (x.m5 = y.m5)::INT +
+      |       (x.m6 = y.m6)::INT + (x.m7 = y.m7)::INT AS BIGINT) AS matches,
+      |  CAST(len(list_intersect(sx.s3, sy.s3)) AS DOUBLE) /
+      |  CAST(len(sx.s3) + len(sy.s3) - len(list_intersect(sx.s3, sy.s3)) AS DOUBLE) AS jac
+      | FROM cand
+      | JOIN sig x ON x.doc_id = i JOIN sig y ON y.doc_id = j
+      | JOIN sh sx ON sx.doc_id = i JOIN sh sy ON sy.doc_id = j)
+      |SELECT i, j, matches, CAST(matches AS DOUBLE) / 8 AS est, jac,
+      |  ABS(CAST(matches AS DOUBLE) / 8 - jac) AS err
+      |FROM m ORDER BY i, j""".stripMargin
 
   /** Benchmark-set size for d09. A real decontamination run sweeps the
     * corpus against a FIXED held-out suite (a few thousand eval docs), so
