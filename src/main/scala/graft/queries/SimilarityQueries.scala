@@ -616,6 +616,122 @@ object SimilarityQueries extends QueryPack {
       |  CAST(SUM(e) AS BIGINT) AS err
       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** s10 — quantized Lloyd k-means (the clustering pass a SemDeDup-style
+    * semantic-curation pipeline runs over the whole corpus before
+    * within-cluster dedup/pruning): KmK deterministic seeds, KmIters
+    * assignment+update rounds, then the final cell census — members, lowest
+    * member id, exact inertia, mean squared distance per cluster.
+    *
+    * Scale shape: each iteration is ONE corpus map pass (the codebook
+    * collapses to a single broadcast row of ≤KmK (c_id, centroid) structs;
+    * assignment is s08's per-row argmin fold — the corpus never shuffles)
+    * plus one ≤KmK-row map-side-combined aggregation for the centroid
+    * update, so T iterations cost exactly T scans — the textbook
+    * distributed-k-means plan. KmK is sized for the test tables; a 100 TB
+    * run raises it without changing the plan shape, exactly like
+    * QueryK/PairSampleK.
+    *
+    * Determinism: seeds are lowest-k-by-md5 (engine-portable); distances are
+    * exact quantized-int L2² via the ‖a‖²−2a·b+‖b‖² identity (ties → smaller
+    * c_id, matching ROW_NUMBER); updated centroids are re-quantized to
+    * integers with one round(sum/count) per dimension — both engines round
+    * half away from zero, and every sum/count is exact, so centroids,
+    * assignments, and inertia are bit-identical cross-engine at every
+    * iteration.
+    */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .localCheckpoint()
+    val seedIds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#km"))),
+        col("vec_id"))
+      .limit(KmK)
+    def codebook(cents: DataFrame): DataFrame = cents
+      .select(struct(col("c_id"), col("cv")).as("cand"))
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+    def assign(cb: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cb))
+        .withColumn("xx", dotLong(col("v"), col("v")))
+        .withColumn("best",
+          aggregate(col("cands"),
+            named_struct(lit("d2"), lit(Long.MaxValue), lit("c_id"), lit(-1L)),
+            (acc, c) => {
+              val d2 = col("xx") -
+                lit(2L) * dotLong(col("v"), c.getField("cv")) +
+                dotLong(c.getField("cv"), c.getField("cv"))
+              when(d2 < acc.getField("d2"),
+                named_struct(lit("d2"), d2, lit("c_id"), c.getField("c_id")))
+                .otherwise(acc)
+            }))
+        .select(col("vec_id"), col("v"),
+          col("best.c_id").as("c_id"), col("best.d2").as("d2"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until Dims).map(i =>
+            sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+        .select(col("c_id"),
+          array((0 until Dims).map(i =>
+            round(col(s"s$i").cast("double") / col("n"))
+              .cast("long")): _*).as("cv"))
+    val cb0 = codebook(vecs.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val cbT = (1 to KmIters).foldLeft(cb0)((cb, _) =>
+      codebook(update(assign(cb))))
+    assign(cbT)
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec_id"),
+        sum(col("d2")).as("inertia"),
+        (sum(col("d2")).cast("double") / count(lit(1))).as("mean_d2"))
+      .orderBy(col("c_id"))
+  }
+
+  /** One oracle assignment round: exact L2² against centroid CTE `cents`,
+    * keep the (d2, c_id)-smallest cell per vector.
+    */
+  private def kmAssignSql(k: Int, cents: String): String =
+    s"""dist$k AS (SELECT q.vec_id, q.v, c.c_id,
+       |  CAST(list_dot_product(q.v::DOUBLE[], q.v::DOUBLE[])
+       |     - 2 * list_dot_product(q.v::DOUBLE[], c.cv::DOUBLE[])
+       |     + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+       | FROM q CROSS JOIN $cents c),
+       |asg$k AS (SELECT vec_id, v, c_id, d2 FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+       |   FROM dist$k) WHERE rn = 1)""".stripMargin
+
+  /** One oracle centroid update: per-dimension exact integer sums over the
+    * round-`k` assignment, re-quantized with round(sum/count).
+    */
+  private def kmUpdateSql(k: Int): String =
+    s"""sums$k AS (SELECT c_id, i, SUM(v[i]) AS sv, COUNT(*) AS n
+       |  FROM asg$k, (SELECT unnest(range(1, ${Dims + 1})) AS i) ii
+       |  GROUP BY c_id, i),
+       |cent${k + 1} AS (SELECT c_id,
+       |  list(CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+       |  FROM sums$k GROUP BY c_id)""".stripMargin
+
+  private val s10Sql =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |cid AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#km'), vec_id LIMIT $KmK),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM q
+       |  WHERE vec_id IN (SELECT vec_id FROM cid)),
+       |${kmAssignSql(0, "cent0")},
+       |${kmUpdateSql(0)},
+       |${kmAssignSql(1, "cent1")},
+       |${kmUpdateSql(1)},
+       |${kmAssignSql(2, "cent2")}
+       |SELECT c_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec_id,
+       |  CAST(SUM(d2) AS BIGINT) AS inertia,
+       |  CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS mean_d2
+       |FROM asg2 GROUP BY c_id ORDER BY c_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -625,5 +741,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s06_ann_lsh_mp", s06, Some(s06Sql)),
     QueryDef("s07_dim_stats", s07, Some(s07Sql)),
     QueryDef("s08_pq_codes", s08, Some(s08Sql)),
-    QueryDef("s09_sq_codes", s09, Some(s09Sql)))
+    QueryDef("s09_sq_codes", s09, Some(s09Sql)),
+    QueryDef("s10_kmeans", s10, Some(s10Sql)))
 }

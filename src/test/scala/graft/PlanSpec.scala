@@ -252,6 +252,20 @@ class PlanSpec extends SparkSpecBase {
       "the ≤32-row histogram aggregates with map-side combine")
   }
 
+  test("s10 k-means: every iteration is a broadcast-codebook map pass, no corpus shuffle") {
+    val s = planString(run("s10_kmeans"))
+    // each of the KmIters+1 assignment rounds joins the corpus against a
+    // single broadcast row holding the ≤KmK-candidate array; the only
+    // exchanges carry the ≤KmK-row centroid updates and the final census
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "the collapsed codebook must join as a broadcast 1-row frame")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus must never shuffle for assignment or update")
+    assert(!s.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "centroid updates aggregate with map-side combine")
+  }
+
   test("q23 min-cost supplier: aggregate first, window over pairs, dims broadcast") {
     val s = planString(run("q23_min_cost_supplier"))
     assert("HashAggregate".r.findAllIn(s).size >= 2,

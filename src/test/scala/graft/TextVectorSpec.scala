@@ -88,6 +88,19 @@ class TextVectorSpec extends SparkSpecBase {
     assert(nulls.isNullAt(0))
   }
 
+  test("s10 k-means: cells partition the corpus, inertia non-negative, reps are members") {
+    val out = SparkEntry.queries("s10_kmeans")(spark, sf("sf0.001")).collect()
+    val n = Tables.embeddings(spark, sf("sf0.001")).count()
+    assert(out.nonEmpty && out.length <= 8, "at most KmK non-empty cells")
+    assert(out.map(_.getAs[Long]("n_members")).sum == n,
+      "every vector lands in exactly one cell")
+    assert(out.forall(_.getAs[Long]("inertia") >= 0L))
+    val ids = Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.forall(r => ids.contains(r.getAs[Long]("rep_vec_id"))),
+      "cluster representative must be a corpus member")
+  }
+
   test("BpeApply: rank-ordered merges, earlier merges shadow later entries") {
     import graft.functions.BpeApply
     def enc(s: String): (Long, Long) = {
