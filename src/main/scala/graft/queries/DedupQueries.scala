@@ -512,7 +512,57 @@ object DedupQueries extends QueryPack {
     QueryDef("d11_semantic_dedup", d11, Some(d11Sql)),
     QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)),
     QueryDef("d13_prefix_dedup", d13, Some(d13Sql)),
-    QueryDef("d14_minhash_calibration", d14, Some(d14Sql)))
+    QueryDef("d14_minhash_calibration", d14, Some(d14Sql)),
+    QueryDef("d15_semdedup", d15, Some(d15Sql)))
+
+  /** d15 — SemDeDup (cluster-then-dedup semantic eviction): k-means the
+    * embedding corpus into cells (s10's operator — KMeans.cluster), then
+    * within each cell evict every vector that has a lower-id cell-mate with
+    * cosine ≥ 0.45 (d06's near-dup threshold), reporting the keeper, the
+    * match count, and the tightest match. This is the published SemDeDup
+    * recipe: clustering makes the candidate join an equi-join on cell id —
+    * no LSH (d11's blocking) and no all-pairs sweep (d06's baseline).
+    *
+    * Scale shape: the only corpus-wide exchange is the self-join's hash
+    * partition on c_id; within-cell pair volume is bounded by the cell size,
+    * which a production run holds constant by raising k with the corpus
+    * (KMeans k is a plan-shape-free knob). Cells are localCheckpointed once
+    * so the two join sides share one k-means fit instead of recomputing it.
+    */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cells = graft.operators.KMeans.cluster(vecs, dims = 64, k = 8, iters = 2)
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+      .localCheckpoint()
+    cells.as("a").join(cells.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .groupBy(col("j").as("evicted_id"))
+      .agg(min(col("i")).as("keeper_id"), count(lit(1)).as("n_matches"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("evicted_id"))
+  }
+
+  private val d15Sql = SimilarityQueries.kmCellsCte +
+    """,
+      |cell AS (SELECT vec_id, v,
+      |  sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) AS nrm, c_id
+      | FROM asg2),
+      |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) / (a.nrm * b.nrm) AS cos
+      | FROM cell a JOIN cell b
+      | ON a.c_id = b.c_id AND a.vec_id < b.vec_id)
+      |SELECT j AS evicted_id, MIN(i) AS keeper_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(cos) AS max_cos
+      |FROM p WHERE cos >= 0.45
+      |GROUP BY j ORDER BY evicted_id""".stripMargin
 
   /** d14 — MinHash calibration: for every LSH candidate pair, the
     * signature-estimated Jaccard (matching minhash positions / k) against

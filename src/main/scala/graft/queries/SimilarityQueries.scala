@@ -646,43 +646,7 @@ object SimilarityQueries extends QueryPack {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .localCheckpoint()
-    val seedIds = Tables.embeddings(s, dir).select(col("vec_id"))
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#km"))),
-        col("vec_id"))
-      .limit(KmK)
-    def codebook(cents: DataFrame): DataFrame = cents
-      .select(struct(col("c_id"), col("cv")).as("cand"))
-      .agg(sort_array(collect_list(col("cand"))).as("cands"))
-    def assign(cb: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cb))
-        .withColumn("xx", dotLong(col("v"), col("v")))
-        .withColumn("best",
-          aggregate(col("cands"),
-            named_struct(lit("d2"), lit(Long.MaxValue), lit("c_id"), lit(-1L)),
-            (acc, c) => {
-              val d2 = col("xx") -
-                lit(2L) * dotLong(col("v"), c.getField("cv")) +
-                dotLong(c.getField("cv"), c.getField("cv"))
-              when(d2 < acc.getField("d2"),
-                named_struct(lit("d2"), d2, lit("c_id"), c.getField("c_id")))
-                .otherwise(acc)
-            }))
-        .select(col("vec_id"), col("v"),
-          col("best.c_id").as("c_id"), col("best.d2").as("d2"))
-    def update(assigned: DataFrame): DataFrame =
-      assigned.groupBy(col("c_id"))
-        .agg(count(lit(1)).as("n"),
-          (0 until Dims).map(i =>
-            sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
-        .select(col("c_id"),
-          array((0 until Dims).map(i =>
-            round(col(s"s$i").cast("double") / col("n"))
-              .cast("long")): _*).as("cv"))
-    val cb0 = codebook(vecs.join(broadcast(seedIds), "vec_id")
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    val cbT = (1 to KmIters).foldLeft(cb0)((cb, _) =>
-      codebook(update(assign(cb))))
-    assign(cbT)
+    graft.operators.KMeans.cluster(vecs, Dims, KmK, KmIters)
       .groupBy(col("c_id"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec_id"),
         sum(col("d2")).as("inertia"),
@@ -714,7 +678,11 @@ object SimilarityQueries extends QueryPack {
        |  list(CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
        |  FROM sums$k GROUP BY c_id)""".stripMargin
 
-  private val s10Sql =
+  /** The full k-means pipeline as a WITH prelude ending at the final
+    * assignment CTE `asg2` (vec_id, v, c_id, d2) — shared with d15's
+    * SemDeDup oracle in DedupQueries.
+    */
+  private[queries] val kmCellsCte =
     s"""WITH q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
@@ -726,7 +694,10 @@ object SimilarityQueries extends QueryPack {
        |${kmUpdateSql(0)},
        |${kmAssignSql(1, "cent1")},
        |${kmUpdateSql(1)},
-       |${kmAssignSql(2, "cent2")}
+       |${kmAssignSql(2, "cent2")}""".stripMargin
+
+  private val s10Sql =
+    s"""$kmCellsCte
        |SELECT c_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec_id,
        |  CAST(SUM(d2) AS BIGINT) AS inertia,
        |  CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS mean_d2
