@@ -513,7 +513,76 @@ object DedupQueries extends QueryPack {
     QueryDef("d12_greedy_band_dedup", d12, Some(d12Sql)),
     QueryDef("d13_prefix_dedup", d13, Some(d13Sql)),
     QueryDef("d14_minhash_calibration", d14, Some(d14Sql)),
-    QueryDef("d15_semdedup", d15, Some(d15Sql)))
+    QueryDef("d15_semdedup", d15, Some(d15Sql)),
+    QueryDef("d16_bloom_decontaminate", d16, Some(d16Sql)))
+
+  private val BloomBenchK = 100
+  private val BloomBits = 1 << 16
+  private val BloomHashes = 4
+
+  /** d16 — exact-fingerprint decontamination through a DataFrame-native
+    * Bloom filter: find every corpus doc whose md5(text) appears in the
+    * benchmark set, pruning the corpus with a Bloom probe BEFORE the exact
+    * membership join. This is the corpus-vs-corpus companion to d09: d09's
+    * benchmark side is provably O(k) and broadcasts whole, but when the
+    * held-out set itself is millions of rows only a constant-size summary
+    * can broadcast — the Bloom bitmap.
+    *
+    * The filter is built with plain aggregation, not a driver-side sketch:
+    * each benchmark fingerprint sets [[BloomHashes]] bits (seeded xxhash64
+    * mod [[BloomBits]]); a bit_or aggregation over ≤ m/64 words collapses to
+    * ONE broadcast map row (8 KiB at 2^16 bits — and a production m of 10^9
+    * bits is ~128 MiB, still a broadcast). The probe is a per-row codegen
+    * bit test, so the corpus streams map-side and only Bloom-positive rows
+    * (true matches + the engineered false-positive fraction) reach the exact
+    * verification join — which is what makes the output EXACT, and the
+    * oracle plain membership SQL: Bloom filters have no false negatives, and
+    * every false positive dies in the verify join, so the probe stage can
+    * use any hash family without cross-engine agreement.
+    */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    // The bitmap enters the probe as an uncorrelated SCALAR SUBQUERY — the
+    // same mechanism Spark's own runtime bloom filters inject — so the probe
+    // is a plain deterministic Filter on the corpus that predicate pushdown
+    // keeps BELOW the verification join (a DataFrame crossJoin(broadcast)
+    // probe gets reordered: PushLeftSemiLeftAntiThroughJoin slides the
+    // verify join under the cross join, running the exact join first).
+    // Scalar subqueries have no DataFrame API, hence Spark SQL here.
+    def pos(expr: String, i: Int): String =
+      s"pmod(xxhash64($expr, $i), CAST($BloomBits AS BIGINT))"
+    val probe = (0 until BloomHashes).map { i =>
+      s"""(coalesce(element_at((SELECT bm FROM bloom),
+         |    shiftright(${pos("fp", i)}, 6)), CAST(0 AS BIGINT))
+         |  & shiftleft(CAST(1 AS BIGINT), CAST(${pos("fp", i)} % 64 AS INT))) != 0"""
+        .stripMargin
+    }.mkString("\n  AND ")
+    s.sql(
+      s"""WITH d AS (SELECT doc_id, md5(text) AS fp
+         |  FROM parquet.`$dir/documents.parquet`),
+         |bm_ids AS (SELECT doc_id FROM d
+         |  ORDER BY md5(concat(CAST(doc_id AS STRING), '#bm')), doc_id
+         |  LIMIT $BloomBenchK),
+         |bf AS (SELECT DISTINCT fp FROM d JOIN bm_ids USING (doc_id)),
+         |pos AS (SELECT explode(array(${(0 until BloomHashes)
+              .map(i => pos("fp", i)).mkString(", ")})) AS h FROM bf),
+         |words AS (SELECT shiftright(h, 6) AS w,
+         |    bit_or(shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))) AS bits
+         |  FROM pos GROUP BY shiftright(h, 6)),
+         |bloom AS (SELECT map_from_entries(sort_array(
+         |    collect_list(struct(w, bits)))) AS bm FROM words)
+         |SELECT doc_id, fp FROM d
+         |WHERE $probe
+         |  AND fp IN (SELECT fp FROM bf)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  private val d16Sql =
+    s"""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |bm AS (SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '#bm'), doc_id LIMIT $BloomBenchK),
+       |bf AS (SELECT DISTINCT fp FROM d WHERE doc_id IN (SELECT doc_id FROM bm))
+       |SELECT doc_id, fp FROM d WHERE fp IN (SELECT fp FROM bf)
+       |ORDER BY doc_id""".stripMargin
 
   /** d15 — SemDeDup (cluster-then-dedup semantic eviction): k-means the
     * embedding corpus into cells (s10's operator — KMeans.cluster), then

@@ -266,6 +266,42 @@ class PlanSpec extends SparkSpecBase {
       "centroid updates aggregate with map-side combine")
   }
 
+  test("d16 bloom build is one bit_or aggregation; no shuffle join at broadcast scale") {
+    val s = planOf(run("d16_bloom_decontaminate")).toString
+    assert(s.contains("bit_or"), "the bitmap must build via bit_or aggregation")
+    assert(s.contains("Subquery") || s.contains("subquery"),
+      "the bitmap must enter the probe as a scalar subquery")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"))
+  }
+
+  test("d16 bloom probe prunes below the verify join once the bench side can't broadcast") {
+    // the scale case: the benchmark set exceeds the broadcast threshold, the
+    // exact membership join becomes a shuffle join — the Bloom bit-test
+    // (which needs only the scalar-subquery bitmap) must stay on the corpus
+    // side BELOW that join, pruning rows before they shuffle. In the printed
+    // tree, children render below parents: the probe filter inside the
+    // join's left subtree appears after the join line.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("d16_bloom_decontaminate")(spark, sf("sf0.001"))
+      df.collect()
+      val s = planOf(df).toString
+      val join = Seq(s.indexOf("SortMergeJoin"), s.indexOf("ShuffledHashJoin"))
+        .filter(_ >= 0)
+      assert(join.nonEmpty, "verify join must be a shuffle join with broadcasts off")
+      val probe = s.indexOf("element_at")
+      assert(probe >= 0, "bloom bit-test filter missing from the plan")
+      assert(probe > join.min,
+        "the bloom probe must sit below the verify join, not above it")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
   test("q23 min-cost supplier: aggregate first, window over pairs, dims broadcast") {
     val s = planString(run("q23_min_cost_supplier"))
     assert("HashAggregate".r.findAllIn(s).size >= 2,
