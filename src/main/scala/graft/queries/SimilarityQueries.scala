@@ -703,6 +703,45 @@ object SimilarityQueries extends QueryPack {
        |  CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS mean_d2
        |FROM asg2 GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  private val CellQuota = 10
+
+  /** s11 — cluster-balanced sample: exactly min(CellQuota, |cell|) vectors
+    * per k-means cell, selected by smallest salted md5 — the "balanced
+    * subset across semantic clusters" op a curation pipeline runs so rare
+    * modes survive downsampling (uniform sampling keeps cluster mass
+    * proportional; this caps every cluster at the same quota). Composes
+    * KMeans.cluster with t16's quota machinery: the partial-combinable
+    * TopKByScore aggregator ships ≤ quota rows per (map partition × cell)
+    * instead of sorting whole cells in window partitions.
+    */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val cells = graft.operators.KMeans.cluster(vecs, Dims, KmK, KmIters)
+      .select(col("vec_id"), col("c_id"))
+    val h = conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit("#cb"))), 1, 13), 16, 10).cast("long")
+    val topk = TopKByScore(CellQuota)
+    cells
+      .select(col("c_id"), col("vec_id"), (-h.cast("double")).as("score"))
+      .groupBy(col("c_id"))
+      .agg(topk(col("vec_id"), col("score")).as("tk"))
+      .select(col("c_id"), posexplode(col("tk")))
+      .select(col("c_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("vec_id"))
+      .orderBy(col("c_id"), col("rk"))
+  }
+
+  private val s11Sql = kmCellsCte +
+    s""",
+       |h AS (SELECT c_id, vec_id,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#cb'), 1, 13)) AS BIGINT) AS hv
+       | FROM asg2),
+       |r AS (SELECT c_id, vec_id,
+       |  ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY hv, vec_id) AS rk FROM h)
+       |SELECT c_id, rk, vec_id FROM r WHERE rk <= $CellQuota
+       |ORDER BY c_id, rk""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -713,5 +752,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s07_dim_stats", s07, Some(s07Sql)),
     QueryDef("s08_pq_codes", s08, Some(s08Sql)),
     QueryDef("s09_sq_codes", s09, Some(s09Sql)),
-    QueryDef("s10_kmeans", s10, Some(s10Sql)))
+    QueryDef("s10_kmeans", s10, Some(s10Sql)),
+    QueryDef("s11_cluster_sample", s11, Some(s11Sql)))
 }
