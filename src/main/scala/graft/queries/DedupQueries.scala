@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -514,7 +515,9 @@ object DedupQueries extends QueryPack {
     QueryDef("d13_prefix_dedup", d13, Some(d13Sql)),
     QueryDef("d14_minhash_calibration", d14, Some(d14Sql)),
     QueryDef("d15_semdedup", d15, Some(d15Sql)),
-    QueryDef("d16_bloom_decontaminate", d16, Some(d16Sql)))
+    QueryDef("d16_bloom_decontaminate", d16, Some(d16Sql)),
+    QueryDef("d17_cross_snapshot_dedup", d17, Some(d17Sql)),
+    QueryDef("d18_soft_dedup_weights", d18, Some(d18Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
@@ -735,4 +738,97 @@ object DedupQueries extends QueryPack {
       |  COUNT(DISTINCT be.b_id) AS n_bench_docs
       |FROM ce JOIN be ON ce.sng = be.sng
       |GROUP BY ce.doc_id ORDER BY ce.doc_id""".stripMargin
+
+  /** d17 — cross-snapshot dedup: near-dup pairs (d03's MinHash+LSH
+    * candidates, exact-Jaccard ≥ 0.3) restricted to documents from
+    * DIFFERENT sources, rolled up per evicted doc. This is the "dedupe the
+    * new crawl dump against the corpus you already kept" shape
+    * (CCNet/RefinedWeb run it snapshot-over-snapshot): the keeper is the
+    * copy in the lexicographically-earlier source (snapshot priority); the
+    * later snapshot's copy is flagged with its match count and tightest
+    * match. The source restriction only filters the verified pairs — the
+    * candidate plan is d03's band equi-join unchanged, so the query scales
+    * exactly as d03 does regardless of how many snapshots exist.
+    */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val src = docs.select(col("doc_id"), col("source"))
+    val keepA = col("a.source") < col("b.source")
+    pairs.as("p")
+      .join(src.as("a"), col("p.i") === col("a.doc_id"))
+      .join(src.as("b"), col("p.j") === col("b.doc_id"))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(
+        when(keepA, col("p.j")).otherwise(col("p.i")).as("drop_id"),
+        when(keepA, col("b.source")).otherwise(col("a.source")).as("drop_source"),
+        when(keepA, col("p.i")).otherwise(col("p.j")).as("keep_id"),
+        col("p.jac"))
+      .groupBy(col("drop_id"), col("drop_source"))
+      .agg(min(col("keep_id")).as("keep_id"),
+        count(lit(1)).as("n_earlier_dups"),
+        max(col("jac")).as("max_jac"))
+      .orderBy(col("drop_id"))
+  }
+
+  private val d17Sql =
+    s"""WITH pr AS (SELECT i, j, jac FROM ($minhashPairsCore)),
+       |sp AS (SELECT pr.i, pr.j, pr.jac, da.source AS sa, db.source AS sb
+       |  FROM pr JOIN documents da ON da.doc_id = pr.i
+       |          JOIN documents db ON db.doc_id = pr.j
+       |  WHERE da.source <> db.source),
+       |norm AS (SELECT
+       |  CASE WHEN sa < sb THEN j ELSE i END AS drop_id,
+       |  CASE WHEN sa < sb THEN sb ELSE sa END AS drop_source,
+       |  CASE WHEN sa < sb THEN i ELSE j END AS keep_id,
+       |  jac FROM sp)
+       |SELECT drop_id, drop_source, MIN(keep_id) AS keep_id,
+       |  COUNT(*) AS n_earlier_dups, MAX(jac) AS max_jac
+       |FROM norm GROUP BY drop_id, drop_source
+       |ORDER BY drop_id""".stripMargin
+
+  /** d18 — soft dedup: instead of evicting near-duplicates, down-weight
+    * them — every doc gets sampling weight 1/|cluster| where clusters are
+    * d07's connected components over the MinHash pair graph (singletons
+    * weight 1). This is the repetition-aware weight a training pipeline
+    * feeds its data loader when it wants dedup's distributional effect
+    * without discarding any text. Cluster size comes from a window count
+    * partitioned by component — one bounded-group shuffle, never a
+    * component-sized broadcast; the weight is a single exact-int division,
+    * bit-identical cross-engine.
+    */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+        shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j"))
+    val comp = ConnectedComponents.components(pairs)
+    val withComp = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val w = Window.partitionBy(col("component"))
+    withComp
+      .select(col("doc_id"), col("component"),
+        count(lit(1)).over(w).as("cluster_size"))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d18Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($minhashPairsCore)),
+       |e2 AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+       |  UNION
+       |  SELECT e2.a, reach.lbl FROM e2 JOIN reach ON e2.b = reach.id
+       |),
+       |comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+       |wc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, component,
+       |  COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       |  CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY component) AS weight
+       |FROM wc ORDER BY doc_id""".stripMargin
 }
