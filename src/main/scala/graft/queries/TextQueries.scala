@@ -753,6 +753,107 @@ object TextQueries extends QueryPack {
       |  CAST(max_count AS DOUBLE) / n_tokens AS top_share
       |FROM a WHERE n_tokens >= 2 ORDER BY doc_id""".stripMargin
 
+  /** t22 — TF-IDF top terms: the 3 most characteristic tokens per document
+    * by tf·(N/df) weight — the inverted-index statistic behind sparse
+    * retrieval, keyword extraction, and topic labeling over a corpus. The
+    * idf factor is the raw ratio N/df, not log(N/df): the classic log form
+    * is NOT bit-reproducible across engines (libm log differs in the last
+    * ulp), while tf·N/df is one exact integer product and one IEEE division
+    * — identical everywhere, and rank-equivalent for any fixed tf.
+    *
+    * Scale shape: tf is the natural token-explode groupBy (the cost any
+    * corpus tokenization pays); df reuses tf's output; the per-doc rank
+    * window partitions by doc_id, whose group size is bounded by document
+    * length — never by corpus size. N joins as a broadcast 1-row aggregate.
+    */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("tfidf"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val t22Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM t GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, tok, tf, df,
+      |         CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+      |       FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |r AS (SELECT doc_id, tok, tf, df, tfidf,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                           ORDER BY tfidf DESC, tok) AS rk
+      |      FROM sc)
+      |SELECT doc_id, tok, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** t23 — Gopher-style quality rules (Rae et al. 2021 §A1.1, re-expressed
+    * for this corpus): per-document pass/fail flags for word count, mean
+    * word length, type-token ratio, and stopword presence, plus the
+    * composite keep decision. Every rule is integer arithmetic or a single
+    * IEEE division compared to a constant — bit-deterministic cross-engine.
+    * Pure per-row column expressions over one scan: zero shuffle, whole-
+    * stage codegen end to end (the repetition/top-share rule lives in t21,
+    * which needs the per-token groupBy these rules deliberately avoid).
+    */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val n = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val nStop = size(filter(ws, w => w === "the" || w === "a")).cast("long")
+    val meanLen = sumLen.cast("double") / n
+    val ttr = nDistinct.cast("double") / n
+    val okCount = (n >= 30) && (n <= 10000)
+    val okLen = (meanLen >= 3.0) && (meanLen <= 10.0)
+    val okTtr = ttr >= 0.2
+    val okStop = nStop >= 2
+    Tables.documents(s, dir).select(
+      col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
+      ttr.as("ttr"), nStop.as("n_stop"),
+      okCount.cast("int").as("ok_count"), okLen.cast("int").as("ok_len"),
+      okTtr.cast("int").as("ok_ttr"), okStop.cast("int").as("ok_stop"),
+      (okCount && okLen && okTtr && okStop).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t23Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_len,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+      | FROM w),
+      |f AS (SELECT doc_id, n_words,
+      |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+      |  CAST(n_distinct AS DOUBLE) / n_words AS ttr, n_stop,
+      |  CAST(n_words >= 30 AND n_words <= 10000 AS INT) AS ok_count,
+      |  CAST(CAST(sum_len AS DOUBLE) / n_words >= 3.0
+      |       AND CAST(sum_len AS DOUBLE) / n_words <= 10.0 AS INT) AS ok_len,
+      |  CAST(CAST(n_distinct AS DOUBLE) / n_words >= 0.2 AS INT) AS ok_ttr,
+      |  CAST(n_stop >= 2 AS INT) AS ok_stop
+      | FROM s)
+      |SELECT doc_id, n_words, mean_word_len, ttr, n_stop,
+      |  ok_count, ok_len, ok_ttr, ok_stop,
+      |  ok_count * ok_len * ok_ttr * ok_stop AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -774,5 +875,7 @@ object TextQueries extends QueryPack {
     QueryDef("t18_shard_assign", t18, Some(t18Sql)),
     QueryDef("t19_train_split", t19, Some(t19Sql)),
     QueryDef("t20_weighted_sample", t20, Some(t20Sql)),
-    QueryDef("t21_token_concentration", t21, Some(t21Sql)))
+    QueryDef("t21_token_concentration", t21, Some(t21Sql)),
+    QueryDef("t22_tfidf_terms", t22, Some(t22Sql)),
+    QueryDef("t23_quality_rules", t23, Some(t23Sql)))
 }
