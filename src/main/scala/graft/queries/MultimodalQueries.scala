@@ -150,10 +150,39 @@ object MultimodalQueries extends QueryPack {
       |FROM all_m GROUP BY md5(lower(content_hex))
       |ORDER BY media_id""".stripMargin
 
+  /** m06 — audio framing + energy (Multimodal.audioFrames): each audio blob
+    * windowed into 8-sample frames at a 4-sample hop, with integer Σ sample²
+    * energy and a silence flag — the VAD front-end shape. All per-row
+    * codegen (byte extraction, slice, energy fold); output rows = media ×
+    * n_frames, no shuffle before the oracle sort.
+    */
+  private def m06(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+    Multimodal.audioFrames(media, frameLen = 8, hop = 4, silenceBelow = 131072L)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val m06Sql = mediaCte +
+    """,
+      |bytes AS (SELECT media_id,
+      |  list_transform(range(0, CAST(octet_length(unhex(content_hex)) AS INTEGER)),
+      |    i -> CAST(('0x' || substr(content_hex, 2*i + 1, 2)) AS BIGINT)) AS bs
+      | FROM media WHERE kind = 'audio'),
+      |fr AS (SELECT media_id, unnest(range(0, (len(bs) - 8) // 4 + 1)) AS f, bs
+      | FROM bytes WHERE len(bs) >= 8),
+      |e AS (SELECT media_id, f,
+      |  CAST(list_sum(list_transform(list_slice(bs, f*4 + 1, f*4 + 8),
+      |    x -> x * x)) AS BIGINT) AS energy
+      | FROM fr)
+      |SELECT media_id, CAST(f AS BIGINT) AS frame_idx, energy,
+      |  CAST(energy < 131072 AS INT) AS is_silent
+      |FROM e ORDER BY media_id, frame_idx""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
     QueryDef("m03_frame_sampling", m03, Some(m03Sql)),
     QueryDef("m04_resize_dims", m04, Some(m04Sql)),
-    QueryDef("m05_media_dedup", m05, Some(m05Sql)))
+    QueryDef("m05_media_dedup", m05, Some(m05Sql)),
+    QueryDef("m06_audio_frames", m06, Some(m06Sql)))
 }

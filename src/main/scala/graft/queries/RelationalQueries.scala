@@ -261,6 +261,37 @@ object RelationalQueries extends QueryPack {
       |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** r09 — explicit GROUPING SETS (the asymmetric shape neither r01's
+    * rollup nor r07's cube expresses: both one-dimension margins but no
+    * grand total), via the native Dataset.groupingSets API — one Expand +
+    * one hash aggregate, exactly the rollup plan family. Decimal-exact sums
+    * cast to double once; grouping() flags disambiguate real NULL groups.
+    */
+  private def r09(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("ship_year")),
+          Seq(col("l_returnflag")), Seq(col("ship_year"))),
+        col("l_returnflag"), col("ship_year"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("ship_year")).cast("long").as("g_sy"))
+      .orderBy(col("g_rf"), col("g_sy"), col("l_returnflag"), col("ship_year"))
+
+  private val r09Sql =
+    """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(CAST(year(l_shipdate) AS BIGINT)) AS BIGINT) AS g_sy
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, ship_year), (l_returnflag), (ship_year))
+      |ORDER BY g_rf, g_sy, l_returnflag, ship_year""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -269,5 +300,6 @@ object RelationalQueries extends QueryPack {
     QueryDef("r05_percentiles", r05, Some(r05Sql)),
     QueryDef("r06_window_pack", r06, Some(r06Sql)),
     QueryDef("r07_cube_datacard", r07, Some(r07Sql)),
-    QueryDef("r08_pivot_crosstab", r08, Some(r08Sql)))
+    QueryDef("r08_pivot_crosstab", r08, Some(r08Sql)),
+    QueryDef("r09_grouping_sets", r09, Some(r09Sql)))
 }
