@@ -101,6 +101,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.getLong(1) == 36L, "floor(1.5s * 24fps) = 36")
   }
 
+  test("audioFrames: audio-only rows, frame count/stride math, exact energies") {
+    val frames = Multimodal.audioFrames(media, frameLen = 8, hop = 4,
+      silenceBelow = 131072L)
+    val joined = frames.join(media.select(col("media_id"), col("kind")), "media_id")
+    assert(joined.filter(col("kind") =!= "audio").count() == 0)
+    // 32 bytes, len 8, hop 4 → 7 frames per audio blob
+    val perMedia = frames.groupBy("media_id").count().collect().map(_.getLong(1))
+    assert(perMedia.nonEmpty && perMedia.forall(_ == 7L))
+    // energies match an independent recomputation from the raw bytes
+    val audioId = media.filter(col("kind") === "audio")
+      .select(min(col("media_id"))).head().getLong(0)
+    val content = media.filter(col("media_id") === audioId)
+      .head().getAs[Array[Byte]]("content")
+    val expected = (0 until 7).map { f =>
+      content.slice(f * 4, f * 4 + 8).map(b => (b & 0xff).toLong)
+        .map(v => v * v).sum
+    }
+    val got = frames.filter(col("media_id") === audioId)
+      .orderBy(col("frame_idx")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.map(_._2).toSeq == expected)
+    got.foreach { case (_, e, silent) =>
+      assert((silent == 1) == (e < 131072L), "silence flag consistent")
+    }
+  }
+
   test("resizedDims never upscales and preserves aspect bound") {
     import spark.implicits._
     val df = Seq((960, 720), (320, 240), (512, 512), (2000, 100)).toDF("w", "h")
