@@ -462,6 +462,48 @@ class PlanSpec extends SparkSpecBase {
       "one documents scan")
   }
 
+  test("d17 cross-snapshot dedup keeps d03's equi-join candidate plan") {
+    val s = planString(run("d17_cross_snapshot_dedup"))
+    assert(!s.contains("CartesianProduct"),
+      "source restriction must not degrade the band join to a cartesian")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "pair-source joins must stay hash equi-joins")
+  }
+
+  test("d18 soft-dedup weights: window by component, no size-table broadcast join") {
+    val s = planString(run("d18_soft_dedup_weights"))
+    assert(s.contains("Window"), "cluster size must come from a keyed window")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("t22 tf-idf: corpus term joins are hash joins; only the 1-row N broadcasts") {
+    val s = planString(run("t22_tfidf_terms"))
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("Window"), "per-doc rank window")
+    // the tf⋈df term join must be a hash equi-join; the single nested-loop
+    // allowed is the 1-row n_docs broadcast (each node prints twice under
+    // AQE: Initial Plan + Final Plan)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      "term join must be a hash/merge equi-join")
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(s).size <= 2,
+      "only the 1-row n_docs frame may nested-loop broadcast")
+  }
+
+  test("m06 audio framing is per-row codegen: no exchange before the result sort") {
+    val s = planString(run("m06_audio_frames"))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "framing must not shuffle; rows explode in place")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+  }
+
+  test("r09 grouping sets expand from one scan like r07's cube") {
+    val s = planString(run("r09_grouping_sets"))
+    assert(s.contains("Expand"),
+      "GROUPING SETS must expand from a single scan, not union re-scans")
+    assert("Location: InMemoryFileIndex".r.findAllIn(s).size <= 1,
+      "one lineitem scan feeds all three grouping sets")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
