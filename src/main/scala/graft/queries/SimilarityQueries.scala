@@ -742,6 +742,45 @@ object SimilarityQueries extends QueryPack {
        |SELECT c_id, rk, vec_id FROM r WHERE rk <= $CellQuota
        |ORDER BY c_id, rk""".stripMargin
 
+  /** Cosine radius for s12's range search — the "sufficiently close" ball.
+    * Production tunes this per embedding model; 0.3 gives each test query a
+    * non-trivial but bounded neighbor set.
+    */
+  private val RangeTau = 0.3
+
+  /** s12 — radius (range) search: every corpus vector within cosine ≥
+    * [[RangeTau]] of each query in the fixed QueryK sample — the "find ALL
+    * sufficiently close" API (recall-oriented retrieval, near-dup audits,
+    * dataset contamination sweeps), complementing s01's top-k. Identical
+    * scale shape to s01: the query side is a fixed-k broadcast, scoring is
+    * one map-side pass over the corpus (O(k·n), no corpus shuffle), and the
+    * threshold filter bounds output by the τ-ball sizes instead of k·5.
+    */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val q = baseVecs(s, dir)
+    val queries = q.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
+    queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val s12Sql =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |qs AS (${sampleSql(QueryK)}),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      | WHERE a.vec_id IN (SELECT vec_id FROM qs))
+      |SELECT query_id, neighbor_id, cos FROM p WHERE cos >= $RangeTau
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -753,5 +792,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s08_pq_codes", s08, Some(s08Sql)),
     QueryDef("s09_sq_codes", s09, Some(s09Sql)),
     QueryDef("s10_kmeans", s10, Some(s10Sql)),
-    QueryDef("s11_cluster_sample", s11, Some(s11Sql)))
+    QueryDef("s11_cluster_sample", s11, Some(s11Sql)),
+    QueryDef("s12_range_search", s12, Some(s12Sql)))
 }
