@@ -86,14 +86,21 @@ object SimilarityQueries extends QueryPack {
     * Cost is O(k·n) — the definitional ground truth stays affordable at any
     * corpus size because k is fixed, not a fraction of n.
     */
-  private def s01From(q: DataFrame, ids: DataFrame): DataFrame = {
+  /** Brute-force scored (query_id, neighbor_id, cos) pairs: fixed-k
+    * broadcast query sample × corpus, one map-side O(k·n) scoring pass.
+    * The single source of the exact-cosine formula for s01's top-k, s12's
+    * radius filter, and (through s01From) s05's ground truth.
+    */
+  private def bruteScoredPairs(q: DataFrame, ids: DataFrame): DataFrame = {
     val queries = q.join(broadcast(ids), "vec_id")
-    val pairs = queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         (dotLong(col("a.v"), col("b.v")).cast("double")
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
-    topkRank(pairs, 5).orderBy(col("query_id"), col("rk"))
   }
+
+  private def s01From(q: DataFrame, ids: DataFrame): DataFrame =
+    topkRank(bruteScoredPairs(q, ids), 5).orderBy(col("query_id"), col("rk"))
 
   private def s01(s: SparkSession, dir: String): DataFrame =
     s01From(baseVecs(s, dir), sampleIds(s, dir, QueryK))
@@ -756,16 +763,10 @@ object SimilarityQueries extends QueryPack {
     * one map-side pass over the corpus (O(k·n), no corpus shuffle), and the
     * threshold filter bounds output by the τ-ball sizes instead of k·5.
     */
-  private def s12(s: SparkSession, dir: String): DataFrame = {
-    val q = baseVecs(s, dir)
-    val queries = q.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
-    queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        (dotLong(col("a.v"), col("b.v")).cast("double")
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+  private def s12(s: SparkSession, dir: String): DataFrame =
+    bruteScoredPairs(baseVecs(s, dir), sampleIds(s, dir, QueryK))
       .filter(col("cos") >= RangeTau)
       .orderBy(col("query_id"), col("neighbor_id"))
-  }
 
   private val s12Sql =
     s"""WITH q AS (SELECT vec_id,
