@@ -517,7 +517,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d15_semdedup", d15, Some(d15Sql)),
     QueryDef("d16_bloom_decontaminate", d16, Some(d16Sql)),
     QueryDef("d17_cross_snapshot_dedup", d17, Some(d17Sql)),
-    QueryDef("d18_soft_dedup_weights", d18, Some(d18Sql)))
+    QueryDef("d18_soft_dedup_weights", d18, Some(d18Sql)),
+    QueryDef("d19_curation_pipeline", d19, Some(d19Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
@@ -815,6 +816,62 @@ object DedupQueries extends QueryPack {
         (lit(1.0) / col("cluster_size")).as("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** d19 — the end-to-end curation pipeline composite, the "user story"
+    * query a training-data run actually ships: Gopher-style quality gate
+    * (t23's rules) → corpus-wide near-dup eviction (d03's verified MinHash
+    * pairs, keep the lower id) → content-stable train/val/test split (t19's
+    * 52-bit hash fraction) → per-split accounting. Every stage is an
+    * already-audited operator; composing them adds no new shuffle class —
+    * the quality gate and split are per-row codegen, eviction is the band
+    * equi-join plus one anti join, and the rollup is a 3-group aggregate.
+    */
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val n = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanLen = sumLen.cast("double") / n
+    val ttr = size(array_distinct(ws)).cast("double") / n
+    val nStop = size(filter(ws, w => w === "the" || w === "a")).cast("long")
+    val keep = (n >= 30) && (n <= 10000) && (meanLen >= 3.0) &&
+      (meanLen <= 10.0) && (ttr >= 0.2) && (nStop >= 2)
+    val evicted = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+        shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("j").as("doc_id")).distinct()
+    val hv = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val frac = hv.cast("double") / lit(4503599627370496.0) // 2^52, exact
+    val split = when(frac < 0.8, "train").when(frac < 0.9, "val")
+      .otherwise(lit("test"))
+    docs.filter(keep)
+      .join(evicted, Seq("doc_id"), "left_anti")
+      .select(split.as("split"), n.as("n_toks"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
+  private val d19Sql =
+    s"""WITH ev AS (SELECT DISTINCT j AS doc_id FROM ($minhashPairsCore)),
+       |q AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+       |flt AS (SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words FROM q
+       |  WHERE len(ws) >= 30 AND len(ws) <= 10000
+       |    AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) >= 3.0
+       |    AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) <= 10.0
+       |    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.2
+       |    AND len(list_filter(ws, x -> x = 'the' OR x = 'a')) >= 2
+       |    AND doc_id NOT IN (SELECT doc_id FROM ev)),
+       |sp AS (SELECT CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+       |    ELSE 'test' END AS split, n_words, n_chars
+       |  FROM (SELECT flt.*,
+       |    CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS frac
+       |   FROM flt))
+       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
   private val d18Sql =
     s"""WITH RECURSIVE pairs AS (SELECT i, j FROM ($minhashPairsCore)),

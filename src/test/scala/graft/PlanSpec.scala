@@ -496,6 +496,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("Window") && !s.contains("CartesianProduct"))
   }
 
+  test("d19 curation composite: equi-join candidates, anti-join eviction, no cartesian") {
+    val s = planString(run("d19_curation_pipeline"))
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("LeftAnti"), "eviction must plan as an anti join")
+  }
+
   test("r09 grouping sets expand from one scan like r07's cube") {
     val s = planString(run("r09_grouping_sets"))
     assert(s.contains("Expand"),
