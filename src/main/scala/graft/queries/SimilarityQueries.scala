@@ -580,6 +580,8 @@ object SimilarityQueries extends QueryPack {
     * quotient is ≥5e-6 away from any integer (numerators < 2^53), so
     * `floor` is the true mathematical floor in both engines — codes and
     * errors are bit-identical cross-engine with no rounding-mode hazard.
+    * Codes are emitted as one comma-joined string per vector (not an array
+    * column) so the verification harness can sort and hash the frame.
     */
   private def s09(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
@@ -600,7 +602,7 @@ object SimilarityQueries extends QueryPack {
         struct(code.as("code"), abs(x - recon).as("d"))
       }))
       .select(col("vec_id"),
-        col("pairs.code").as("codes"),
+        concat_ws(",", col("pairs.code").cast("array<string>")).as("codes"),
         aggregate(col("pairs"), lit(0L), (a, p) => a + p.getField("d"))
           .as("err"))
       .orderBy(col("vec_id"))
@@ -619,7 +621,7 @@ object SimilarityQueries extends QueryPack {
       |r AS (SELECT vec_id, dim, code,
       |  ABS(v - (mn + CAST(floor((code * 2 + 1) * (mx - mn + 1) / 512) AS BIGINT))) AS e
       | FROM c)
-      |SELECT vec_id, list(code ORDER BY dim) AS codes,
+      |SELECT vec_id, array_to_string(list(code ORDER BY dim), ',') AS codes,
       |  CAST(SUM(e) AS BIGINT) AS err
       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
 

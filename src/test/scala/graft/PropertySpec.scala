@@ -272,7 +272,7 @@ class PropertySpec extends SparkSpecBase {
     val s09 = SparkEntry.queries("s09_sq_codes")(spark, dir).collect()
     assert(s09.nonEmpty)
     for (r <- s09) {
-      val codes = r.getSeq[Long](1)
+      val codes = r.getString(1).split(',').map(_.toLong).toSeq
       assert(codes.length == 64 && codes.forall(c => c >= 0 && c < 256))
     }
 
