@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampType}
 
@@ -42,12 +42,30 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampT
   * Scope guards: inner joins only, no equi conjunct already present (then
   * the hash planner is already right), no user join hint (an explicit
   * broadcast wins), deterministic condition, bounds typed timestamp/int/
-  * long. `spark.graft.rangeJoin.enabled` (default true) switches the rule;
+  * long, and all four bound expressions sharing ONE data type — a condition
+  * mixing a timestamp pair with a long pair (`a.ts <= b.ts2 AND
+  * b.seq <= a.max_seq`) is a band predicate on two different axes, not an
+  * interval overlap, and binning it would build Least/Greatest over mixed
+  * operands; it stays on the nested-loop path. A stats gate skips the
+  * rewrite when either side's estimated size is within
+  * `spark.sql.autoBroadcastJoinThreshold`: BroadcastNestedLoopJoin with a
+  * tiny broadcast side beats two explodes plus a shuffle, so the rewrite
+  * only fires big×big (where the nested loop is the catastrophe).
+  *
+  * Pathological spans (an SCD2 sentinel like valid_to = 9999-12-31 would
+  * explode one row into millions of bins): rows whose interval covers more
+  * than `spark.graft.rangeJoin.maxBinsPerRow` (default 1024) bins take a
+  * per-row nested-loop fallback instead — the plan becomes a three-branch
+  * union (small×small bin join, large×all and small×large nested loops,
+  * each re-checking the exact original predicate) whose branches partition
+  * the pair space, so results stay identical while no row ever explodes
+  * past the cap. The fallback joins carry a marker hint so the fixed-point
+  * optimizer batch can never re-match them.
+  *
+  * `spark.graft.rangeJoin.enabled` (default true) switches the rule;
   * `spark.graft.rangeJoin.binSize` (default 3600 — seconds for timestamps,
   * plain units for numerics) tunes bin width, which only moves the
-  * near-miss constant, never results. A production deployment would add a
-  * stats gate (skip when one side is broadcast-small); this sandbox pins
-  * the rewrite itself.
+  * near-miss constant, never results.
   */
 case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -58,13 +76,26 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
   private def binSize: Long =
     conf.getConfString("spark.graft.rangeJoin.binSize", "3600").toLong
 
+  private def maxBinsPerRow: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxBinsPerRow", "1024").toLong
+
+  /** Stats gate: a side the planner could broadcast makes the nested loop
+    * an O(|big|) streamed pass — strictly cheaper than explode + shuffle.
+    * Threshold < 0 (broadcast disabled) means nothing is broadcast-small.
+    */
+  private def broadcastSmall(p: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t >= 0 && p.stats.sizeInBytes <= t
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     val w = binSize
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if hint == JoinHint.NONE && cond.deterministic =>
+          if hint == JoinHint.NONE && cond.deterministic &&
+            !broadcastSmall(left) && !broadcastSmall(right) =>
         extractOverlap(j, cond) match {
           case Some(ov) => rewrite(j, left, right, cond, ov, w)
           case None => j
@@ -107,13 +138,18 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
       case GreaterThanOrEqual(x, y) => (y, x)
       case GreaterThan(x, y) => (y, x)
     }.filter { case (x, y) => supported(x) && supported(y) }
-    val lr = le.find { case (x, y) => side(x) == 1 && side(y) == 2 }
-    val rl = le.find { case (x, y) => side(x) == 2 && side(y) == 1 }
-    (lr, rl) match {
-      case (Some((lLow, rHigh)), Some((rLow, lHigh))) =>
-        Some(Overlap(lLow, rHigh, rLow, lHigh))
-      case _ => None
-    }
+    val lrs = le.filter { case (x, y) => side(x) == 1 && side(y) == 2 }
+    val rls = le.filter { case (x, y) => side(x) == 2 && side(y) == 1 }
+    // all four bounds must live on ONE axis (identical types): a timestamp
+    // pair plus a long pair is two band predicates, not an overlap, and
+    // Least/Greatest over mixed operands would not even analyze
+    val combos = for {
+      (lLow, rHigh) <- lrs
+      (rLow, lHigh) <- rls
+      if rHigh.dataType == lLow.dataType && rLow.dataType == lLow.dataType &&
+        lHigh.dataType == lLow.dataType
+    } yield Overlap(lLow, rHigh, rLow, lHigh)
+    combos.headOption
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
@@ -127,19 +163,51 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
     def bins(lo: Expression, hi: Expression): Expression =
       Sequence(toBin(Least(Seq(lo, hi))), toBin(Greatest(Seq(lo, hi))),
         Some(Literal(1L)), tz)
+    // per-row explode bound: rows spanning more bins than this take the
+    // nested-loop fallback branch instead of exploding
+    def fitsCap(cap: Long)(lo: Expression, hi: Expression): Expression =
+      LessThan(Subtract(toBin(Greatest(Seq(lo, hi))),
+        toBin(Least(Seq(lo, hi)))), Literal(cap))
+    val cap = maxBinsPerRow
+    val (srcL, srcR, fallback) = if (cap > 0) {
+      val small = fitsCap(cap) _
+      // NULL-bound rows: the cap predicate is NULL, both Filters drop them
+      // — the same rows the original join can never match
+      val smallL = Filter(small(ov.lLow, ov.lHigh), left)
+      val smallR = Filter(small(ov.rLow, ov.rHigh), right)
+      val largeL = Filter(Not(small(ov.lLow, ov.lHigh)), left)
+      val largeR = Filter(Not(small(ov.rLow, ov.rHigh)), right)
+      // broadcast the large-interval side: it is tiny by construction
+      // (pathological sentinel rows), and Filter stats would otherwise let
+      // the planner broadcast the big side. The hint also being != NONE
+      // means this rule can never re-match its own fallback in the
+      // fixed-point batch.
+      val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+      // (large L × all R) ∪ (small L × large R) ∪ (small L × small R)
+      // partitions the pair space exactly — each original pair lands in
+      // precisely one branch, and every branch re-checks `cond` verbatim
+      val fb = Seq(
+        Project(j.output,
+          Join(largeL, right, Inner, Some(cond), JoinHint(bcast, None))),
+        Project(j.output,
+          Join(smallL, largeR, Inner, Some(cond), JoinHint(None, bcast))))
+      (smallL: LogicalPlan, smallR: LogicalPlan, fb)
+    } else (left, right, Seq.empty[LogicalPlan])
     val binL = AttributeReference("__graft_bin_l", LongType, nullable = false)()
     val binR = AttributeReference("__graft_bin_r", LongType, nullable = false)()
     val genL = Generate(Explode(bins(ov.lLow, ov.lHigh)), Nil,
-      outer = false, None, Seq(binL), left)
+      outer = false, None, Seq(binL), srcL)
     val genR = Generate(Explode(bins(ov.rLow, ov.rHigh)), Nil,
-      outer = false, None, Seq(binR), right)
+      outer = false, None, Seq(binR), srcR)
     // first-shared-bin reference point: emit each matching pair exactly once
     val refPoint = EqualTo(binL,
       Greatest(Seq(toBin(Least(Seq(ov.lLow, ov.lHigh))),
         toBin(Least(Seq(ov.rLow, ov.rHigh))))))
     val newCond = And(And(cond, EqualTo(binL, binR)), refPoint)
-    Project(j.output,
+    val binJoin = Project(j.output,
       Join(genL, genR, Inner, Some(newCond), JoinHint.NONE))
+    if (fallback.isEmpty) binJoin
+    else Union(binJoin +: fallback, byName = false, allowMissingCol = false)
   }
 }
 

@@ -436,11 +436,28 @@ class PlanSpec extends SparkSpecBase {
       "pair distinct + concurrency count must both partial-aggregate")
   }
 
-  test("j10 naive interval join is auto-rewritten by RangeJoinRule: no nested loop") {
+  test("j10 naive interval join is auto-rewritten by RangeJoinRule at scale") {
+    // big×big simulation: with broadcast off (as a 100 TB two-sided join
+    // looks to the planner) the rule must replace the nested loop with the
+    // bin equi-join; the hinted nested-loop branches that remain are the
+    // per-row span-cap fallbacks, empty at runtime and AQE-pruned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = planString(run("j10_concurrent_auto"))
+      assert(s.contains("__graft_bin"), "the rule's bin key must drive the join")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        "the small-span branch must join on the bin equi key")
+      assert(s.contains("Union"), "the span-cap fallback branches must union in")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("j10 stats gate: broadcast-small sides keep the nested loop") {
+    // at sf0.001 both session sides fit under autoBroadcastJoinThreshold —
+    // BNLJ with a tiny broadcast side beats explode + shuffle, so the rule
+    // stands down and the plan stays the planner's own choice
     val s = planString(run("j10_concurrent_auto"))
-    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
-      "the optimizer rule must rewrite the raw overlap predicate to a bin equi-join")
-    assert(s.contains("__graft_bin"), "the rule's bin key must drive the join")
+    assert(!s.contains("__graft_bin"),
+      "broadcast-small sides must not be rewritten")
   }
 
   test("s09 scalar quantization encodes per-row off one broadcast stats array") {
