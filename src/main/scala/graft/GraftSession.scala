@@ -16,6 +16,20 @@ object GraftSession {
   def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
     .getOrElse(Runtime.getRuntime.availableProcessors())
 
+  /** Silence the RocksDB native-side info logger. Spark derives the native
+    * log level from this class's slf4j level (warn-enabled → WARN_LEVEL), so
+    * at the default level every state-store instance streams WARN/header
+    * traffic through rocksdbjni's LoggerJniCallback — whose native Logv has
+    * crashed a StreamBench run with a SIGSEGV. OFF here leaves the native
+    * level at its ERROR floor: the callback stays registered but sees no
+    * routine traffic. Safe no-op if the logging backend is not log4j2.
+    */
+  def quietRocksDbNativeLogger(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
+
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
@@ -43,6 +57,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", n.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietRocksDbNativeLogger()
     s
   }
 
@@ -72,6 +87,8 @@ object GraftSession {
               totalCores: Int = 16000): SparkSession = {
     val b = builder(appName)
     clusterConfigs(totalCores).foreach { case (k, v) => b.config(k, v) }
-    b.getOrCreate()
+    val s = b.getOrCreate()
+    quietRocksDbNativeLogger()
+    s
   }
 }

@@ -43,6 +43,40 @@ object StreamBench {
         None
     }
 
+  /** Every progress entry of the run, via the listener bus —
+    * `q.recentProgress` is a ring capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` (100) entries, which a
+    * 1 s trigger outgrows in ~100 s: summing it would silently drop the
+    * earliest batches and under-report input-rows accounting on long runs.
+    */
+  private final class ProgressLog
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      buf.synchronized { buf += e.progress; () }
+    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def snapshot(): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      buf.synchronized(buf.toList)
+  }
+
+  /** Register a ProgressLog for the duration of `f`, then return the full
+    * progress history (after letting the async listener bus drain).
+    */
+  private def withProgressLog(spark: org.apache.spark.sql.SparkSession)(
+      f: => Unit): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    val plog = new ProgressLog
+    spark.streams.addListener(plog)
+    try f finally {
+      Thread.sleep(1500) // listener bus posts progress asynchronously
+      spark.streams.removeListener(plog)
+    }
+    plog.snapshot()
+  }
+
   /** Completed-data-batch capacity: rows through COMPLETED batches over
     * their processing time (quantization-free; see the measurement note in
     * runNearDup). Progress entries without a positive triggerExecution are
@@ -151,19 +185,21 @@ object StreamBench {
       side("l"), side("r").withColumn("r_payload", col("r_key") * 7L),
       "l_key", "r_key", "l_ts", "r_ts", Duration.parse("5s"))
     val sink = new IdempotentParquetSink(sinkDir)
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(1000))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        sink.writeBatch(b, id); ()
-      }
-      .start()
-    val t0 = System.nanoTime()
-    Thread.sleep(secs * 1000L)
-    stopQuietly(q)
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
     progress.takeRight(4).foreach(p => System.err.println(
       s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
         s"durMs=${p.durationMs} " +
@@ -203,19 +239,21 @@ object StreamBench {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .select(col("w.start").as("w_start"), col("k"), col("n"), col("sum_v"))
     val sink = new IdempotentParquetSink(sinkDir)
-    val q = agged.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(1000))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        sink.writeBatch(b, id); ()
-      }
-      .start()
-    val t0 = System.nanoTime()
-    Thread.sleep(secs * 1000L)
-    stopQuietly(q)
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = agged.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
     progress.takeRight(4).foreach(p => System.err.println(
       s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
         s"durMs=${p.durationMs} " +
@@ -268,19 +306,21 @@ object StreamBench {
     // StreamingNearDup.combine scaladoc), so the sink writes one verdict row
     // per doc instead of bands-per-doc claim rows: 4× less parquet on the
     // hot path.
-    val q = claims.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(1000))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        sink.writeBatch(StreamingNearDup.combine(b), id); ()
-      }
-      .start()
-    val t0 = System.nanoTime()
-    Thread.sleep(secs * 1000L)
-    stopQuietly(q)
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = claims.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(StreamingNearDup.combine(b), id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
     progress.takeRight(4).foreach(p => System.err.println(
       s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
         s"durMs=${p.durationMs} " +
