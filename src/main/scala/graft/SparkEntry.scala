@@ -15,7 +15,10 @@ object SparkEntry {
     Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries, JoinQueries,
       MultimodalQueries, RelationalQueries)
 
-  private lazy val all: Seq[QueryDef] = packs.flatMap(_.defs)
+  // a def, not a lazy val: the oracle SQL builders read the graft.scale.*
+  // conf knobs at build time, so the registry must re-evaluate per access —
+  // caching would freeze the first session's knob values forever
+  private def all: Seq[QueryDef] = packs.flatMap(_.defs)
 
   /** Flagship: the reference's whole pipeline, batch form —
     * S1 generator → S2 duplicate injection → ST1 keep-first dedup →

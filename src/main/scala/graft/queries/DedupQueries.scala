@@ -75,7 +75,7 @@ object DedupQueries extends QueryPack {
     * PropertySpec pins capped == uncapped at small sf where no group exceeds
     * the cap, and that a synthetic stop-shingle group is dropped.
     */
-  val DefaultMaxDf = 1000
+  def DefaultMaxDf: Int = graft.config.Scale.maxDf
 
   private[graft] def d02Pairs(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val sh = Tables.documents(s, dir)
@@ -607,7 +607,8 @@ object DedupQueries extends QueryPack {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .localCheckpoint()
-    val cells = graft.operators.KMeans.cluster(vecs, dims = 64, k = 8, iters = 2)
+    val cells = graft.operators.KMeans.cluster(vecs, dims = 64,
+      k = SimilarityQueries.KmK, iters = SimilarityQueries.KmIters)
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
       .localCheckpoint()
@@ -623,11 +624,11 @@ object DedupQueries extends QueryPack {
       .orderBy(col("evicted_id"))
   }
 
-  private val d15Sql = SimilarityQueries.kmCellsCte +
-    """,
+  private def d15Sql: String = SimilarityQueries.kmCellsCte +
+    s""",
       |cell AS (SELECT vec_id, v,
       |  sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) AS nrm, c_id
-      | FROM asg2),
+      | FROM ${SimilarityQueries.kmFinalAsg}),
       |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) / (a.nrm * b.nrm) AS cos
       | FROM cell a JOIN cell b

@@ -37,8 +37,8 @@ object SimilarityQueries extends QueryPack {
     * test tables; a production deployment would raise it (~1000) without
     * changing the plan shape.
     */
-  private val QueryK = 50
-  private val PairSampleK = 100
+  private def QueryK: Int = graft.config.Scale.queryK
+  private def PairSampleK: Int = graft.config.Scale.pairSampleK
 
   /** The k vec_ids with the smallest md5(vec_id) — a deterministic,
     * size-fixed, engine-portable sample. Plans as TakeOrderedAndProject
@@ -105,7 +105,7 @@ object SimilarityQueries extends QueryPack {
   private def s01(s: SparkSession, dir: String): DataFrame =
     s01From(baseVecs(s, dir), sampleIds(s, dir, QueryK))
 
-  private val s01Sql =
+  private def s01Sql: String =
     s"""WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
@@ -231,7 +231,7 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("same_label"))
   }
 
-  private val s03Sql =
+  private def s03Sql: String =
     s"""WITH qs AS (${sampleSql(PairSampleK)}),
       |q AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
@@ -249,7 +249,7 @@ object SimilarityQueries extends QueryPack {
   /** Fixed centroid count for s04 — a constant, never a corpus fraction:
     * the broadcast codebook is provably O(IvfK) at any scale.
     */
-  private val IvfK = 64
+  private def IvfK: Int = graft.config.Scale.ivfK
   private val NProbe = 2
 
   /** s04 — IVF-style ANN, s08's codebook shape: the centroid set is a
@@ -315,7 +315,7 @@ object SimilarityQueries extends QueryPack {
   private def s04(s: SparkSession, dir: String): DataFrame =
     s04From(baseVecs(s, dir), sampleIds(s, dir, QueryK))
 
-  private val s04Sql =
+  private def s04Sql: String =
     s"""WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
@@ -470,7 +470,7 @@ object SimilarityQueries extends QueryPack {
         (max(col("vq")).cast("double") / 10000.0).as("max_v"))
       .orderBy(col("dim"))
 
-  private val s07Sql =
+  private def s07Sql: String =
     """WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
@@ -485,7 +485,7 @@ object SimilarityQueries extends QueryPack {
 
   private val SubSpaces = 4
   private val SubDim = 16 // Dims / SubSpaces
-  private val CodeK = 8
+  private def CodeK: Int = graft.config.Scale.codeK
 
   /** s08 — product-quantization codes (the IVF-PQ compression path): split
     * each 64-dim vector into 4 subspaces of 16 dims, assign every subvector
@@ -540,7 +540,7 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("sub"), col("code"))
   }
 
-  private val s08Sql =
+  private def s08Sql: String =
     s"""WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),
@@ -608,7 +608,7 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
-  private val s09Sql =
+  private def s09Sql: String =
     """WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
       | FROM embeddings),
@@ -625,8 +625,8 @@ object SimilarityQueries extends QueryPack {
       |  CAST(SUM(e) AS BIGINT) AS err
       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  private val KmK = 8
-  private val KmIters = 2
+  private[queries] def KmK: Int = graft.config.Scale.kmK
+  private[queries] def KmIters: Int = graft.config.Scale.kmIters
 
   /** s10 — quantized Lloyd k-means (the clustering pass a SemDeDup-style
     * semantic-curation pipeline runs over the whole corpus before
@@ -687,11 +687,20 @@ object SimilarityQueries extends QueryPack {
        |  list(CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
        |  FROM sums$k GROUP BY c_id)""".stripMargin
 
-  /** The full k-means pipeline as a WITH prelude ending at the final
-    * assignment CTE `asg2` (vec_id, v, c_id, d2) — shared with d15's
-    * SemDeDup oracle in DedupQueries.
+  /** Name of the final assignment CTE produced by [[kmCellsCte]] —
+    * `asg<KmIters>` (vec_id, v, c_id, d2); consumers (s10/s11, d15's
+    * SemDeDup oracle) reference it through this def so a KmIters override
+    * renames it consistently everywhere.
     */
-  private[queries] val kmCellsCte =
+  private[queries] def kmFinalAsg: String = s"asg$KmIters"
+
+  /** The full k-means pipeline as a WITH prelude ending at [[kmFinalAsg]] —
+    * one assign+update round per KmIters plus the final assignment, the
+    * chain length derived from the same knob the DataFrame side reads.
+    */
+  private[queries] def kmCellsCte: String = {
+    val rounds = (0 until KmIters).map(i =>
+      s"${kmAssignSql(i, s"cent$i")},\n${kmUpdateSql(i)}").mkString(",\n")
     s"""WITH q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
        | FROM embeddings),
@@ -699,20 +708,18 @@ object SimilarityQueries extends QueryPack {
        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#km'), vec_id LIMIT $KmK),
        |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM q
        |  WHERE vec_id IN (SELECT vec_id FROM cid)),
-       |${kmAssignSql(0, "cent0")},
-       |${kmUpdateSql(0)},
-       |${kmAssignSql(1, "cent1")},
-       |${kmUpdateSql(1)},
-       |${kmAssignSql(2, "cent2")}""".stripMargin
+       |$rounds,
+       |${kmAssignSql(KmIters, s"cent$KmIters")}""".stripMargin
+  }
 
-  private val s10Sql =
+  private def s10Sql: String =
     s"""$kmCellsCte
        |SELECT c_id, COUNT(*) AS n_members, MIN(vec_id) AS rep_vec_id,
        |  CAST(SUM(d2) AS BIGINT) AS inertia,
        |  CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS mean_d2
-       |FROM asg2 GROUP BY c_id ORDER BY c_id""".stripMargin
+       |FROM $kmFinalAsg GROUP BY c_id ORDER BY c_id""".stripMargin
 
-  private val CellQuota = 10
+  private def CellQuota: Int = graft.config.Scale.cellQuota
 
   /** s11 — cluster-balanced sample: exactly min(CellQuota, |cell|) vectors
     * per k-means cell, selected by smallest salted md5 — the "balanced
@@ -741,11 +748,11 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("c_id"), col("rk"))
   }
 
-  private val s11Sql = kmCellsCte +
+  private def s11Sql: String = kmCellsCte +
     s""",
        |h AS (SELECT c_id, vec_id,
        |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#cb'), 1, 13)) AS BIGINT) AS hv
-       | FROM asg2),
+       | FROM $kmFinalAsg),
        |r AS (SELECT c_id, vec_id,
        |  ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY hv, vec_id) AS rk FROM h)
        |SELECT c_id, rk, vec_id FROM r WHERE rk <= $CellQuota
@@ -770,7 +777,7 @@ object SimilarityQueries extends QueryPack {
       .filter(col("cos") >= RangeTau)
       .orderBy(col("query_id"), col("neighbor_id"))
 
-  private val s12Sql =
+  private def s12Sql: String =
     s"""WITH q AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
       | FROM embeddings),

@@ -1,0 +1,66 @@
+package graft
+
+import graft.config.Scale
+
+/** The graft.scale.* conf layer: every scale knob defaults to the value the
+  * committed oracles are pinned to, and an override re-scales the DataFrame
+  * plan AND the generated DuckDB oracle SQL together — a production profile
+  * is a session setting, never a code edit, and can never desync the two
+  * sides of a verify run.
+  */
+class ScaleConfSpec extends SparkSpecBase {
+
+  private def withScale[A](kv: (String, String)*)(f: => A): A = {
+    spark // force session creation so conf.set has a target
+    kv.foreach { case (k, v) => spark.conf.set(s"spark.graft.scale.$k", v) }
+    try f
+    finally kv.foreach { case (k, _) =>
+      spark.conf.unset(s"spark.graft.scale.$k")
+    }
+  }
+
+  test("defaults are the committed-oracle values") {
+    spark // the knobs read the active session's conf; defaults need none set
+    assert(Scale.queryK == 50)
+    assert(Scale.pairSampleK == 100)
+    assert(Scale.ivfK == 64)
+    assert(Scale.codeK == 8)
+    assert(Scale.kmK == 8)
+    assert(Scale.kmIters == 2)
+    assert(Scale.cellQuota == 10)
+    assert(Scale.maxDf == 1000)
+  }
+
+  test("queryK override re-scales DataFrame result and oracle SQL together") {
+    withScale("queryK" -> "10") {
+      val df = SparkEntry.queries("s01_knn_bruteforce")(spark, sf("sf0.001"))
+      assert(df.select("query_id").distinct().count() == 10)
+      assert(SparkEntry.oracleSql("s01_knn_bruteforce").contains("LIMIT 10"),
+        "the oracle's sample CTE must read the same knob")
+    }
+    // and back to the pinned default once unset
+    assert(SparkEntry.oracleSql("s01_knn_bruteforce").contains("LIMIT 50"))
+  }
+
+  test("kmK/kmIters override follows through the whole k-means CTE chain") {
+    withScale("kmK" -> "4", "kmIters" -> "3") {
+      val s10 = SparkEntry.oracleSql("s10_kmeans")
+      assert(s10.contains("LIMIT 4"), "seed CTE must read kmK")
+      assert(s10.contains("FROM asg3"), "final census must read asg<kmIters>")
+      assert(s10.contains("cent3"), "the chain must grow one round")
+      assert(SparkEntry.oracleSql("d15_semdedup").contains("FROM asg3"),
+        "d15's SemDeDup oracle shares the same chain")
+      val out = SparkEntry.queries("s10_kmeans")(spark, sf("sf0.001")).collect()
+      assert(out.nonEmpty && out.length <= 4, "at most kmK non-empty cells")
+    }
+  }
+
+  test("cellQuota override bounds s11's per-cell sample on both sides") {
+    withScale("cellQuota" -> "3") {
+      val out = SparkEntry.queries("s11_cluster_sample")(spark, sf("sf0.001"))
+        .groupBy("c_id").count().collect()
+      assert(out.nonEmpty && out.forall(_.getLong(1) <= 3L))
+      assert(SparkEntry.oracleSql("s11_cluster_sample").contains("rk <= 3"))
+    }
+  }
+}
