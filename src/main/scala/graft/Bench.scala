@@ -30,8 +30,48 @@ object Bench {
     }
   }
 
+  /** This box runs BIMODAL: right after the 2M-record pipeline burn it can
+    * enter a degraded regime where untouched similarity queries balloon
+    * 5–12× (round 6 committed s08 at 7.52 s vs its 0.60 s clean median and
+    * the artifact had to be disowned). The sentinel gate detects the regime
+    * before the sweep: run a fixed canary (s08 — the query the regime hits
+    * hardest) and require it under `SPARK_GRAFT_BENCH_SENTINEL_SEC`
+    * (default 1.5 s ≈ 2× its clean median at sf0.1); on failure, gc +
+    * cool down and retry. If the box never recovers the artifact is
+    * stamped `"degraded":1` — such an artifact must not be committed as a
+    * perf record.
+    */
+  private def sentinelGate(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String, cooldownSec: Int): (Seq[Double], Boolean) = {
+    val threshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SENTINEL_SEC", "1.5").toDouble
+    val fn = SparkEntry.queries("s08_pq_codes")
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var ok = false
+    var tries = 0
+    while (!ok && tries < 3) {
+      val t = once { fn(spark, sfDir).count() }
+      attempts += t
+      ok = t >= 0 && t <= threshold
+      tries += 1
+      if (!ok && tries < 3) {
+        System.err.println(f"[bench] sentinel ${t}%.2f s > $threshold%.2f s — " +
+          s"degraded regime; gc + ${cooldownSec}s cooldown before retry")
+        System.gc()
+        Thread.sleep(cooldownSec * 1000L)
+      }
+    }
+    (attempts.toSeq, !ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // "all" (default, the driver's invocation): pipeline burn, then gc +
+    // cooldown + sentinel gate, then the query sweep — one JVM but the burn
+    // cannot leak into the sweep undetected. "pipeline" / "queries" run the
+    // two halves in SEPARATE JVM invocations for clean local measurement.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "all")
+    val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "60").toInt
     val spark = GraftSession.local("graft-bench")
     // Warm the JVM/session once (codegen compiler, parquet footer reader,
     // shuffle machinery) so the first measured query isn't charged init cost.
@@ -60,11 +100,26 @@ object Bench {
         FieldMapping("email", "user_email", "string")))
       require(projected.count() == unique, "dedup must recover the unique set")
     }
-    val pipeRuns = Seq.fill(3)(once(pipeline()))
-    val pipeMed = if (pipeRuns.exists(_ < 0)) -1.0 else pipeRuns.sorted.apply(1)
+    val pipeRuns =
+      if (mode == "queries") Seq.empty[Double] else Seq.fill(3)(once(pipeline()))
+    val pipeMed =
+      if (pipeRuns.isEmpty || pipeRuns.exists(_ < 0)) -1.0
+      else pipeRuns.sorted.apply(1)
     val pipelineRps = if (pipeMed > 0) math.round(sent / pipeMed) else -1L
     val pipeRpsRuns = pipeRuns.map(s => if (s > 0) math.round(sent / s) else -1L)
       .mkString("[", ",", "]")
+
+    if (mode == "pipeline") {
+      val json = s"""{"metric":"pipeline_rps","value":$pipelineRps,"unit":"records/sec","pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"sf":"$sfDir"}"""
+      println(json)
+      spark.stop()
+      return
+    }
+
+    // after the burn (mode=all) the box may be in its degraded regime:
+    // gc + cooldown, then hold the sweep behind the sentinel gate
+    if (mode == "all") { System.gc(); Thread.sleep(cooldownSec * 1000L) }
+    val (sentinelRuns, degraded) = sentinelGate(spark, sfDir, cooldownSec)
 
     // per-query sweep (after the pipeline headline)
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -96,12 +151,15 @@ object Bench {
     }.mkString("{", ",", "}")
     require(results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size,
       "query id prefixes must stay unique for the compact stdout dict")
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"runs_per_query":"median-of-3 above 0.5s","full":"results/bench_latest.json"}"""
+    // keep the stdout line lean — methodology strings and the artifact path
+    // live in the full-results file, not in the driver's 2000-char window
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"sf":"$sfDir","pipeline_rps":$pipelineRps,"degraded":${if (degraded) 1 else 0}}"""
     require(json.length < 1600,
       s"stdout bench line is ${json.length} chars — would truncate in the " +
         "driver's 2000-char tail window; shorten before adding queries")
     println(json)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"runs_per_query":"median-of-3 above 0.5s"}"""
+    val sentinelJson = sentinelRuns.mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"spread":$spread,"degraded":${if (degraded) 1 else 0},"sentinel_sec":$sentinelJson,"runs_per_query":"median-of-3 above 0.5s"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "results/bench_latest.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -129,6 +129,9 @@ object StreamBench {
     if (op == "windowagg") {
       runWindowAgg(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "semdedup") {
+      runSemDeDup(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -269,6 +272,67 @@ object StreamBench {
     val closed = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val sustained = math.round(inputRows / elapsed)
     println(s"""{"metric":"windowagg_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inputRows,"closed_windows":$closed,"state_rows":$stateRows,"avg_commit_ms":$avgCommitMs,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=semdedup measures the online SEMANTIC admission
+    * path (StreamingSemDeDup — d15's streaming form): synthetic 64-dim
+    * quantized embeddings derived per-row from a murmur3 stream, every 10th
+    * doc an exact vector copy of its predecessor (cos = 1 ≥ τ, same cell by
+    * construction) so ~10% must be rejected; a fixed 64-centroid codebook
+    * stands in for the offline k-means fit a production pipeline would
+    * broadcast. Reported rate is DOCS/sec through the idempotent sink.
+    */
+  private def runSemDeDup(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                          secs: Int, sinkDir: String, ckpt: String,
+                          stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingSemDeDup
+    def vecOf(seed: org.apache.spark.sql.Column) =
+      array((0 until 64).map(i =>
+        (pmod(hash(seed, lit(i)), lit(20001)) - lit(10000)).cast("long")): _*)
+    val cb = graft.operators.KMeans.codebook(
+      spark.range(64).select(col("id").cast("long").as("c_id"),
+        vecOf(concat(col("id"), lit("#cb"))).as("cv")))
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val seed = when(pmod(col("value"), lit(10)) === 9, col("value") - 1)
+      .otherwise(col("value"))
+    val docs = raw.select(col("value").as("doc_id"), col("timestamp").as("ts"),
+        vecOf(seed).as("v"))
+    val cells = StreamingSemDeDup.assignCells(docs, cb, col("doc_id"),
+      col("ts"), col("v")).withWatermark("ts", "10 seconds")
+    val verdicts = StreamingSemDeDup.admit(cells, Duration.parse("8h"))
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = verdicts.toDF()
+        .select(col("doc_id"), col("ts"), col("c_id"), col("kept"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    progress.takeRight(4).foreach(p => System.err.println(
+      s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
+        s"durMs=${p.durationMs} " +
+        s"state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs} rows=${s.numRowsTotal}").mkString(";")}"))
+    val capacity = capacityOf(progress)
+    val out = sunkOrEmpty(sink, spark)
+    val nDocs = out.map(_.count()).getOrElse(0L)
+    val nRejected = out.map(_.filter(!col("kept")).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val sustained = math.round(nDocs / elapsed)
+    println(s"""{"metric":"semdedup_rps","value":$sustained,"unit":"docs/sec","capacity_rps":$capacity,"docs":$nDocs,"rejected":$nRejected,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -47,24 +47,33 @@ object KMeans {
     .select(struct(col("c_id"), col("cv")).as("cand"))
     .agg(sort_array(collect_list(col("cand"))).as("cands"))
 
+  /** The per-row argmin fold over a cross-joined codebook's `cands` array:
+    * the (d2, c_id)-smallest candidate as a (d2, c_id) struct — strict less
+    * over the c_id-sorted array means the smaller c_id wins ties, matching
+    * ROW_NUMBER(ORDER BY d2, c_id). `v` is the row's vector, `xx` its
+    * precomputed self-dot. Shared by batch assignment and the streaming
+    * SemDeDup admission's stream-static cell assignment.
+    */
+  def nearest(v: org.apache.spark.sql.Column,
+              xx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(col("cands"),
+      named_struct(lit("d2"), lit(Long.MaxValue), lit("c_id"), lit(-1L)),
+      (acc, c) => {
+        val d2 = xx -
+          lit(2L) * dotLong(v, c.getField("cv")) +
+          dotLong(c.getField("cv"), c.getField("cv"))
+        when(d2 < acc.getField("d2"),
+          named_struct(lit("d2"), d2, lit("c_id"), c.getField("c_id")))
+          .otherwise(acc)
+      })
+
   /** Assign every vector to its nearest centroid: per-row argmin fold over
-    * the broadcast codebook (strict less ⇒ smaller c_id wins ties, matching
-    * ROW_NUMBER(ORDER BY d2, c_id)). Output: (vec_id, v, c_id, d2).
+    * the broadcast codebook. Output: (vec_id, v, c_id, d2).
     */
   def assign(vecs: DataFrame, cb: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cb))
       .withColumn("xx", dotLong(col("v"), col("v")))
-      .withColumn("best",
-        aggregate(col("cands"),
-          named_struct(lit("d2"), lit(Long.MaxValue), lit("c_id"), lit(-1L)),
-          (acc, c) => {
-            val d2 = col("xx") -
-              lit(2L) * dotLong(col("v"), c.getField("cv")) +
-              dotLong(c.getField("cv"), c.getField("cv"))
-            when(d2 < acc.getField("d2"),
-              named_struct(lit("d2"), d2, lit("c_id"), c.getField("c_id")))
-              .otherwise(acc)
-          }))
+      .withColumn("best", nearest(col("v"), col("xx")))
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("c_id"), col("best.d2").as("d2"))
 

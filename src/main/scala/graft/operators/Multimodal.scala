@@ -117,11 +117,16 @@ object Multimodal {
     if (kind == "image") ImageIOCodec.samples(content).getOrElse(FakeCodec.samples(content))
     else FakeCodec.samples(content)
 
-  /** Decoded-feature output schema (what a real decoder would also emit). */
+  /** Decoded-feature output schema (what a real decoder would also emit).
+    * `n_samples` is the decoded sample count — pixels for a real image
+    * decode (width × height, independent of the compressed payload size),
+    * payload bytes for the fake codec.
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
     StructField("mean_value", DoubleType, nullable = false),
     StructField("min_value", IntegerType, nullable = false),
     StructField("max_value", IntegerType, nullable = false),
@@ -145,9 +150,60 @@ object Multimodal {
         batch.iterator.map { r =>
           val content = r.getAs[Array[Byte]](contentIdx)
           val kind = r.getString(kindIdx)
-          val (mean, mn, mx, ent) = featuresOf(decodeSamples(kind, content))
-          Row(r.getLong(idIdx), kind, content.length.toLong, mean, mn, mx, ent)
+          val samples = decodeSamples(kind, content)
+          val (mean, mn, mx, ent) = featuresOf(samples)
+          Row(r.getLong(idIdx), kind, content.length.toLong,
+            samples.length.toLong, mean, mn, mx, ent)
         }
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL-PNG fixture generator: one genuine PNG per input
+    * row, gray gradient pixel(x, y) = (x + y + media_id) mod 256, encoded
+    * with the JDK's ImageIO PNG writer. The payload starts with the PNG
+    * magic and parses, so a downstream [[decodeFeatures]] MUST take the
+    * real [[ImageIOCodec]] branch — and because the pixel function is
+    * closed-form, an oracle can compute the decoded stats without any
+    * decoder (query m07 pins the full encode → decode → feature path
+    * against plain DuckDB arithmetic; only the compressed byte size is
+    * encoder-dependent and is excluded there).
+    *
+    * Input: (media_id: long, width: int, height: int). Runs per-row in
+    * mapPartitions — no shuffle, scales with input splits like the decode
+    * pass itself.
+    */
+  def synthesizePng(dims: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val idIdx = dims.schema.fieldIndex("media_id")
+    val wIdx = dims.schema.fieldIndex("width")
+    val hIdx = dims.schema.fieldIndex("height")
+    dims.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        val w = r.getInt(wIdx)
+        val h = r.getInt(hIdx)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((x + y + mid) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(mid, "image", bos.toByteArray, w, h)
       }
     }(enc)
   }

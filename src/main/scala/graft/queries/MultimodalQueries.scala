@@ -178,11 +178,51 @@ object MultimodalQueries extends QueryPack {
       |  CAST(energy < 131072 AS INT) AS is_silent
       |FROM e ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m07 — the REAL codec seam, oracle-checked end to end: synthesize a
+    * genuine PNG per selected doc (gray gradient pixel = (x+y+id) mod 256,
+    * `Multimodal.synthesizePng`), decode it through the SAME
+    * `decodeFeatures` plumbing m02 uses — here the payload parses, so the
+    * ImageIOCodec branch runs, not the fake codec — and report decoded
+    * pixel stats. The oracle recomputes them from the closed-form pixel
+    * function with no decoder: a wrong encode, a wrong decode, or a decode
+    * that drops/duplicates pixels all hash-mismatch. The compressed byte
+    * size is encoder-dependent and deliberately excluded.
+    */
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(37)) === 0)
+      .withColumn("width",
+        (lit(16) + pmod(col("media_id"), lit(5)) * 8).cast("int"))
+      .withColumn("height",
+        (lit(12) + pmod(col("media_id"), lit(4)) * 6).cast("int"))
+    val media = Multimodal.synthesizePng(dims)
+    Multimodal.decodeFeatures(media, batchSize = 32)
+      .select(col("media_id"), col("n_samples").as("n_px"),
+        col("mean_value"), col("min_value").cast("long").as("min_value"),
+        col("max_value").cast("long").as("max_value"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m07Sql =
+    """WITH ids AS (SELECT doc_id AS media_id,
+      |  16 + (doc_id % 5) * 8 AS w, 12 + (doc_id % 4) * 6 AS h
+      | FROM documents WHERE doc_id % 37 = 0),
+      |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+      |g AS (SELECT media_id, x, unnest(range(0, h)) AS y FROM xs),
+      |v AS (SELECT media_id, (x + y + media_id) % 256 AS val FROM g)
+      |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+      |  CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_value,
+      |  CAST(MIN(val) AS BIGINT) AS min_value,
+      |  CAST(MAX(val) AS BIGINT) AS max_value
+      |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
     QueryDef("m03_frame_sampling", m03, Some(m03Sql)),
     QueryDef("m04_resize_dims", m04, Some(m04Sql)),
     QueryDef("m05_media_dedup", m05, Some(m05Sql)),
-    QueryDef("m06_audio_frames", m06, Some(m06Sql)))
+    QueryDef("m06_audio_frames", m06, Some(m06Sql)),
+    QueryDef("m07_png_decode", m07, Some(m07Sql)))
 }

@@ -80,8 +80,9 @@ class MultimodalSpec extends SparkSpecBase {
       java.util.Collections.singletonList(row), Multimodal.mediaSchema)
     val r = Multimodal.decodeFeatures(df).head()
     assert(r.getLong(2) == png.length.toLong, "n_bytes is the payload size")
-    assert(r.getDouble(3) == 10.0 && r.getInt(4) == 10 && r.getInt(5) == 10)
-    assert(r.getDouble(6) == 0.0, "uniform image → 0 entropy")
+    assert(r.getLong(3) == 3L, "n_samples is the decoded pixel count")
+    assert(r.getDouble(4) == 10.0 && r.getInt(5) == 10 && r.getInt(6) == 10)
+    assert(r.getDouble(7) == 0.0, "uniform image → 0 entropy")
   }
 
   test("decodeFeatures preserves one row per media across batch boundaries") {
@@ -90,7 +91,8 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.schema.fieldNames.toSeq == Multimodal.featureSchema.fieldNames.toSeq)
     val r = out.filter(col("media_id") === 0).head()
     assert(r.getLong(2) == 32L, "32 synthesized bytes")
-    assert(r.getDouble(6) > 0, "md5-derived bytes have nonzero entropy")
+    assert(r.getLong(3) == 32L, "fake codec: samples == payload bytes")
+    assert(r.getDouble(7) > 0, "md5-derived bytes have nonzero entropy")
   }
 
   test("sampleFrames emits only video rows, frame math checks out") {
