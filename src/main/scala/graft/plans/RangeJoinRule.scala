@@ -79,13 +79,22 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
   private def maxBinsPerRow: Long =
     conf.getConfString("spark.graft.rangeJoin.maxBinsPerRow", "1024").toLong
 
-  /** Stats gate: a side the planner could broadcast makes the nested loop
-    * an O(|big|) streamed pass — strictly cheaper than explode + shuffle.
-    * Threshold < 0 (broadcast disabled) means nothing is broadcast-small.
+  /** Stats gate: with a truly tiny side, BroadcastNestedLoopJoin beats two
+    * explodes plus a shuffle. "Tiny" must be measured against the nested
+    * loop's |L|·|R| comparison cost, NOT against broadcastability: a side
+    * at the 10 MB autoBroadcastJoinThreshold is ~10⁵ rows, and 10⁵ × 10⁵
+    * comparisons is exactly the quadratic blowup the rewrite exists to
+    * prevent (measured: j10 at sf0.1 ran 25 s as BNLJ vs ~1 s rewritten).
+    * The bound is therefore min(autoBroadcastJoinThreshold,
+    * spark.graft.rangeJoin.smallSideBytes [256 KiB ≈ a few thousand rows —
+    * where |small|·|big| comparisons still undercut per-row shuffle cost]);
+    * threshold < 0 (broadcast disabled) means nothing qualifies.
     */
   private def broadcastSmall(p: LogicalPlan): Boolean = {
     val t = conf.autoBroadcastJoinThreshold
-    t >= 0 && p.stats.sizeInBytes <= t
+    val cap = conf
+      .getConfString("spark.graft.rangeJoin.smallSideBytes", "262144").toLong
+    t >= 0 && p.stats.sizeInBytes <= math.min(t, cap)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
