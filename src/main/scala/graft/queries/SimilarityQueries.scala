@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -791,6 +791,125 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, neighbor_id, cos FROM p WHERE cos >= $RangeTau
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** s13 — PQ asymmetric-distance (ADC) top-k search: the retrieval half of
+    * the product-quantization story s08 starts (s08 builds/validates the
+    * codebook; s13 searches with it). Every corpus vector is compressed to
+    * [[SubSpaces]] sub-centroid codes; each query precomputes one lookup
+    * table of exact L2² distances to all sub-centroids; the approximate
+    * query↔vector distance is then the sum of [[SubSpaces]] table lookups —
+    * the classic Jégou-style ADC scan that searches a 100 TB corpus while
+    * touching only its codes.
+    *
+    * Scale shape: the codebook collapses to ONE broadcast row (array of
+    * per-subspace candidate arrays), so corpus encoding is a per-row
+    * argmin fold — the corpus never shuffles and the full-precision vectors
+    * are dropped before scoring. The QueryK lookup tables (QueryK ×
+    * SubSpaces × CodeK longs) are a second broadcast; scoring is one
+    * map-side pass over codes with [[SubSpaces]] map lookups per pair, and
+    * top-k reduction is the partial-combinable [[TopKByScore]] (≤ k rows
+    * per map partition × query on the wire). All distances are exact
+    * quantized-int L2² via the ‖a‖²−2a·b+‖b‖² identity, so codes, ADC sums,
+    * and ranks are bit-identical cross-engine.
+    */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val subIdx = array((0 until SubSpaces).map(i => lit(i)): _*)
+    val sliced = vecs.select(col("vec_id"),
+      posexplode(transform(subIdx,
+        i => slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))))
+        .as(Seq("sub", "sv")))
+    val centIds = vecs.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#pq"))),
+        col("vec_id"))
+      .limit(CodeK)
+    // ONE broadcast row: book[sub] = c_id-sorted candidate array for that
+    // subspace (sort_array on struct(sub, cands) orders by sub).
+    val book = sliced.join(broadcast(centIds), "vec_id")
+      .select(col("sub"),
+        struct(col("vec_id").as("c_id"), col("sv").as("c_sv")).as("cand"))
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cands"))))
+        .as("book"))
+    // Exact L2²(sv, candidate) — the one distance formula both the encoder
+    // and the lookup tables use.
+    def d2(sv: Column, c: Column): Column =
+      dotLong(sv, sv) - lit(2L) * dotLong(sv, c.getField("c_sv")) +
+        dotLong(c.getField("c_sv"), c.getField("c_sv"))
+    // Corpus → codes: per-row argmin over each subspace's candidates
+    // (strict-less keeps the smaller c_id on ties, matching ROW_NUMBER).
+    val coded = vecs.crossJoin(broadcast(book))
+      .withColumn("codes", transform(subIdx, i => {
+        val sv = slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))
+        val cands = element_at(col("book"), i + 1).getField("cands")
+        aggregate(cands,
+          named_struct(lit("d2"), lit(Long.MaxValue), lit("code"), lit(-1L)),
+          (acc, c) =>
+            when(d2(sv, c) < acc.getField("d2"),
+              named_struct(lit("d2"), d2(sv, c),
+                lit("code"), c.getField("c_id"))).otherwise(acc),
+          acc => acc.getField("code"))
+      }))
+      .select(col("vec_id"), col("codes"))
+    // Query lookup tables: luts[sub] = map(c_id → L2²(query_sv, c_sv)).
+    val luts = vecs.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
+      .crossJoin(broadcast(book))
+      .withColumn("luts", transform(subIdx, i => {
+        val sv = slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))
+        val cands = element_at(col("book"), i + 1).getField("cands")
+        map_from_entries(transform(cands,
+          c => struct(c.getField("c_id"), d2(sv, c))))
+      }))
+      .select(col("vec_id").as("query_id"), col("luts"))
+    val pairs = coded.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-aggregate(
+          zip_with(col("codes"), col("luts"), (code, m) => element_at(m, code)),
+          lit(0L), (a, x) => a + x)).cast("double").as("cos"))
+    topkRank(pairs, 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        (-col("cos")).cast("long").as("adc_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def s13Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |ss AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+      |sl AS (SELECT vec_id, sub,
+      |  list_slice(v, sub * $SubDim + 1, sub * $SubDim + $SubDim) AS sv
+      | FROM q, ss),
+      |cid AS (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#pq'), vec_id LIMIT $CodeK),
+      |c AS (SELECT sub, vec_id AS c_id, sv AS c_sv FROM sl
+      |  WHERE vec_id IN (SELECT vec_id FROM cid)),
+      |d AS (SELECT sl.vec_id, sl.sub, c.c_id,
+      |  CAST(list_dot_product(sl.sv::DOUBLE[], sl.sv::DOUBLE[])
+      |     - 2 * list_dot_product(sl.sv::DOUBLE[], c.c_sv::DOUBLE[])
+      |     + list_dot_product(c.c_sv::DOUBLE[], c.c_sv::DOUBLE[]) AS BIGINT)
+      |    AS d2
+      | FROM sl JOIN c ON sl.sub = c.sub),
+      |codes AS (SELECT vec_id, sub, c_id FROM
+      |  (SELECT vec_id, sub, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_id) AS rn
+      |   FROM d) WHERE rn = 1),
+      |qs AS (${sampleSql(QueryK)}),
+      |lut AS (SELECT vec_id AS query_id, sub, c_id, d2 FROM d
+      |  WHERE vec_id IN (SELECT vec_id FROM qs)),
+      |adc AS (SELECT l.query_id, n.vec_id AS neighbor_id,
+      |  CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      | FROM codes n JOIN lut l ON n.sub = l.sub AND n.c_id = l.c_id
+      | WHERE n.vec_id <> l.query_id
+      | GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, adc_d2,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+      | FROM adc)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_d2
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -803,5 +922,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s09_sq_codes", s09, Some(s09Sql)),
     QueryDef("s10_kmeans", s10, Some(s10Sql)),
     QueryDef("s11_cluster_sample", s11, Some(s11Sql)),
-    QueryDef("s12_range_search", s12, Some(s12Sql)))
+    QueryDef("s12_range_search", s12, Some(s12Sql)),
+    QueryDef("s13_adc_topk", s13, Some(s13Sql)))
 }
