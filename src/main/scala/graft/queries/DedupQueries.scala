@@ -518,7 +518,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d16_bloom_decontaminate", d16, Some(d16Sql)),
     QueryDef("d17_cross_snapshot_dedup", d17, Some(d17Sql)),
     QueryDef("d18_soft_dedup_weights", d18, Some(d18Sql)),
-    QueryDef("d19_curation_pipeline", d19, Some(d19Sql)))
+    QueryDef("d19_curation_pipeline", d19, Some(d19Sql)),
+    QueryDef("d20_contamination_runs", d20, Some(d20Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
@@ -889,4 +890,72 @@ object DedupQueries extends QueryPack {
        |  COUNT(*) OVER (PARTITION BY component) AS cluster_size,
        |  CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY component) AS weight
        |FROM wc ORDER BY doc_id""".stripMargin
+
+  /** d20 — contamination-run decontamination: d09 counts SHARED 5-grams per
+    * corpus doc; d20 reports how CONSECUTIVE they are — the longest run of
+    * contiguous contaminated 5-gram positions per doc, which is the signal
+    * PaLM/GPT-4-style decontamination actually thresholds on (a long verbatim
+    * span is leakage; scattered single-shingle hits are topic overlap).
+    *
+    * Scale shape: corpus positions are a per-row positional transform
+    * (codegen, no shuffle); the bench shingle set is O(BenchDocsK docs) →
+    * broadcast, so marking contaminated positions is one map-side semi-join
+    * pass. The only shuffle is the islands window (pos − row_number per
+    * doc), and it carries ONLY contaminated positions — output-bounded, the
+    * same trick as the interval-join binning. Hashes are the same 60-bit
+    * md5 prefix as [[ShingleHashes]] (d09 pins cross-engine equality).
+    */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchIds = docs.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(BenchDocsK)
+    val pos = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), (size(col("ws")) - 4).cast("long").as("n_pos"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(5)))),
+            1, 15), 16, 10).cast("long"))).as(Seq("p0", "sng")))
+      .select(col("doc_id"), col("n_pos"),
+        (col("p0") + 1).cast("long").as("pos"), col("sng"))
+    val bs = docs.join(broadcast(benchIds), "doc_id")
+      .select(explode(ShingleHashes(tokens(col("text")), 5)).as("sng"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(bs), "sng")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(max(col("n_pos")).as("n_pos"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_pos")).as("n_pos"), sum(col("cnt")).as("n_contam"),
+        max(col("cnt")).as("max_run"),
+        (sum(col("cnt")).cast("double") / max(col("n_pos")))
+          .as("contam_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d20Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT doc_id, CAST(len(ws) - 4 AS BIGINT) AS n_pos,
+       |  CAST(unnest(range(1, len(ws) - 3)) AS BIGINT) AS pos,
+       |  unnest(list_transform(range(1, len(ws) - 3),
+       |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15)) AS BIGINT))) AS sng
+       | FROM w WHERE len(ws) >= 5),
+       |bid AS (SELECT doc_id FROM documents
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BenchDocsK),
+       |bs AS (SELECT DISTINCT sng FROM p WHERE doc_id IN (SELECT doc_id FROM bid)),
+       |c AS (SELECT p.doc_id, p.n_pos, p.pos FROM p JOIN bs USING (sng)
+       |  WHERE p.doc_id NOT IN (SELECT doc_id FROM bid)),
+       |isl AS (SELECT doc_id, n_pos, pos,
+       |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       | FROM c),
+       |runs AS (SELECT doc_id, grp, MAX(n_pos) AS n_pos, COUNT(*) AS cnt
+       | FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, MAX(n_pos) AS n_pos,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_contam,
+       |  CAST(MAX(cnt) AS BIGINT) AS max_run,
+       |  CAST(SUM(cnt) AS DOUBLE) / MAX(n_pos) AS contam_rate
+       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
