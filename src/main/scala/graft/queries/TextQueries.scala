@@ -854,6 +854,48 @@ object TextQueries extends QueryPack {
       |  ok_count * ok_len * ok_ttr * ok_stop AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** t24 — inter-document n-gram novelty: per document, how much of its
+    * distinct 8-gram shingle set also appears in OTHER documents — Gopher's
+    * "duplicate n-gram fraction" signal at the corpus level (t07/t21 measure
+    * repetition WITHIN a doc; t24 measures it ACROSS docs, which is what
+    * boilerplate and template spam actually look like). Reports the shingle
+    * count, the shared-shingle count, and novelty = 1 − shared/total.
+    *
+    * Scale shape: the same machinery as t22's df side — per-row distinct
+    * shingle hashes ([[ShingleHashes]], codegen, 8-byte keys) exploded into
+    * a map-side-combined groupBy, joined back on the shingle hash. Both
+    * shuffles carry (long, long) pairs, O(total shingles); no window, no
+    * corpus-size-dependent group.
+    */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(tokens(col("text")), 8))
+          .as("sng"))
+    val df = sh.groupBy(col("sng")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (lit(1.0) - col("n_shared").cast("double") / col("n_shingles"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t24Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+      |  i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]), 1, 15)) AS BIGINT)))) AS sng
+      | FROM w WHERE len(ws) >= 8),
+      |df AS (SELECT sng, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sng),
+      |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      | FROM sh JOIN df USING (sng) GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, n_shared,
+      |  CAST(1 AS DOUBLE) - CAST(n_shared AS DOUBLE) / n_shingles AS novelty
+      |FROM a ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -877,5 +919,6 @@ object TextQueries extends QueryPack {
     QueryDef("t20_weighted_sample", t20, Some(t20Sql)),
     QueryDef("t21_token_concentration", t21, Some(t21Sql)),
     QueryDef("t22_tfidf_terms", t22, Some(t22Sql)),
-    QueryDef("t23_quality_rules", t23, Some(t23Sql)))
+    QueryDef("t23_quality_rules", t23, Some(t23Sql)),
+    QueryDef("t24_ngram_novelty", t24, Some(t24Sql)))
 }
