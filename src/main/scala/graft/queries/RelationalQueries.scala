@@ -292,6 +292,79 @@ object RelationalQueries extends QueryPack {
       |GROUP BY GROUPING SETS ((l_returnflag, ship_year), (l_returnflag), (ship_year))
       |ORDER BY g_rf, g_sy, l_returnflag, ship_year""".stripMargin
 
+  /** r10 — distribution-shape stats (skewness, excess kurtosis) per event
+    * type, the data-card moments r03's mean/stddev stop short of. Built the
+    * r03 way: quantize values to integer cents, accumulate EXACT power sums
+    * (Σv, Σv², Σv³, Σv⁴ — the cubes/quartics in decimal(38,0) so no long
+    * overflow at any corpus size), then evaluate the central-moment formulas
+    * once per group in double with an identical expression tree in both
+    * engines. Skew/kurtosis are scale-invariant, so the quantization factor
+    * cancels; mean/stddev descale by 100. One map-side-combined aggregation
+    * over a 5-group key — no second pass, no window, codegen end to end.
+    */
+  private def r10(s: SparkSession, dir: String): DataFrame = {
+    val vq = round(col("value").cast("double") * 100).cast("long")
+    val agg = Tables.events(s, dir)
+      .select(col("event_type"), vq.as("vq"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq")).as("s1"),
+        sum(col("vq") * col("vq")).as("s2"),
+        sum((col("vq") * col("vq") * col("vq")).cast("decimal(38,0)"))
+          .as("s3"),
+        sum((col("vq") * col("vq")).cast("decimal(38,0)")
+          * (col("vq") * col("vq")).cast("decimal(38,0)")).as("s4"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double")
+    val s4 = col("s4").cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) -
+      lit(3.0) * mean * mean * mean * mean
+    val sd = sqrt(m2)
+    agg.select(col("event_type"), col("n"),
+        (mean / lit(100.0)).as("mean_v"),
+        (sd / lit(100.0)).as("stddev_pop_v"),
+        (m3 / (sd * sd * sd)).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r10Sql =
+    """WITH q AS (SELECT event_type,
+      |  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq FROM events),
+      |a AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS s1,
+      |  SUM(vq * vq) AS s2, SUM(vq * vq * vq) AS s3,
+      |  SUM(CAST(vq AS HUGEINT) * vq * vq * vq) AS s4
+      | FROM q GROUP BY event_type),
+      |-- HUGEINT→DOUBLE in DuckDB is not correctly rounded (off by an ulp on
+      |-- ~2⁶⁵ sums); VARCHAR→DOUBLE is, and matches Spark's decimal→double.
+      |f AS (SELECT event_type, n,
+      |  CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+      |  CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+      |  CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS d3,
+      |  CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS d4 FROM a),
+      |g AS (SELECT event_type, n, d1 / nd AS mean, nd, d2, d3, d4 FROM f),
+      |h AS (SELECT event_type, n, mean,
+      |  d2 / nd - mean * mean AS m2,
+      |  d3 / nd - CAST(3 AS DOUBLE) * mean * (d2 / nd)
+      |    + CAST(2 AS DOUBLE) * mean * mean * mean AS m3,
+      |  d4 / nd - CAST(4 AS DOUBLE) * mean * (d3 / nd)
+      |    + CAST(6 AS DOUBLE) * mean * mean * (d2 / nd)
+      |    - CAST(3 AS DOUBLE) * mean * mean * mean * mean AS m4
+      | FROM g)
+      |SELECT event_type, n,
+      |  mean / CAST(100 AS DOUBLE) AS mean_v,
+      |  sqrt(m2) / CAST(100 AS DOUBLE) AS stddev_pop_v,
+      |  m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+      |  m4 / (m2 * m2) - CAST(3 AS DOUBLE) AS kurtosis
+      |FROM h ORDER BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -301,5 +374,6 @@ object RelationalQueries extends QueryPack {
     QueryDef("r06_window_pack", r06, Some(r06Sql)),
     QueryDef("r07_cube_datacard", r07, Some(r07Sql)),
     QueryDef("r08_pivot_crosstab", r08, Some(r08Sql)),
-    QueryDef("r09_grouping_sets", r09, Some(r09Sql)))
+    QueryDef("r09_grouping_sets", r09, Some(r09Sql)),
+    QueryDef("r10_moment_stats", r10, Some(r10Sql)))
 }
