@@ -18,16 +18,33 @@ object Tables {
     if (name == "events") eventsNorm(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
-    * a timestamp. Read it as raw nanos (legacy conf) and truncate to µs —
-    * exactly what DuckDB does when casting its TIMESTAMP_NS down — so both
-    * engines see identical values.
+  /** events.ts normalization, robust to the two physical types the driver
+    * has shipped: parquet TIMESTAMP(NANOS) (Spark 4 refuses it as a
+    * timestamp — read raw nanos via the legacy conf and truncate to µs,
+    * exactly DuckDB's TIMESTAMP_NS downcast) and plain TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ — cast to the session-TZ timestamp; the
+    * session is pinned UTC so values are identical instants). Either way
+    * downstream operators see one canonical µs TimestampType `ts`.
     */
   private def eventsNorm(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** The `ts`-column half of [[eventsNorm]], shared with streaming readers
+    * that re-read the raw parquet through a file-source stream and must
+    * apply the identical normalization (StreamBatchAgreementSpec).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long (legacy TIMESTAMP(NANOS) testdata)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view so the engine's full surface is

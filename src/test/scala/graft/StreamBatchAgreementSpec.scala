@@ -17,9 +17,8 @@ class StreamBatchAgreementSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
-    // replay the same parquet as a bounded stream (one file per trigger);
-    // events.ts is TIMESTAMP(NANOS) so the stream reads the raw nanos long
-    // (legacy conf, set by Tables) and applies the same µs normalization
+    // replay the same parquet as a bounded stream (one file per trigger),
+    // applying the same ts normalization Tables.events does on the batch side
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory — stage the single file into one
@@ -31,7 +30,7 @@ class StreamBatchAgreementSpec extends SparkSpecBase {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -75,7 +74,7 @@ class StreamBatchAgreementSpec extends SparkSpecBase {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
     val streamed = graft.streaming.TemporalJoin.stream(
       side(stream(), "click", "l"), side(stream(), "purchase", "r"),
       "l_user", "r_user", "l_ts", "r_ts", tol)
@@ -111,7 +110,7 @@ class StreamBatchAgreementSpec extends SparkSpecBase {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventTs)
       .withWatermark("ts", "1 day"))
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sess").toString
