@@ -407,6 +407,46 @@ object JoinQueries extends QueryPack {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** j11 — event-transition matrix (the Markov bigram over each user's
+    * event stream a behavior-sequence feature pipeline derives before
+    * training): order every user's events by time, pair each event with its
+    * successor via `lead`, then count corpus-wide (from_type → to_type)
+    * transitions and row-normalize into transition probabilities.
+    *
+    * Scale shape: ONE keyed window (partitionBy user_id — per-user event
+    * counts are bounded, never a corpus-wide sort partition) feeding a
+    * map-side-combined groupBy that collapses to ≤|types|² rows; the
+    * probability normalization is a window over that tiny aggregate, so the
+    * only data-sized exchange is the per-user hash partition the window
+    * already needs. Deterministic under ts ties via the event_id tiebreak.
+    */
+  private def j11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val next = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+    next.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val j11Sql =
+    """WITH nx AS (SELECT user_id, event_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS to_type
+      | FROM events),
+      |c AS (SELECT event_type AS from_type, to_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      | FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -417,5 +457,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j07_sliding_window_agg", j07, Some(j07Sql)),
     QueryDef("j08_scd2_intervals", j08, Some(j08Sql)),
     QueryDef("j09_concurrent_sessions", j09, Some(j09Sql)),
-    QueryDef("j10_concurrent_auto", j10, Some(j09Sql)))
+    QueryDef("j10_concurrent_auto", j10, Some(j09Sql)),
+    QueryDef("j11_event_transitions", j11, Some(j11Sql)))
 }

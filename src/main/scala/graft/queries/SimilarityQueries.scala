@@ -389,6 +389,23 @@ object SimilarityQueries extends QueryPack {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** One recall row (method, n_queries, n_hits, n_possible, recall) for an
+    * ANN result set against a materialized exact ground truth — hit counting
+    * is a left-semi join on (query_id, neighbor_id); `base` is the 1-row
+    * (n_queries, n_possible) aggregate cross-joined in. Shared by s05 (ANN
+    * methods) and s14 (truncated-dimension sweeps).
+    */
+  private def recallStats(exact: DataFrame, base: DataFrame,
+      ann: DataFrame, name: String): DataFrame = {
+    val hits = exact.join(
+      ann.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    base.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(lit(name).as("method"), col("n_queries"), col("n_hits"),
+        col("n_possible"),
+        (col("n_hits").cast("double") / col("n_possible")).as("recall"))
+  }
+
   /** s05 — recall@3 of each ANN method against the exact brute-force ground
     * truth (s01's top-3, same query set): the measurement a 100 TB ANN
     * deployment tunes probes/cells against. Hit counting is exact set
@@ -413,15 +430,8 @@ object SimilarityQueries extends QueryPack {
       .localCheckpoint()
     val base = exact.agg(countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_possible")).localCheckpoint()
-    def stats(ann: DataFrame, name: String): DataFrame = {
-      val hits = exact.join(
-        ann.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      base.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(lit(name).as("method"), col("n_queries"), col("n_hits"),
-          col("n_possible"),
-          (col("n_hits").cast("double") / col("n_possible")).as("recall"))
-    }
+    def stats(ann: DataFrame, name: String): DataFrame =
+      recallStats(exact, base, ann, name)
     val lsh = topkRank(lshPairsFrom(vecs, ids, p, multiProbe = false), 3)
     val lshMp = topkRank(lshPairsFrom(vecs, ids, p, multiProbe = true), 3)
     val ivf = s04From(vecs, ids)
@@ -910,6 +920,75 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_d2
       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Truncation levels s14 sweeps — prefixes of the embedding, Matryoshka
+    * style. Full dimensionality (64 here) is the s01 ground truth itself.
+    */
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** s14 — truncated-dimension recall (the Matryoshka-representation
+    * measurement that decides how many leading dimensions a 100 TB vector
+    * store can drop): brute-force top-3 neighbors computed from only the
+    * first d ∈ [[MrlDims]] dimensions, scored for recall against the
+    * full-dimension exact top-3 — one row per truncation level. Storing
+    * 8 of 64 dims is an 8× index shrink; this table says what it costs.
+    *
+    * Scale shape: s05's harness — the quantized base and query sample are
+    * localCheckpoint'ed once, each truncated pipeline is a fixed-k
+    * broadcast-sample map-side O(k·n) scoring pass (slice + re-norm is a
+    * projection; no extra scan, no shuffle beyond topkRank's bounded agg),
+    * and recall joins are left-semi on (query_id, neighbor_id).
+    */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val vecs = baseVecs(s, dir).localCheckpoint()
+    val ids = sampleIds(s, dir, QueryK).localCheckpoint()
+    val exact = s01From(vecs, ids).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val base = exact.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_possible")).localCheckpoint()
+    def truncTopk(d: Int): DataFrame = {
+      val t = vecs.select(col("vec_id"), slice(col("v"), 1, d).as("v"))
+        .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+      topkRank(bruteScoredPairs(t, ids), 3)
+    }
+    MrlDims.map(d => recallStats(exact, base, truncTopk(d), s"mrl_$d"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("method"))
+  }
+
+  private def s14Sql: String = {
+    def truncSql(d: Int): String =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  WITH q AS (SELECT vec_id,
+         |    list_slice(list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), 1, $d) AS v
+         |   FROM embeddings),
+         |  qs AS (${sampleSql(QueryK)})
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+         |      (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+         |       sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) DESC,
+         |      b.vec_id) AS rk
+         |  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM qs)) WHERE rk <= 3""".stripMargin
+    val arms = MrlDims.map(d =>
+      s"""SELECT 'mrl_$d' AS method, base.n_queries,
+         |    (SELECT COUNT(*) FROM ex JOIN t$d USING (query_id, neighbor_id))
+         |      AS n_hits,
+         |    base.n_possible FROM base""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($s01Sql) WHERE rk <= 3),
+       |base AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |                COUNT(*) AS n_possible FROM ex),
+       |${MrlDims.map(d => s"t$d AS (${truncSql(d)})").mkString(",\n")}
+       |SELECT method, n_queries, n_hits, n_possible,
+       |  CAST(n_hits AS DOUBLE) / n_possible AS recall
+       |FROM (
+       |  $arms)
+       |ORDER BY method""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -923,5 +1002,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s10_kmeans", s10, Some(s10Sql)),
     QueryDef("s11_cluster_sample", s11, Some(s11Sql)),
     QueryDef("s12_range_search", s12, Some(s12Sql)),
-    QueryDef("s13_adc_topk", s13, Some(s13Sql)))
+    QueryDef("s13_adc_topk", s13, Some(s13Sql)),
+    QueryDef("s14_mrl_recall", s14, Some(s14Sql)))
 }
