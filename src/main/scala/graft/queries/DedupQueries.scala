@@ -499,6 +499,45 @@ object DedupQueries extends QueryPack {
       |FROM p GROUP BY prefix_md5 HAVING COUNT(*) > 1
       |ORDER BY prefix_md5""".stripMargin
 
+  /** d21 — cross-source duplication matrix (the provenance audit a corpus
+    * curator runs before mixing sources: which source pairs share
+    * near-duplicate content, i.e. where is scraped/syndicated overlap or
+    * benchmark leakage coming from): d03's MinHash+LSH verified pairs, each
+    * attributed to its unordered (source, source) cell with pair count and
+    * the Jaccard range. min/max over jac (not a mean) keeps the aggregate
+    * order-independent — summing doubles would make the hash
+    * nondeterministic under shuffle reordering.
+    *
+    * Scale shape: pair generation is d03's banded equi-join (never
+    * all-pairs); the source attach joins the slim (doc_id, source)
+    * projection on each pair endpoint; the final matrix is a
+    * map-side-combined groupBy on a ≤|sources|² key.
+    */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+      .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+      .select(least(col("src_i"), col("src_j")).as("src_a"),
+        greatest(col("src_i"), col("src_j")).as("src_b"), col("jac"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jac")).as("min_jac"), max(col("jac")).as("max_jac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val d21Sql =
+    s"""WITH pr AS (SELECT i, j, jac FROM ($minhashPairsCore)),
+       |ds AS (SELECT doc_id, source FROM documents),
+       |m AS (SELECT LEAST(a.source, b.source) AS src_a,
+       |  GREATEST(a.source, b.source) AS src_b, jac
+       | FROM pr JOIN ds a ON a.doc_id = pr.i JOIN ds b ON b.doc_id = pr.j)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MIN(jac) AS min_jac, MAX(jac) AS max_jac
+       |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -519,7 +558,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d17_cross_snapshot_dedup", d17, Some(d17Sql)),
     QueryDef("d18_soft_dedup_weights", d18, Some(d18Sql)),
     QueryDef("d19_curation_pipeline", d19, Some(d19Sql)),
-    QueryDef("d20_contamination_runs", d20, Some(d20Sql)))
+    QueryDef("d20_contamination_runs", d20, Some(d20Sql)),
+    QueryDef("d21_source_dup_matrix", d21, Some(d21Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16

@@ -447,6 +447,53 @@ object JoinQueries extends QueryPack {
       |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** j12 — session path mining: the most common event-type sequences users
+    * take within a session (first 5 steps, '>'-joined) — the behavioral
+    * pattern table a funnel designer reads before hand-writing j05-style
+    * funnels. Sessions are j04's 30-minute `session_window`s; within each,
+    * events are collected and sorted by (ts, event_id) so the path is
+    * deterministic under shuffle reordering (a bare collect_list is not),
+    * then paths are counted and the global top-20 taken under a total
+    * order (count desc, path).
+    *
+    * Scale shape: session assembly is the keyed session_window aggregate
+    * (per-user state, bounded); the path census is a map-side-combined
+    * groupBy on a low-cardinality string; top-20 plans as TakeOrdered (no
+    * global sort materialization).
+    */
+  private def j12(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+    val path = concat_ws(">",
+      transform(slice(col("evs"), 1, 5), e => e.getField("event_type")))
+    sess.select(path.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
+  private val j12Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE OR
+      |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessed AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o),
+      |p AS (SELECT user_id, session_id,
+      |  array_to_string(list_slice(
+      |    list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+      | FROM sessed GROUP BY user_id, session_id)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -458,5 +505,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j08_scd2_intervals", j08, Some(j08Sql)),
     QueryDef("j09_concurrent_sessions", j09, Some(j09Sql)),
     QueryDef("j10_concurrent_auto", j10, Some(j09Sql)),
-    QueryDef("j11_event_transitions", j11, Some(j11Sql)))
+    QueryDef("j11_event_transitions", j11, Some(j11Sql)),
+    QueryDef("j12_session_paths", j12, Some(j12Sql)))
 }

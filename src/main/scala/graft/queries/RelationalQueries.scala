@@ -365,6 +365,92 @@ object RelationalQueries extends QueryPack {
       |  m4 / (m2 * m2) - CAST(3 AS DOUBLE) AS kurtosis
       |FROM h ORDER BY event_type""".stripMargin
 
+  /** r11 — Pearson correlation matrix over lineitem's numeric measures
+    * (quantity, extendedprice, discount), the feature-redundancy screen a
+    * data card runs before model training. Built the r10 way: quantize to
+    * integer cents, accumulate EXACT linear and cross/square power sums in
+    * one aggregation (products in decimal(38,0) — Σ(price²) overflows long
+    * at warehouse row counts), then evaluate the product-moment formula
+    * once in double with an identical expression tree in both engines.
+    *
+    * Scale shape: ONE map-side-combined corpus aggregation collapsing to a
+    * single row; the three output rows explode from that row's struct array
+    * — no second scan, no join, codegen end to end.
+    */
+  private def r11(s: SparkSession, dir: String): DataFrame = {
+    def quant(c: String) = round(col(c).cast("double") * 100).cast("long")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val li = Tables.lineitem(s, dir).select(
+      quant("l_quantity").as("x1"), quant("l_extendedprice").as("x2"),
+      quant("l_discount").as("x3"))
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x3")).as("s3"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(dec(col("x3")) * dec(col("x3"))).as("s33"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x1")) * dec(col("x3"))).as("s13"),
+      sum(dec(col("x2")) * dec(col("x3"))).as("s23"))
+    val nd = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      (nd * d(sxy) - d(sx) * d(sy)) /
+        sqrt((nd * d(sxx) - d(sx) * d(sx)) * (nd * d(syy) - d(sy) * d(sy)))
+    agg.select(col("n"), explode(array(
+        struct(lit("extendedprice~discount").as("pair"),
+          corr("s2", "s3", "s22", "s33", "s23").as("corr_v")),
+        struct(lit("quantity~discount").as("pair"),
+          corr("s1", "s3", "s11", "s33", "s13").as("corr_v")),
+        struct(lit("quantity~extendedprice").as("pair"),
+          corr("s1", "s2", "s11", "s22", "s12").as("corr_v"))))
+        .as("c"))
+      .select(col("c.pair").as("pair"), col("n"), col("c.corr_v").as("corr_v"))
+      .orderBy(col("pair"))
+  }
+
+  private val r11Sql =
+    """WITH q AS (SELECT
+      |  CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS x1,
+      |  CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS x2,
+      |  CAST(round(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS x3
+      | FROM lineitem),
+      |a AS (SELECT COUNT(*) AS n,
+      |  SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+      |  SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |  SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |  SUM(CAST(x3 AS HUGEINT) * x3) AS s33,
+      |  SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |  SUM(CAST(x1 AS HUGEINT) * x3) AS s13,
+      |  SUM(CAST(x2 AS HUGEINT) * x3) AS s23
+      | FROM q),
+      |-- HUGEINT→DOUBLE is not correctly rounded in DuckDB; VARCHAR→DOUBLE
+      |-- is, and matches Spark's decimal→double (see r10)
+      |f AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+      |  CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+      |  CAST(s3 AS DOUBLE) AS d3,
+      |  CAST(CAST(s11 AS VARCHAR) AS DOUBLE) AS d11,
+      |  CAST(CAST(s22 AS VARCHAR) AS DOUBLE) AS d22,
+      |  CAST(CAST(s33 AS VARCHAR) AS DOUBLE) AS d33,
+      |  CAST(CAST(s12 AS VARCHAR) AS DOUBLE) AS d12,
+      |  CAST(CAST(s13 AS VARCHAR) AS DOUBLE) AS d13,
+      |  CAST(CAST(s23 AS VARCHAR) AS DOUBLE) AS d23
+      | FROM a)
+      |SELECT pair, n, corr_v FROM (
+      |  SELECT 'extendedprice~discount' AS pair, n,
+      |    (nd * d23 - d2 * d3) /
+      |    sqrt((nd * d22 - d2 * d2) * (nd * d33 - d3 * d3)) AS corr_v FROM f
+      |  UNION ALL
+      |  SELECT 'quantity~discount', n,
+      |    (nd * d13 - d1 * d3) /
+      |    sqrt((nd * d11 - d1 * d1) * (nd * d33 - d3 * d3)) FROM f
+      |  UNION ALL
+      |  SELECT 'quantity~extendedprice', n,
+      |    (nd * d12 - d1 * d2) /
+      |    sqrt((nd * d11 - d1 * d1) * (nd * d22 - d2 * d2)) FROM f)
+      |ORDER BY pair""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -375,5 +461,6 @@ object RelationalQueries extends QueryPack {
     QueryDef("r07_cube_datacard", r07, Some(r07Sql)),
     QueryDef("r08_pivot_crosstab", r08, Some(r08Sql)),
     QueryDef("r09_grouping_sets", r09, Some(r09Sql)),
-    QueryDef("r10_moment_stats", r10, Some(r10Sql)))
+    QueryDef("r10_moment_stats", r10, Some(r10Sql)),
+    QueryDef("r11_correlation_matrix", r11, Some(r11Sql)))
 }
