@@ -527,6 +527,46 @@ class PlanSpec extends SparkSpecBase {
       "one lineitem scan feeds all three grouping sets")
   }
 
+  test("r11 correlation matrix: one corpus scan, one partial-combined agg, no join") {
+    val s = planString(run("r11_correlation_matrix"))
+    assert("Location: InMemoryFileIndex".r.findAllIn(s).size <= 1,
+      "all nine power sums must come from a single lineitem scan")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "partial + final HashAggregate")
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"),
+      "the three matrix rows explode from the single agg row — no join")
+  }
+
+  test("j11 transition matrix: keyed window partitions by user, no cartesian") {
+    val s = planString(run("j11_event_transitions"))
+    assert(s.contains("hashpartitioning(user_id"),
+      "the lead() window must partition by user, never one global partition")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("j12 session paths: per-user session agg, top-20 as TakeOrdered") {
+    val s = planString(run("j12_session_paths"))
+    assert(s.contains("hashpartitioning(user_id"),
+      "session assembly must stay keyed by user")
+    assert(s.contains("TakeOrderedAndProject"),
+      "the top-20 must plan as TakeOrdered, not a global sort materialization")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("d21 source dup matrix keeps banded equi-join candidates, no cartesian") {
+    val s = planString(run("d21_source_dup_matrix"))
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "pair generation and source attach must all be equi-keyed joins")
+  }
+
+  test("s14 truncated-dim recall: sample side broadcasts into the corpus scan") {
+    val s = planString(run("s14_mrl_recall"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the fixed-k query sample must broadcast; the corpus must not shuffle")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
