@@ -896,6 +896,48 @@ object TextQueries extends QueryPack {
       |  CAST(1 AS DOUBLE) - CAST(n_shared AS DOUBLE) / n_shingles AS novelty
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** t25 — hapax statistics: per document, the count of words occurring
+    * exactly once (hapax legomena) and exactly twice (dis legomena) plus
+    * their ratios — the vocabulary-burstiness signal that separates natural
+    * prose (hapax-rich) from template/boilerplate text (hapax-poor) more
+    * sharply than t23's type-token ratio, and the classical input to
+    * Good–Turing mass estimates.
+    *
+    * Scale shape: explode → one map-side-combined (doc_id, word) count →
+    * one map-side-combined per-doc aggregate; both shuffles are keyed by
+    * doc-bounded groups, no window, no join.
+    */
+  private def t25(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"),
+        (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_share"))
+      .orderBy(col("doc_id"))
+
+  private val t25Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      | FROM documents),
+      |c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY doc_id, w),
+      |a AS (SELECT doc_id,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+      | FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types, n_hapax, n_dis,
+      |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio,
+      |  CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_share
+      |FROM a ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -920,5 +962,6 @@ object TextQueries extends QueryPack {
     QueryDef("t21_token_concentration", t21, Some(t21Sql)),
     QueryDef("t22_tfidf_terms", t22, Some(t22Sql)),
     QueryDef("t23_quality_rules", t23, Some(t23Sql)),
-    QueryDef("t24_ngram_novelty", t24, Some(t24Sql)))
+    QueryDef("t24_ngram_novelty", t24, Some(t24Sql)),
+    QueryDef("t25_hapax_stats", t25, Some(t25Sql)))
 }
