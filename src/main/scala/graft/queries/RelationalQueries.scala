@@ -451,6 +451,36 @@ object RelationalQueries extends QueryPack {
       |    sqrt((nd * d11 - d1 * d1) * (nd * d22 - d2 * d2)) FROM f)
       |ORDER BY pair""".stripMargin
 
+  /** r12 — Benford leading-digit screen over order totals: the
+    * first-significant-digit distribution a data-quality (or fraud) audit
+    * compares against Benford's law before trusting a monetary column.
+    * Values are quantized to integer cents first so the leading digit is
+    * exact in both engines (no float-formatting hazard).
+    *
+    * Scale shape: one map-side-combined groupBy collapsing the corpus to
+    * ≤9 rows; the share normalization is a window over that 9-row
+    * aggregate (a deliberate single partition of ≤9 rows, not a
+    * corpus-wide window).
+    */
+  private def r12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("o_totalprice").cast("double") * 100).cast("long")
+    Tables.orders(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+      .orderBy(col("digit"))
+  }
+
+  private val r12Sql =
+    """WITH q AS (SELECT substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE)
+      |    * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      | FROM orders),
+      |a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY digit)
+      |SELECT digit, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+      |FROM a ORDER BY digit""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -462,5 +492,6 @@ object RelationalQueries extends QueryPack {
     QueryDef("r08_pivot_crosstab", r08, Some(r08Sql)),
     QueryDef("r09_grouping_sets", r09, Some(r09Sql)),
     QueryDef("r10_moment_stats", r10, Some(r10Sql)),
-    QueryDef("r11_correlation_matrix", r11, Some(r11Sql)))
+    QueryDef("r11_correlation_matrix", r11, Some(r11Sql)),
+    QueryDef("r12_benford_digits", r12, Some(r12Sql)))
 }
