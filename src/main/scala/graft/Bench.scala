@@ -112,23 +112,43 @@ object Bench {
     // box never yields a clean window the runs expose it in the spread.
     var pipeWarmups = 0
     def measuredSet(): Seq[Double] = {
-      var w = 0
-      while (w < 6 && once(pipeline()) > 2.5) w += 1
-      pipeWarmups += w + 1
+      var execs = 0
+      var warmed = false
+      while (!warmed && execs < 6) {
+        execs += 1
+        val t = once(pipeline())
+        warmed = t >= 0 && t <= 2.5
+      }
+      pipeWarmups += execs
       Seq.fill(3)(once(pipeline()))
     }
     def medianOf(rs: Seq[Double]): Double =
       if (rs.isEmpty || rs.exists(_ < 0)) -1.0 else rs.sorted.apply(1)
+    // A kept set must have a clean median AND a tight spread: three runs
+    // whose max/min exceeds 3× mean at least one landed in the slow regime,
+    // and a reader citing min instead of median would be off by that factor
+    // (r7 committed [2.10M, 580k, 2.85M] rps this way). Re-warm + re-measure
+    // up to 2 extra sets; keep the first tight set, else the best median.
+    def tight(rs: Seq[Double]): Boolean =
+      rs.nonEmpty && rs.forall(_ > 0) && rs.max / rs.min <= 3.0
+    def setOk(rs: Seq[Double]): Boolean =
+      medianOf(rs) >= 0 && medianOf(rs) <= 2.5 && tight(rs)
     val pipeRuns =
       if (mode == "queries") Seq.empty[Double]
       else {
-        val first = measuredSet()
-        if (medianOf(first) > 2.5 || medianOf(first) < 0) {
-          val second = measuredSet()
-          if (medianOf(second) >= 0 &&
-            (medianOf(first) < 0 || medianOf(second) < medianOf(first))) second
-          else first
-        } else first
+        var kept = measuredSet()
+        var extra = 0
+        while (!setOk(kept) && extra < 2) {
+          extra += 1
+          val next = measuredSet()
+          val keepNext =
+            if (setOk(next)) true
+            else if (medianOf(kept) < 0) medianOf(next) >= 0
+            else medianOf(next) >= 0 && medianOf(next) < medianOf(kept) &&
+              (tight(next) || !tight(kept))
+          if (keepNext) kept = next
+        }
+        kept
       }
     val pipeMed =
       if (pipeRuns.isEmpty || pipeRuns.exists(_ < 0)) -1.0
@@ -168,21 +188,33 @@ object Bench {
     // windows is the better estimate of intrinsic cost. Both run sets land
     // in the spread; re-measured names land in the artifact.
     val suspects = results.collect { case (k, (med, _)) if med > 2.0 => k }
+    // The second gate's attempts and verdict must reach the artifact too:
+    // a re-measure window that is itself degraded would otherwise be
+    // invisible in the committed record (first gate clean, suspects
+    // re-measured under contamination, artifact stamped clean).
+    var sentinel2Runs = Seq.empty[Double]
+    var degraded2 = false
     val remeasured =
       if (suspects.isEmpty) results
       else {
         System.gc()
-        sentinelGate(spark, sfDir, cooldownSec)
+        val (s2, d2) = sentinelGate(spark, sfDir, cooldownSec)
+        sentinel2Runs = s2
+        degraded2 = d2
         results.map {
           case (k, (med, runs)) if med > 2.0 =>
             val (m2, r2) = timed(0.0) { SparkEntry.queries(k)(spark, sfDir).count() }
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(false))
-            if (m2 >= 0 && m2 < med) k -> (m2, runs ++ r2)
-            else k -> (med, runs ++ r2)
+            // failed runs stay out of the variance record (-1 would corrupt
+            // the spread's min); a wholly-failed re-measure keeps (med, runs)
+            val r2ok = r2.filter(_ >= 0)
+            if (m2 >= 0 && m2 < med) k -> (m2, runs ++ r2ok)
+            else k -> (med, runs ++ r2ok)
           case kv => kv
         }
       }
+    val degradedAny = degraded || degraded2
     val qsFull = remeasured.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // spread (min..max over the 3 runs) only for the re-run queries — the
@@ -207,14 +239,15 @@ object Bench {
       "query id prefixes must stay unique for the compact stdout dict")
     // keep the stdout line lean — methodology strings and the artifact path
     // live in the full-results file, not in the driver's 2000-char window
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"sf":"$sfDir","pipeline_rps":$pipelineRps,"degraded":${if (degraded) 1 else 0}}"""
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"n_queries":${results.size},"sf":"$sfDir","pipeline_rps":$pipelineRps,"degraded":${if (degradedAny) 1 else 0}}"""
     require(json.length < 1750,
       s"stdout bench line is ${json.length} chars — the driver tail-captures " +
         "~2000 chars and sbt's success trailer eats ~90; shorten before " +
         "adding queries")
     println(json)
     val sentinelJson = sentinelRuns.mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"pipeline_warmups":$pipeWarmups,"spread":$spread,"degraded":${if (degraded) 1 else 0},"sentinel_sec":$sentinelJson,"remeasured":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs_per_query":"median-of-3 above 0.5s"}"""
+    val sentinel2Json = sentinel2Runs.mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"pipeline_warmups":$pipeWarmups,"spread":$spread,"degraded":${if (degradedAny) 1 else 0},"sentinel_sec":$sentinelJson,"sentinel2_sec":$sentinel2Json,"remeasured":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs_per_query":"median-of-3 above 0.5s"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "results/bench_latest.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))

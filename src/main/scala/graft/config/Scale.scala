@@ -16,10 +16,37 @@ package graft.config
   */
 object Scale {
 
+  /** Latched true the first time a knob is read with NO active session on
+    * the calling thread — the one situation where an overridden profile
+    * silently degrades to test defaults (`getActiveSession` is thread-local;
+    * a query built off-thread from the session that set
+    * `spark.graft.scale.*` would not see the override). All in-repo call
+    * sites build plans on the session thread; this guard makes the
+    * off-thread case loud (one stderr line + an inspectable flag) instead
+    * of a silent desync.
+    */
+  @volatile private var offSessionFallback = false
+
+  /** True iff some knob read ever fell back with no active session. */
+  def sawOffSessionFallback: Boolean = offSessionFallback
+
+  /** Test hook: clear the latch. */
+  private[graft] def resetFallbackLatch(): Unit = offSessionFallback = false
+
   private def get(key: String, dflt: Int): Int =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(_.conf.getOption(s"spark.graft.scale.$key"))
-      .map(_.toInt).getOrElse(dflt)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        s.conf.getOption(s"spark.graft.scale.$key").map(_.toInt).getOrElse(dflt)
+      case None =>
+        if (!offSessionFallback) {
+          offSessionFallback = true
+          System.err.println(
+            s"[graft] Scale.$key read with no active SparkSession on this " +
+              "thread — using test-profile default; spark.graft.scale.* " +
+              "overrides set on another thread's session are NOT visible here")
+        }
+        dflt
+    }
 
   /** ANN / brute-force query sample size (s01/s02/s04/s05/s06/s12). */
   def queryK: Int = get("queryK", 50)

@@ -457,17 +457,21 @@ object JoinQueries extends QueryPack {
     * order (count desc, path).
     *
     * Scale shape: session assembly is the keyed session_window aggregate
-    * (per-user state, bounded); the path census is a map-side-combined
-    * groupBy on a low-cardinality string; top-20 plans as TakeOrdered (no
-    * global sort materialization).
+    * (per-user state, bounded); within it the first-5 slice is a
+    * [[graft.functions.MinKCollect]] min-k buffer — O(5) memory per session
+    * regardless of session length, partial-combining map-side, so an
+    * always-active bot key can never balloon an agg buffer (a bare
+    * sort_array(collect_list(...)) holds the whole session first); the path
+    * census is a map-side-combined groupBy on a low-cardinality string;
+    * top-20 plans as TakeOrdered (no global sort materialization).
     */
   private def j12(s: SparkSession, dir: String): DataFrame = {
+    val firstK = graft.functions.MinKCollect.pathEvents(5)
     val sess = Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .agg(firstK(col("ts"), col("event_id"), col("event_type")).as("evs"))
     val path = concat_ws(">",
-      transform(slice(col("evs"), 1, 5), e => e.getField("event_type")))
+      transform(col("evs"), e => e.getField("event_type")))
     sess.select(path.as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path")).limit(20)

@@ -426,10 +426,13 @@ object RelationalQueries extends QueryPack {
       |  SUM(CAST(x2 AS HUGEINT) * x3) AS s23
       | FROM q),
       |-- HUGEINT→DOUBLE is not correctly rounded in DuckDB; VARCHAR→DOUBLE
-      |-- is, and matches Spark's decimal→double (see r10)
+      |-- is, and matches Spark's decimal→double (see r10). The linear sums
+      |-- s1/s2/s3 are HUGEINT too (DuckDB SUM(BIGINT) widens), so they take
+      |-- the same route — exact below 2^53 either way, divergence-proof above
       |f AS (SELECT n, CAST(n AS DOUBLE) AS nd,
-      |  CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
-      |  CAST(s3 AS DOUBLE) AS d3,
+      |  CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+      |  CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+      |  CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS d3,
       |  CAST(CAST(s11 AS VARCHAR) AS DOUBLE) AS d11,
       |  CAST(CAST(s22 AS VARCHAR) AS DOUBLE) AS d22,
       |  CAST(CAST(s33 AS VARCHAR) AS DOUBLE) AS d33,

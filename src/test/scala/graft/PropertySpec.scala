@@ -283,4 +283,35 @@ class PropertySpec extends SparkSpecBase {
     assert(j09.forall(_ >= 0L))
     assert(j09.sum % 2 == 0, "overlap is symmetric: directed pairs pair up")
   }
+
+  test("MinKCollect: O(k) buffer, == sort-then-slice, any split/order") {
+    import java.sql.Timestamp
+    import graft.functions.{MinKCollect, PathEv}
+    implicit val ord: Ordering[PathEv] =
+      Ordering.by((e: PathEv) => (e.ts.getTime, e.event_id))
+    implicit val enc: org.apache.spark.sql.Encoder[Seq[PathEv]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    for (trial <- 1 to 12) {
+      val k = 1 + rnd.nextInt(7)
+      val n = 1 + rnd.nextInt(400) // sessions far longer than k
+      val agg = new MinKCollect[PathEv](k)
+      val evs = Seq.tabulate(n)(i =>
+        PathEv(new Timestamp(rnd.nextInt(100000).toLong), i.toLong, s"t${i % 7}"))
+      val shuffled = rnd.shuffle(evs)
+      // arbitrary partial split + merge, tracking the max buffer size ever
+      // held: the whole point is that a session of ANY length costs O(k)
+      var maxBuf = 0
+      val parts = shuffled.grouped(1 + rnd.nextInt(50)).map { chunk =>
+        var b = agg.zero
+        chunk.foreach { e => b = agg.reduce(b, e); maxBuf = maxBuf max b.size }
+        b
+      }.toSeq
+      val merged = parts.reduce { (a, b) =>
+        val m = agg.merge(a, b); maxBuf = maxBuf max m.size; m
+      }
+      assert(maxBuf <= k, s"buffer exceeded k=$k (saw $maxBuf)")
+      assert(agg.finish(merged) == evs.sorted.take(k),
+        s"trial $trial: min-k must equal sort-then-slice")
+    }
+  }
 }

@@ -55,6 +55,29 @@ class ScaleConfSpec extends SparkSpecBase {
     }
   }
 
+  test("off-session knob reads latch the fallback flag (and on-session do not)") {
+    spark // ensure the suite session exists on this thread
+    Scale.resetFallbackLatch()
+    assert(Scale.queryK == 50 && !Scale.sawOffSessionFallback,
+      "an on-session read must not latch")
+    // read from a thread with no active session: value falls back to the
+    // test default and the latch trips — the loud path for the one way a
+    // production spark.graft.scale.* profile can silently degrade.
+    // (getActiveSession is INHERITABLE thread-local, so a freshly spawned
+    // child would inherit this thread's session — the real hazard is a pool
+    // thread created before any session existed, simulated here by clearing
+    // the inherited slot on the child only.)
+    var offValue = -1
+    val t = new Thread(() => {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      offValue = Scale.maxDf
+    })
+    t.start(); t.join()
+    assert(offValue == 1000, "off-session read still returns the default")
+    assert(Scale.sawOffSessionFallback, "off-session read must latch the flag")
+    Scale.resetFallbackLatch()
+  }
+
   test("cellQuota override bounds s11's per-cell sample on both sides") {
     withScale("cellQuota" -> "3") {
       val out = SparkEntry.queries("s11_cluster_sample")(spark, sf("sf0.001"))
