@@ -9,9 +9,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.config.Duration
 import graft.operators.KMeans
 
-/** An incoming doc event: id, event time, quantized embedding. */
-case class DocVec(doc_id: Long, ts: Timestamp, v: Seq[Long])
-
 /** One cell-assigned doc event: a document carrying its quantized embedding
   * and the k-means cell the broadcast codebook put it in.
   */
@@ -67,18 +64,20 @@ object StreamingSemDeDup {
 
   /** Stream-static cell assignment. The codebook is FIXED and tiny (≤ a few
     * thousand centroids), so it is materialized ONCE on the driver at plan
-    * build and shipped in the task closure; the per-row argmin is then a
-    * primitive JVM loop. (The batch queries use the Catalyst fold
-    * [[KMeans.nearest]] — a higher-order function Spark evaluates
-    * interpreted, measured at ~1.2 ms/row with 64 centroids: fine for a
-    * bounded verify corpus, two orders of magnitude too slow for a 100k/s
-    * admission stream. Same arithmetic, same (d2, c_id) tie rule.)
-    * `codebook` is [[KMeans.codebook]] output.
+    * build and shipped inside a [[graft.functions.NearestCell]] codegen
+    * expression: assignment is a pure PROJECTION that stays in whole-stage
+    * codegen — no Encoder round-trip, no shuffle, and an upstream
+    * event-time watermark tag survives. (The batch queries use the Catalyst
+    * fold [[KMeans.nearest]] — interpreted, ~1.2 ms/row at 64 centroids:
+    * fine for a bounded verify corpus, two orders of magnitude too slow for
+    * a 100k/s admission stream. Same arithmetic, same (d2, c_id) tie rule —
+    * spec-pinned against the fold. A previous typed-`map` form of this
+    * stage cleared ~28k docs/s; the deserialize/serialize round-trip per
+    * event was the whole gap.) `codebook` is [[KMeans.codebook]] output.
     *
-    * Streaming callers attach the watermark to the RESULT
-    * (`assignCells(...).withWatermark("ts", d)`): the typed map's
-    * object round-trip drops an upstream event-time tag, and [[admit]]'s
-    * event-time timeout needs one.
+    * Watermarks may be attached before or after this call; the
+    * batch==streaming agreement spec attaches after, matching the README
+    * snippet.
     */
   def assignCells(docs: DataFrame, codebook: DataFrame, docId: Column,
                   tsCol: Column, vCol: Column): Dataset[CellDoc] = {
@@ -88,25 +87,11 @@ object StreamingSemDeDup {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     implicit val enc: Encoder[CellDoc] = Encoders.product[CellDoc]
-    implicit val inEnc: Encoder[DocVec] = Encoders.product[DocVec]
-    docs.select(docId.as("doc_id"), tsCol.as("ts"), vCol.as("v"))
-      .as[DocVec]
-      .map { case DocVec(id, ts, v) =>
-        val vv = v.toArray
-        val xx = dot(vv, vv)
-        var bestD2 = Long.MaxValue
-        var bestC = -1L
-        var i = 0
-        while (i < cands.length) {
-          val (cId, cv) = cands(i)
-          // c_id-sorted + strict less == smaller c_id wins ties, matching
-          // ROW_NUMBER(ORDER BY d2, c_id) and KMeans.nearest exactly
-          val d2 = xx - 2L * dot(vv, cv) + dot(cv, cv)
-          if (d2 < bestD2) { bestD2 = d2; bestC = cId }
-          i += 1
-        }
-        CellDoc(id, ts, bestC, v)
-      }
+    docs.select(docId.as("doc_id"), tsCol.as("ts"),
+        graft.functions.NearestCell(vCol, cands.map(_._1), cands.map(_._2))
+          .as("c_id"),
+        vCol.as("v"))
+      .as[CellDoc]
   }
 
   private def dot(a: Array[Long], b: Array[Long]): Long = {
