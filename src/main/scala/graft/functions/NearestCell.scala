@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Nearest-centroid id of a quantized vector against a FIXED codebook, as
   * ONE native expression (the [[LshBandSig]] pattern applied to k-means
@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * reference objects, the scan is a tight JVM loop.
   */
 case class NearestCell(child: Expression, cIds: Array[Long],
-                       cvs: Array[Array[Long]]) extends UnaryExpression {
+                       cvs: Array[Array[Long]], withD2: Boolean = false)
+  extends UnaryExpression {
   require(cIds.length == cvs.length && cIds.nonEmpty,
     "codebook must be non-empty with one id per centroid")
   require((1 until cIds.length).forall(i => cIds(i - 1) < cIds(i)),
@@ -38,18 +39,25 @@ case class NearestCell(child: Expression, cIds: Array[Long],
     s
   }
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType =
+    if (withD2)
+      StructType(Seq(StructField("c_id", LongType, nullable = false),
+        StructField("d2", LongType, nullable = false)))
+    else LongType
   override def prettyName: String = "nearest_cell"
 
   override def nullSafeEval(input: Any): Any =
-    NearestCell.compute(input.asInstanceOf[ArrayData], cIds, cvs, c2s)
+    if (withD2)
+      NearestCell.computeWithD2(input.asInstanceOf[ArrayData], cIds, cvs, c2s)
+    else NearestCell.compute(input.asInstanceOf[ArrayData], cIds, cvs, c2s)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ids = ctx.addReferenceObj("cellIds", cIds, "long[]")
     val vs = ctx.addReferenceObj("cellVecs", cvs, "long[][]")
     val n2 = ctx.addReferenceObj("cellNorms", c2s, "long[]")
+    val fn = if (withD2) "computeWithD2" else "compute"
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.NearestCell.compute($v, $ids, $vs, $n2);")
+      s"${ev.value} = graft.functions.NearestCell.$fn($v, $ids, $vs, $n2);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -79,10 +87,45 @@ object NearestCell {
     bestC
   }
 
+  /** `(c_id, d2)` form for callers that also need the exact distance
+    * (KMeans.assign → s10's inertia): d2 = ‖v‖² − 2·v·c + ‖c‖², the same
+    * identity as the fold, every term an exact integer.
+    */
+  def computeWithD2(v: ArrayData, cIds: Array[Long], cvs: Array[Array[Long]],
+                    c2s: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    var best = Long.MaxValue
+    var bestC = -1L
+    var xx = 0L
+    var j = 0
+    val vn = v.numElements()
+    while (j < vn) { val x = v.getLong(j); xx += x * x; j += 1 }
+    var i = 0
+    while (i < cvs.length) {
+      val cv = cvs(i)
+      val n = math.min(vn, cv.length)
+      var dot = 0L
+      j = 0
+      while (j < n) { dot += v.getLong(j) * cv(j); j += 1 }
+      val score = c2s(i) - 2L * dot
+      if (score < best) { best = score; bestC = cIds(i) }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, xx + best))
+  }
+
   def apply(vQuantized: org.apache.spark.sql.Column, cIds: Array[Long],
             cvs: Array[Array[Long]]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
       NearestCell(ColumnBridge.expression(vQuantized), cIds, cvs))
+  }
+
+  /** Column form returning struct(c_id, d2). */
+  def withD2(vQuantized: org.apache.spark.sql.Column, cIds: Array[Long],
+             cvs: Array[Array[Long]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      NearestCell(ColumnBridge.expression(vQuantized), cIds, cvs, withD2 = true))
   }
 }

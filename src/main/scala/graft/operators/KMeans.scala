@@ -67,15 +67,29 @@ object KMeans {
           .otherwise(acc)
       })
 
-  /** Assign every vector to its nearest centroid: per-row argmin fold over
-    * the broadcast codebook. Output: (vec_id, v, c_id, d2).
+  /** Assign every vector to its nearest centroid. Output:
+    * (vec_id, v, c_id, d2).
+    *
+    * The codebook is ≤k rows and FIXED for the pass, so it is materialized
+    * once on the driver and shipped inside a
+    * [[graft.functions.NearestCell]] codegen expression: assignment is a
+    * pure whole-stage-codegen projection — no crossJoin row widening, no
+    * interpreted higher-order fold (~1.2 ms/row at 64 centroids), and the
+    * per-pass cost is the one corpus scan Lloyd requires. Arithmetic and
+    * the (d2, c_id) tie rule are bit-identical to [[nearest]]
+    * (spec-pinned), so oracle parity is unchanged.
     */
-  def assign(vecs: DataFrame, cb: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cb))
-      .withColumn("xx", dotLong(col("v"), col("v")))
-      .withColumn("best", nearest(col("v"), col("xx")))
-      .select(col("vec_id"), col("v"),
-        col("best.c_id").as("c_id"), col("best.d2").as("d2"))
+  def assign(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    val cands: Array[(Long, Array[Long])] = cb
+      .select(explode(col("cands")).as("c"))
+      .select(col("c.c_id"), col("c.cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val best = graft.functions.NearestCell.withD2(
+      col("v"), cands.map(_._1), cands.map(_._2))
+    vecs.select(col("vec_id"), col("v"),
+      best.getField("c_id").as("c_id"), best.getField("d2").as("d2"))
+  }
 
   /** Lloyd centroid update: per-dimension exact integer sums re-quantized
     * with round(sum/count). Empty cells drop out (both here and in any

@@ -101,6 +101,32 @@ class TextVectorSpec extends SparkSpecBase {
       "cluster representative must be a corpus member")
   }
 
+  test("NearestCell == KMeans.nearest fold: c_id AND d2, ties included") {
+    // seeded random quantized vectors + a codebook CONTAINING exact
+    // duplicates of some vectors (d2 = 0) and two identical centroids under
+    // different ids (a forced tie — the smaller c_id must win in both paths)
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    def vec() = Seq.fill(dims)((rnd.nextInt(2001) - 1000).toLong)
+    val vs = Seq.tabulate(60)(i => (i.toLong, if (i < 5) Seq.fill(dims)(0L) else vec()))
+    val cents = Seq.tabulate(8)(j => (j.toLong, if (j == 7) vs(10)._2 else vec())) :+
+      ((8L, Seq.fill(dims)(0L))) :+ ((9L, Seq.fill(dims)(0L))) // tie pair
+    val vecs = vs.toDF("vec_id", "v")
+    val cb = graft.operators.KMeans.codebook(cents.toDF("c_id", "cv"))
+    val foldSide = vecs.crossJoin(broadcast(cb))
+      .withColumn("xx", VF.dotLong(col("v"), col("v")))
+      .withColumn("best", graft.operators.KMeans.nearest(col("v"), col("xx")))
+      .select(col("vec_id"), col("best.c_id").as("c_id"), col("best.d2").as("d2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exprSide = graft.operators.KMeans.assign(vecs, cb)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Long]("d2"))).toMap
+    assert(exprSide == foldSide,
+      "codegen assignment must match the Catalyst fold exactly")
+    // the zero vectors must land on the tie pair's SMALLER id with d2 = 0
+    assert((0L to 4L).forall(i => exprSide(i) == (8L, 0L)))
+  }
+
   test("BpeApply: rank-ordered merges, earlier merges shadow later entries") {
     import graft.functions.BpeApply
     def enc(s: String): (Long, Long) = {
