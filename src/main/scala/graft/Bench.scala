@@ -73,6 +73,9 @@ object Bench {
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "all")
     val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "60").toInt
     val spark = GraftSession.local("graft-bench")
+    // "stress": the empirical ×N scaling check (its own corpus, pack,
+    // artifact) — see graft.Stress
+    if (mode == "stress") { Stress.run(spark); return }
     // Warm the JVM/session once (codegen compiler, parquet footer reader,
     // shuffle machinery) so the first measured query isn't charged init cost.
     spark.range(1000).selectExpr("sum(id)").collect()

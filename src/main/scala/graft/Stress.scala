@@ -1,0 +1,212 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.harness.StressCorpus
+import graft.operators.Dedup
+
+/** `SPARK_GRAFT_BENCH_MODE=stress` — the empirical scale check: inflate
+  * the documents/embeddings corpus ×N with controlled duplicate structure
+  * ([[StressCorpus]]), run the heavy dedup/ANN/text pack at ×1 and ×N, and
+  * record per-query wall time, rows/s, shuffle read/write, spill, and the
+  * time-scaling ratio (tN / (t1 · N)) — near-linear means ≤ 1.5.
+  *
+  * The embedding k-means queries (s10/s11/d15) run the ×N arm under the
+  * DOCUMENTED production profile (`spark.graft.scale.kmK` raised ×N so the
+  * cell size stays constant — the within-cell pair join is quadratic in
+  * cell size by design, and holding cells constant while the corpus grows
+  * is the published SemDeDup sizing rule). The knob goes through the same
+  * `graft.scale.*` conf layer a production deployment would use, so the
+  * stress run exercises the real mechanism, not a test shim.
+  *
+  * A skew arm measures keep-first dedup under a hot key (10% of all rows
+  * on ONE key): `keepFirst` (single-phase min_by) vs `keepFirstSalted`
+  * (two-phase) vs the window-ranking form — committed evidence for which
+  * plan survives a dirty-data hot key at 100 TB, whichever way it lands.
+  *
+  * Timing: min of `runs` executions per arm — the box oscillates between
+  * clean and 5-10× slow regimes on minute timescales (see Bench), and for
+  * a RATIO of intrinsic costs the minimum of separated windows is the
+  * better estimator on both sides (the slow regime only ever adds time).
+  * Every run lands in the artifact.
+  */
+object Stress {
+
+  /** Per-stage shuffle/spill tally, reset around each measured query. */
+  private final class StageTally extends SparkListener {
+    val shufWrite = new AtomicLong
+    val shufRead = new AtomicLong
+    val spilled = new AtomicLong
+    val peakMemSum = new AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        peakMemSum.addAndGet(m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = {
+      shufWrite.set(0); shufRead.set(0); spilled.set(0); peakMemSum.set(0)
+    }
+  }
+
+  /** (query, table it scales with) — the pack the round-7 verdict named. */
+  private val heavyPack: Seq[(String, String)] = Seq(
+    "d02_ngram_jaccard" -> "documents",
+    "d03_minhash_lsh" -> "documents",
+    "d07_neardup_clusters" -> "documents",
+    "d08_corpus_dedup" -> "documents",
+    "d15_semdedup" -> "embeddings",
+    "s02_ann_lsh" -> "embeddings",
+    "s10_kmeans" -> "embeddings",
+    "s11_cluster_sample" -> "embeddings",
+    "t22_tfidf_terms" -> "documents",
+    "t24_ngram_novelty" -> "documents")
+
+  /** Queries whose ×N arm runs under the cell-size-constant k-means
+    * production profile.
+    */
+  private val kmScaled = Set("d15_semdedup", "s10_kmeans", "s11_cluster_sample")
+
+  private def once(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    try { f; (System.nanoTime() - t0) / 1e9 }
+    catch { case e: Throwable =>
+      System.err.println(s"[stress] run failed: $e"); -1.0 }
+  }
+
+  private def minOk(rs: Seq[Double]): Double = {
+    val ok = rs.filter(_ >= 0)
+    if (ok.isEmpty) -1.0 else ok.min
+  }
+
+  def main(args: Array[String]): Unit = run(GraftSession.local("graft-stress"))
+
+  def run(spark: SparkSession): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "20").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
+      "results/stress_latest.json")
+    val tally = new StageTally
+    spark.sparkContext.addSparkListener(tally)
+    // session + parquet reader warmup, as in Bench
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val stressDir = java.nio.file.Files
+      .createTempDirectory("graft_stress").toString
+    val tCorpus = once(StressCorpus.write(spark, baseDir, stressDir, factor))
+    val baseRows = Map(
+      "documents" -> Tables.rowCount(spark, baseDir, "documents"),
+      "embeddings" -> Tables.rowCount(spark, baseDir, "embeddings"))
+    val stressRows = Map(
+      "documents" -> Tables.rowCount(spark, stressDir, "documents"),
+      "embeddings" -> Tables.rowCount(spark, stressDir, "embeddings"))
+    require(baseRows.forall { case (t, c) => stressRows(t) == c * factor },
+      s"inflation must be exact: $baseRows -> $stressRows @ x$factor")
+    System.err.println(f"[stress] corpus x$factor built in $tCorpus%.1f s: " +
+      s"${stressRows("documents")} docs, ${stressRows("embeddings")} vecs")
+
+    val kmKnob = "spark.graft.scale.kmK"
+    val kmBase = graft.config.Scale.kmK
+
+    def measure(name: String, dir: String, scaleKm: Boolean)
+      : (Seq[Double], Long, Long, Long, Long) = {
+      if (scaleKm) spark.conf.set(kmKnob, (kmBase * factor).toString)
+      else spark.conf.unset(kmKnob)
+      try {
+        val rs = (1 to runs).map { i =>
+          if (i == runs) tally.reset() // metrics captured on the LAST run
+          val t = once { SparkEntry.queries(name)(spark, dir).count() }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          t
+        }
+        Thread.sleep(300) // let the listener bus drain the final stages
+        (rs, tally.shufWrite.get, tally.shufRead.get, tally.spilled.get,
+          tally.peakMemSum.get)
+      } finally spark.conf.unset(kmKnob)
+    }
+
+    val rows = heavyPack.map { case (name, table) =>
+      val (b, _, _, _, _) = measure(name, baseDir, scaleKm = false)
+      val (s, sw, sr, sp, pm) = measure(name, stressDir, kmScaled.contains(name))
+      val t1 = minOk(b)
+      val tN = minOk(s)
+      val ratio = if (t1 > 0 && tN > 0) tN / (t1 * factor) else -1.0
+      val rps = if (tN > 0) math.round(stressRows(table) / tN) else -1L
+      System.err.println(f"[stress] $name%-22s x1=${t1}%.2fs xN=${tN}%.2fs " +
+        f"ratio=${ratio}%.2f rows/s=$rps%d shufW=${sw / 1e6}%.0fMB")
+      (name, table, b, s, t1, tN, ratio, rps, sw, sr, sp, pm)
+    }
+
+    // ---- skew arm: hot key owning 10% of rows ----------------------------
+    val nSkew = sys.env.getOrElse("SPARK_GRAFT_STRESS_SKEW_ROWS", "20000000").toLong
+    def skewFrame() = spark.range(nSkew).select(
+      when(pmod(col("id"), lit(10)) === 0, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("row_id"),
+      timestamp_millis(lit(1700000000000L) +
+        pmod(col("id") * lit(2654435761L), lit(86400000L))).as("ts"),
+      md5(col("id").cast("string")).as("payload"))
+    def skewTimes(f: => Unit): Seq[Double] = (1 to runs).map(_ => once(f))
+    val tPlain = skewTimes {
+      val df = skewFrame()
+      require(Dedup.keepFirst(df, Seq("k"), col("ts"), col("row_id"))
+        .count() == nSkew - nSkew / 10 + 1)
+    }
+    val tSalted = skewTimes {
+      val df = skewFrame()
+      require(Dedup.keepFirstSalted(df, Seq("k"), col("ts"), col("row_id"), 32)
+        .count() == nSkew - nSkew / 10 + 1)
+    }
+    val tRanked = skewTimes {
+      val df = skewFrame()
+      require(Dedup.rankDuplicates(df, Seq("k"), col("ts"), col("row_id"))
+        .filter(col("occurrence") === 1).count() == nSkew - nSkew / 10 + 1)
+    }
+    System.err.println(f"[stress] skew n=$nSkew keepFirst=${minOk(tPlain)}%.2fs " +
+      f"salted=${minOk(tSalted)}%.2fs ranked=${minOk(tRanked)}%.2fs")
+
+    val superlinear = rows.collect { case (n, _, _, _, _, _, r, _, _, _, _, _)
+      if r > 1.5 => n }
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    val qJson = rows.map { case (n, t, b, s, t1, tN, ratio, rps, sw, sr, sp, pm) =>
+      s""""$n":{"table":"$t","base_sec":$t1,"stress_sec":$tN,""" +
+        s""""scaling_ratio":${f"$ratio%.3f"},"stress_rows_per_sec":$rps,""" +
+        s""""shuffle_write_mb":${sw / 1000000},"shuffle_read_mb":${sr / 1000000},""" +
+        s""""spill_mb":${sp / 1000000},"peak_mem_sum_mb":${pm / 1000000},""" +
+        s""""runs_base":${arr(b)},"runs_stress":${arr(s)}}"""
+    }.mkString("{", ",", "}")
+    val skewJson =
+      s"""{"rows":$nSkew,"hot_key_share":0.1,""" +
+        s""""keep_first_sec":${minOk(tPlain)},"salted_sec":${minOk(tSalted)},""" +
+        s""""ranked_window_sec":${minOk(tRanked)},""" +
+        s""""runs_keep_first":${arr(tPlain)},"runs_salted":${arr(tSalted)},""" +
+        s""""runs_ranked":${arr(tRanked)}}"""
+    val full = s"""{"metric":"stress","factor":$factor,"base_sf":"$baseDir",""" +
+      s""""docs":${stressRows("documents")},"vecs":${stressRows("embeddings")},""" +
+      s""""corpus_build_sec":$tCorpus,"kmk_stress":${kmBase * factor},""" +
+      s""""queries":$qJson,"skew":$skewJson,""" +
+      s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""timing":"min of $runs runs per arm"}"""
+    val out = java.nio.file.Paths.get(outPath)
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // compact stdout line (the driver tail-captures ~2000 chars)
+    val short = rows.map { case (n, _, _, _, _, _, ratio, rps, _, _, _, _) =>
+      s""""${n.takeWhile(_ != '_')}":[${f"$ratio%.2f"},$rps]"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","factor":$factor,"ratio_rps":$short,""" +
+      s""""superlinear":${superlinear.size},""" +
+      s""""skew_keepfirst_sec":${f"${minOk(tPlain)}%.2f"},""" +
+      s""""skew_salted_sec":${f"${minOk(tSalted)}%.2f"},""" +
+      s""""skew_ranked_sec":${f"${minOk(tRanked)}%.2f"}}""")
+    spark.stop()
+  }
+}

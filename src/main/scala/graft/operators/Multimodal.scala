@@ -56,11 +56,13 @@ object Multimodal {
     }
 
   /** Real image decode via `javax.imageio` (ships in the JDK — no extra
-    * dependency): PNG/JPEG payloads decode to per-pixel luminance samples
-    * ((r+g+b)/3, 0..255, row-major). Returns None for payloads that are not
-    * real images (no PNG/JPEG magic, or ImageIO can't parse them) so the
-    * caller falls back to [[FakeCodec]] — the synthetic md5-derived blobs in
-    * the oracle-checked queries take that path, keeping m01–m04 byte-stable.
+    * dependency): PNG/JPEG/BMP/GIF payloads decode to per-pixel luminance
+    * samples ((r+g+b)/3, 0..255, row-major). Returns None for payloads that
+    * are not real images (no recognized magic, or ImageIO can't parse them)
+    * so the caller falls back to [[FakeCodec]] — the synthetic md5-derived
+    * blobs in the oracle-checked queries take that path, keeping m01–m04
+    * byte-stable (a random 32-byte blob matching a magic still fails the
+    * parse and falls back).
     */
   object ImageIOCodec {
     def looksLikeImage(content: Array[Byte]): Boolean =
@@ -69,7 +71,10 @@ object Multimodal {
         content(3) == 'G') ||
       (content.length >= 3 &&
         content(0) == 0xff.toByte && content(1) == 0xd8.toByte &&
-        content(2) == 0xff.toByte)
+        content(2) == 0xff.toByte) ||
+      (content.length >= 2 && content(0) == 'B' && content(1) == 'M') ||
+      (content.length >= 6 && content(0) == 'G' && content(1) == 'I' &&
+        content(2) == 'F' && content(3) == '8')
 
     def samples(content: Array[Byte]): Option[Array[Int]] =
       if (!looksLikeImage(content)) None
@@ -173,7 +178,14 @@ object Multimodal {
     * mapPartitions — no shuffle, scales with input splits like the decode
     * pass itself.
     */
-  def synthesizePng(dims: DataFrame): DataFrame = {
+  def synthesizePng(dims: DataFrame): DataFrame = synthesizeImage(dims, "png")
+
+  /** [[synthesizePng]] generalized over the JDK's offline writers
+    * (png/bmp/gif — all lossless for this ≤256-gray gradient: PNG and BMP
+    * are exact RGB, GIF's 256-entry palette holds every gray the pattern
+    * produces; exactness is spec-pinned per format).
+    */
+  def synthesizeImage(dims: DataFrame, format: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -202,7 +214,8 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        require(javax.imageio.ImageIO.write(img, format, bos),
+          s"no JDK ImageIO writer for format '$format'")
         Row(mid, "image", bos.toByteArray, w, h)
       }
     }(enc)

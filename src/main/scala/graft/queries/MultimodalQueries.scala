@@ -217,6 +217,52 @@ object MultimodalQueries extends QueryPack {
       |  CAST(MAX(val) AS BIGINT) AS max_value
       |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** m08 — the other two JDK-offline codec branches, oracle-checked like
+    * m07: per selected doc synthesize a genuine BMP (even ids) or GIF (odd
+    * ids) of the same closed-form gray gradient, push it through the SAME
+    * `decodeFeatures` plumbing, and pin the decoded pixel stats against
+    * decoder-free arithmetic. BMP is uncompressed RGB; GIF exercises a
+    * palette round-trip (the gradient's ≤256 grays fit one palette
+    * exactly — exactness additionally spec-pinned in MultimodalSpec). A
+    * wrong encode, decode, or palette quantization hash-mismatches.
+    */
+  private def m08(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(41)) === 0)
+      .withColumn("width",
+        (lit(16) + pmod(col("media_id"), lit(5)) * 8).cast("int"))
+      .withColumn("height",
+        (lit(12) + pmod(col("media_id"), lit(4)) * 6).cast("int"))
+    val bmp = Multimodal.synthesizeImage(
+      dims.where(pmod(col("media_id"), lit(2)) === 0), "bmp")
+    val gif = Multimodal.synthesizeImage(
+      dims.where(pmod(col("media_id"), lit(2)) === 1), "gif")
+    Multimodal.decodeFeatures(bmp.unionAll(gif), batchSize = 32)
+      .select(col("media_id"),
+        when(pmod(col("media_id"), lit(2)) === 0, "bmp").otherwise("gif")
+          .as("codec"),
+        col("n_samples").as("n_px"), col("mean_value"),
+        col("min_value").cast("long").as("min_value"),
+        col("max_value").cast("long").as("max_value"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m08Sql =
+    """WITH ids AS (SELECT doc_id AS media_id,
+      |  16 + (doc_id % 5) * 8 AS w, 12 + (doc_id % 4) * 6 AS h
+      | FROM documents WHERE doc_id % 41 = 0),
+      |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+      |g AS (SELECT media_id, x, unnest(range(0, h)) AS y FROM xs),
+      |v AS (SELECT media_id, (x + y + media_id) % 256 AS val FROM g)
+      |SELECT media_id,
+      |  CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'gif' END AS codec,
+      |  CAST(COUNT(*) AS BIGINT) AS n_px,
+      |  CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_value,
+      |  CAST(MIN(val) AS BIGINT) AS min_value,
+      |  CAST(MAX(val) AS BIGINT) AS max_value
+      |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
@@ -224,5 +270,6 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m04_resize_dims", m04, Some(m04Sql)),
     QueryDef("m05_media_dedup", m05, Some(m05Sql)),
     QueryDef("m06_audio_frames", m06, Some(m06Sql)),
-    QueryDef("m07_png_decode", m07, Some(m07Sql)))
+    QueryDef("m07_png_decode", m07, Some(m07Sql)),
+    QueryDef("m08_bmp_gif_decode", m08, Some(m08Sql)))
 }

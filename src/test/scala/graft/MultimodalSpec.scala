@@ -67,6 +67,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.ImageIOCodec.samples(forged).isEmpty)
   }
 
+  test("BMP and GIF round-trip the gradient pattern exactly (m08's seam)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // one synthesized image per format via the SAME generator m08 uses;
+    // decode back through ImageIOCodec and compare every pixel against the
+    // closed-form (x + y + id) % 256 — palette quantization (GIF) or any
+    // channel shift (BMP) would break exactness here before it could reach
+    // an oracle run
+    val dimsSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val dims = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(7L, 40, 30)), dimsSchema)
+    for (fmt <- Seq("bmp", "gif")) {
+      val out = Multimodal.synthesizeImage(dims, fmt).head()
+      val content = out.getAs[Array[Byte]]("content")
+      assert(Multimodal.ImageIOCodec.looksLikeImage(content),
+        s"$fmt magic must be recognized")
+      val samples = Multimodal.ImageIOCodec.samples(content).get
+      val expected = for (y <- 0 until 30; x <- 0 until 40)
+        yield ((x + y + 7) % 256)
+      assert(samples.toSeq == expected, s"$fmt decode must be pixel-exact")
+    }
+  }
+
   test("decodeFeatures routes real PNG content through the real decoder") {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(3, 1, BufferedImage.TYPE_INT_RGB)
