@@ -94,6 +94,9 @@ object Stress {
     val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
       "results/stress_latest.json")
+    // SPARK_GRAFT_STRESS_SKEW_ONLY=1: skip corpus + pack, measure only the
+    // skew arm (for sweeping hot-key shares without re-paying the pack)
+    val skewOnly = sys.env.get("SPARK_GRAFT_STRESS_SKEW_ONLY").contains("1")
     val tally = new StageTally
     spark.sparkContext.addSparkListener(tally)
     // session + parquet reader warmup, as in Bench
@@ -101,17 +104,24 @@ object Stress {
 
     val stressDir = java.nio.file.Files
       .createTempDirectory("graft_stress").toString
-    val tCorpus = once(StressCorpus.write(spark, baseDir, stressDir, factor))
-    val baseRows = Map(
-      "documents" -> Tables.rowCount(spark, baseDir, "documents"),
-      "embeddings" -> Tables.rowCount(spark, baseDir, "embeddings"))
-    val stressRows = Map(
-      "documents" -> Tables.rowCount(spark, stressDir, "documents"),
-      "embeddings" -> Tables.rowCount(spark, stressDir, "embeddings"))
-    require(baseRows.forall { case (t, c) => stressRows(t) == c * factor },
-      s"inflation must be exact: $baseRows -> $stressRows @ x$factor")
-    System.err.println(f"[stress] corpus x$factor built in $tCorpus%.1f s: " +
-      s"${stressRows("documents")} docs, ${stressRows("embeddings")} vecs")
+    val tCorpus =
+      if (skewOnly) 0.0
+      else once(StressCorpus.write(spark, baseDir, stressDir, factor))
+    val stressRows: Map[String, Long] =
+      if (skewOnly) Map("documents" -> 0L, "embeddings" -> 0L)
+      else {
+        val baseRows = Map(
+          "documents" -> Tables.rowCount(spark, baseDir, "documents"),
+          "embeddings" -> Tables.rowCount(spark, baseDir, "embeddings"))
+        val sr = Map(
+          "documents" -> Tables.rowCount(spark, stressDir, "documents"),
+          "embeddings" -> Tables.rowCount(spark, stressDir, "embeddings"))
+        require(baseRows.forall { case (t, c) => sr(t) == c * factor },
+          s"inflation must be exact: $baseRows -> $sr @ x$factor")
+        System.err.println(f"[stress] corpus x$factor built in $tCorpus%.1f s: " +
+          s"${sr("documents")} docs, ${sr("embeddings")} vecs")
+        sr
+      }
 
     val kmKnob = "spark.graft.scale.kmK"
     val kmBase = graft.config.Scale.kmK
@@ -133,7 +143,7 @@ object Stress {
       } finally spark.conf.unset(kmKnob)
     }
 
-    val rows = heavyPack.map { case (name, table) =>
+    val rows = (if (skewOnly) Seq.empty else heavyPack).map { case (name, table) =>
       val (b, _, _, _, _) = measure(name, baseDir, scaleKm = false)
       val (s, sw, sr, sp, pm) = measure(name, stressDir, kmScaled.contains(name))
       val t1 = minOk(b)
@@ -145,10 +155,11 @@ object Stress {
       (name, table, b, s, t1, tN, ratio, rps, sw, sr, sp, pm)
     }
 
-    // ---- skew arm: hot key owning 10% of rows ----------------------------
+    // ---- skew arm: hot key owning `1/skewMod` of all rows ----------------
     val nSkew = sys.env.getOrElse("SPARK_GRAFT_STRESS_SKEW_ROWS", "20000000").toLong
+    val skewMod = sys.env.getOrElse("SPARK_GRAFT_STRESS_SKEW_MOD", "10").toLong
     def skewFrame() = spark.range(nSkew).select(
-      when(pmod(col("id"), lit(10)) === 0, lit(0L)).otherwise(col("id")).as("k"),
+      when(pmod(col("id"), lit(skewMod)) === 0, lit(0L)).otherwise(col("id")).as("k"),
       col("id").as("row_id"),
       timestamp_millis(lit(1700000000000L) +
         pmod(col("id") * lit(2654435761L), lit(86400000L))).as("ts"),
@@ -157,17 +168,17 @@ object Stress {
     val tPlain = skewTimes {
       val df = skewFrame()
       require(Dedup.keepFirst(df, Seq("k"), col("ts"), col("row_id"))
-        .count() == nSkew - nSkew / 10 + 1)
+        .count() == nSkew - nSkew / skewMod + 1)
     }
     val tSalted = skewTimes {
       val df = skewFrame()
       require(Dedup.keepFirstSalted(df, Seq("k"), col("ts"), col("row_id"), 32)
-        .count() == nSkew - nSkew / 10 + 1)
+        .count() == nSkew - nSkew / skewMod + 1)
     }
     val tRanked = skewTimes {
       val df = skewFrame()
       require(Dedup.rankDuplicates(df, Seq("k"), col("ts"), col("row_id"))
-        .filter(col("occurrence") === 1).count() == nSkew - nSkew / 10 + 1)
+        .filter(col("occurrence") === 1).count() == nSkew - nSkew / skewMod + 1)
     }
     System.err.println(f"[stress] skew n=$nSkew keepFirst=${minOk(tPlain)}%.2fs " +
       f"salted=${minOk(tSalted)}%.2fs ranked=${minOk(tRanked)}%.2fs")
@@ -183,7 +194,7 @@ object Stress {
         s""""runs_base":${arr(b)},"runs_stress":${arr(s)}}"""
     }.mkString("{", ",", "}")
     val skewJson =
-      s"""{"rows":$nSkew,"hot_key_share":0.1,""" +
+      s"""{"rows":$nSkew,"hot_key_share":${1.0 / skewMod},""" +
         s""""keep_first_sec":${minOk(tPlain)},"salted_sec":${minOk(tSalted)},""" +
         s""""ranked_window_sec":${minOk(tRanked)},""" +
         s""""runs_keep_first":${arr(tPlain)},"runs_salted":${arr(tSalted)},""" +

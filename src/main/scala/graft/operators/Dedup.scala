@@ -63,9 +63,18 @@ object Dedup {
     * (key, salt) where salt = hash(tiebreak) mod `saltBuckets` — a hot key's
     * rows spread over `saltBuckets` reducers; phase 2 merges the per-salt
     * winners per key. min_by is associative, so the result is EXACTLY
-    * keepFirst's (property-tested). AQE's skew handling covers joins;
-    * this covers the aggregation path when one key dominates a shuffle
-    * (e.g. a null-ish default id in dirty data at 100 TB).
+    * keepFirst's (property-tested).
+    *
+    * Measured (stress skew arm, results/stress_latest.json + README):
+    * [[keepFirst]] is itself nearly skew-immune — map-side partial combine
+    * collapses a hot key to one row per upstream partition before the
+    * shuffle, so at a 50%-hot-key 40M-row profile the salted form wins only
+    * ~1.1×. Keep it for the regimes partial combine doesn't cover (very
+    * wide agg buffers pressuring the per-task combine map under a hot key);
+    * the plan that actually dies under skew is window RANKING
+    * ([[rankDuplicates]]: 3.4× degradation at the same profile — one task
+    * sorts the whole hot partition), which is why every keep-first path
+    * here is min_by aggregation.
     */
   def keepFirstSalted(df: DataFrame, key: Seq[String], ts: Column,
                       tiebreak: Column, saltBuckets: Int): DataFrame = {
