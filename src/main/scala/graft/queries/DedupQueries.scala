@@ -559,7 +559,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d18_soft_dedup_weights", d18, Some(d18Sql)),
     QueryDef("d19_curation_pipeline", d19, Some(d19Sql)),
     QueryDef("d20_contamination_runs", d20, Some(d20Sql)),
-    QueryDef("d21_source_dup_matrix", d21, Some(d21Sql)))
+    QueryDef("d21_source_dup_matrix", d21, Some(d21Sql)),
+    QueryDef("d22_semantic_decontaminate", d22, Some(d22Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
@@ -998,4 +999,65 @@ object DedupQueries extends QueryPack {
        |  CAST(MAX(cnt) AS BIGINT) AS max_run,
        |  CAST(SUM(cnt) AS DOUBLE) / MAX(n_pos) AS contam_rate
        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-set size for d22 (fixed like [[BenchDocsK]], own salt so the
+    * semantic and lexical held-out suites are independent samples).
+    */
+  private val SemBenchK = 25
+
+  /** d22 — SEMANTIC decontamination: the embedding-space sixth form of the
+    * decontamination family (d09 lexical 5-grams, d10 chunked, d16 Bloom
+    * exact, d20 verbatim runs, d02's Jaccard arm) — flag corpus vectors
+    * whose cosine against ANY vector of a fixed held-out benchmark suite
+    * reaches 0.45 (d06's near-dup operating point). Catches the leakage
+    * lexical shingles miss: paraphrased or re-templated eval questions.
+    * Exact quantized-integer dots over precomputed norms (d06's
+    * arithmetic), so hit/miss never depends on summation order.
+    *
+    * Scale shape: the benchmark side is [[SemBenchK]] rows broadcast —
+    * scoring is one map-side O(k·n) pass (BroadcastNestedLoopJoin by
+    * construction, the fixed-k benchmark as build side); the corpus never
+    * shuffles; output is a per-doc rollup of hits only.
+    */
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+    val benchIds = base.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#sem"))),
+        col("vec_id"))
+      .limit(SemBenchK)
+    val bench = base.join(broadcast(benchIds), "vec_id")
+      .select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_nrm"))
+    base.join(broadcast(benchIds), Seq("vec_id"), "left_anti")
+      .join(broadcast(bench),
+        (dotLong(col("v"), col("b_v")).cast("double")
+          / (col("nrm") * col("b_nrm"))) >= 0.45)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(dotLong(col("v"), col("b_v")).cast("double")
+          / (col("nrm") * col("b_nrm"))).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val d22Sql =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) AS nrm FROM q),
+       |bid AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#sem'), vec_id LIMIT $SemBenchK),
+       |b AS (SELECT vec_id AS b_id, v AS b_v, nrm AS b_nrm FROM n
+       |  WHERE vec_id IN (SELECT vec_id FROM bid)),
+       |hits AS (SELECT n.vec_id,
+       |  list_dot_product(n.v::DOUBLE[], b.b_v::DOUBLE[]) / (n.nrm * b.b_nrm) AS cos
+       | FROM n JOIN b ON
+       |  list_dot_product(n.v::DOUBLE[], b.b_v::DOUBLE[]) / (n.nrm * b.b_nrm) >= 0.45
+       | WHERE n.vec_id NOT IN (SELECT vec_id FROM bid))
+       |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       |  MAX(cos) AS max_cos
+       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -263,6 +263,48 @@ object MultimodalQueries extends QueryPack {
       |  CAST(MAX(val) AS BIGINT) AS max_value
       |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** m09 — shot-boundary detection over video frame luminances: a boundary
+    * wherever consecutive frame values jump by ≥ 96 (the |Δluma| cut
+    * detector every video-curation pipeline runs before clip extraction;
+    * here each fake-decoded byte stands in for a frame's mean luma, exactly
+    * like m06 treats bytes as audio samples). Integer deltas → bit-exact in
+    * any engine that reproduces the payload.
+    *
+    * Scale shape: byte extraction, the pairwise-delta transform, and the
+    * threshold filter are all per-row codegen inside one projection — rows
+    * multiply by boundary count but never shuffle before the oracle sort,
+    * so the scan streams at parquet-read speed like m06.
+    */
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+    val hexStr = lower(hex(col("content")))
+    val nBytes = length(col("content"))
+    val bytes = transform(sequence(lit(0), nBytes - 1),
+      i => conv(hexStr.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+    val deltas = transform(sequence(lit(1), size(col("bytes")) - 1),
+      i => element_at(col("bytes"), i + 1) - element_at(col("bytes"), i))
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), bytes.as("bytes"))
+      .select(col("media_id"), posexplode(deltas).as(Seq("p0", "delta")))
+      .filter(abs(col("delta")) >= 96)
+      .select(col("media_id"), (col("p0") + 1).cast("long").as("frame_idx"),
+        col("delta"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val m09Sql = mediaCte +
+    """,
+      |bytes AS (SELECT media_id,
+      |  list_transform(range(0, CAST(octet_length(unhex(content_hex)) AS INTEGER)),
+      |    i -> CAST(('0x' || substr(content_hex, 2*i + 1, 2)) AS BIGINT)) AS bs
+      | FROM media WHERE kind = 'video'),
+      |d AS (SELECT media_id,
+      |  CAST(unnest(range(1, len(bs))) AS BIGINT) AS frame_idx,
+      |  unnest(list_transform(range(1, len(bs)), i -> bs[i+1] - bs[i])) AS delta
+      | FROM bytes)
+      |SELECT media_id, frame_idx, delta FROM d
+      |WHERE abs(delta) >= 96 ORDER BY media_id, frame_idx""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
@@ -271,5 +313,6 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m05_media_dedup", m05, Some(m05Sql)),
     QueryDef("m06_audio_frames", m06, Some(m06Sql)),
     QueryDef("m07_png_decode", m07, Some(m07Sql)),
-    QueryDef("m08_bmp_gif_decode", m08, Some(m08Sql)))
+    QueryDef("m08_bmp_gif_decode", m08, Some(m08Sql)),
+    QueryDef("m09_shot_boundaries", m09, Some(m09Sql)))
 }

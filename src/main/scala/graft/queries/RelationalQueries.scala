@@ -496,5 +496,60 @@ object RelationalQueries extends QueryPack {
     QueryDef("r09_grouping_sets", r09, Some(r09Sql)),
     QueryDef("r10_moment_stats", r10, Some(r10Sql)),
     QueryDef("r11_correlation_matrix", r11, Some(r11Sql)),
-    QueryDef("r12_benford_digits", r12, Some(r12Sql)))
+    QueryDef("r12_benford_digits", r12, Some(r12Sql)),
+    QueryDef("r13_kmv_cardinality", r13, Some(r13Sql)))
+
+  /** KMV sketch size for r13. */
+  private val KmvK = 64
+
+  /** r13 — KMV (k-minimum-values) distinct-count sketch, checked against
+    * the exact answer: hash every distinct event_id to a uniform fraction
+    * (md5 → first 8 hex digits / 2³²), keep the k smallest hashes, estimate
+    * |distinct| as (k−1)/kth_fraction. Unlike HLL registers, the KMV
+    * synopsis is fully deterministic and engine-portable — any engine with
+    * md5 reproduces the identical k-set, estimate, and relative error, so
+    * the sketch itself is oracle-checkable (and mergeable: the union of two
+    * k-sets re-truncated to k IS the sketch of the union — the property
+    * that makes it a one-pass distributed aggregate).
+    *
+    * Scale shape: distinct() is one map-side-combined exchange on the key;
+    * the k-smallest selection plans as TakeOrderedAndProject (≤ k rows
+    * leave any partition — at 100 TB the ordering ships 64 hashes per
+    * partition, not the key set); the estimate is a 1-row reduction.
+    * Ordering is on the full 128-bit hex string, so 32-bit fraction
+    * collisions cannot make the kth element ambiguous.
+    */
+  private def r13(s: SparkSession, dir: String): DataFrame = {
+    val hh = Tables.events(s, dir).select(col("event_id")).distinct()
+      .select(md5(col("event_id").cast("string")).as("hh"))
+    val kset = hh.orderBy(col("hh")).limit(KmvK)
+      .select((conv(substring(col("hh"), 1, 8), 16, 10).cast("long")
+        .cast("double") / lit(4294967296.0)).as("frac"))
+    val exact = Tables.events(s, dir).select(col("event_id")).distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    val est = lit((KmvK - 1).toDouble) / col("kth_frac")
+    kset.agg(max(col("frac")).as("kth_frac"))
+      .crossJoin(exact) // 1 row × 1 row
+      .select(
+        lit(KmvK.toLong).as("k"),
+        col("kth_frac"),
+        est.as("est_distinct"),
+        col("exact_distinct"),
+        (abs(est - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double")).as("rel_err"))
+  }
+
+  private val r13Sql =
+    s"""WITH u AS (SELECT DISTINCT event_id FROM events),
+       |h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hh FROM u),
+       |ks AS (SELECT hh FROM h ORDER BY hh LIMIT $KmvK),
+       |f AS (SELECT MAX(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) / 4294967296.0)
+       |        AS kth_frac FROM ks),
+       |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM u)
+       |SELECT CAST($KmvK AS BIGINT) AS k, kth_frac,
+       |  ${KmvK - 1}.0 / kth_frac AS est_distinct,
+       |  exact_distinct,
+       |  ABS(${KmvK - 1}.0 / kth_frac - CAST(exact_distinct AS DOUBLE))
+       |    / CAST(exact_distinct AS DOUBLE) AS rel_err
+       |FROM f, x""".stripMargin
 }

@@ -989,6 +989,45 @@ object SimilarityQueries extends QueryPack {
        |ORDER BY method""".stripMargin
   }
 
+  /** s15 — maximum-inner-product top-k (MIPS): rank the corpus for each of
+    * the fixed query sample by RAW integer dot product instead of cosine —
+    * the retrieval metric recommendation/reranking systems use when vector
+    * magnitude carries signal (popularity, confidence) that cosine's
+    * normalization erases. Scores are exact quantized-integer dots (≤ 64 ·
+    * 10⁸ < 2⁵³, so the double rank key is exact), ties broken by smaller
+    * neighbor_id — bit-identical in any engine.
+    *
+    * Scale shape: identical to s01 — fixed-k broadcast query side, one
+    * map-side O(k·n) scoring pass, TopKByScore partial-combining rank (≤ k
+    * rows per map partition per query on the wire), corpus never shuffles.
+    */
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val q = baseVecs(s, dir)
+    val queries = q.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
+    val pairs = queries.as("a").join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        dotLong(col("a.v"), col("b.v")).cast("double").as("cos"))
+    topkRank(pairs, 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("cos").cast("long").as("dot"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def s15Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |qs AS (${sampleSql(QueryK)}),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  CAST(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) AS BIGINT) AS dot
+      | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      | WHERE a.vec_id IN (SELECT vec_id FROM qs)),
+      |r AS (SELECT query_id, neighbor_id, dot,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rk
+      | FROM p)
+      |SELECT query_id, rk, neighbor_id, dot FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -1003,5 +1042,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s11_cluster_sample", s11, Some(s11Sql)),
     QueryDef("s12_range_search", s12, Some(s12Sql)),
     QueryDef("s13_adc_topk", s13, Some(s13Sql)),
-    QueryDef("s14_mrl_recall", s14, Some(s14Sql)))
+    QueryDef("s14_mrl_recall", s14, Some(s14Sql)),
+    QueryDef("s15_mips_topk", s15, Some(s15Sql)))
 }

@@ -252,18 +252,22 @@ class PlanSpec extends SparkSpecBase {
       "the ≤32-row histogram aggregates with map-side combine")
   }
 
-  test("s10 k-means: every iteration is a broadcast-codebook map pass, no corpus shuffle") {
+  test("s10 k-means: every iteration is a codegen map pass, no corpus shuffle") {
     val s = planString(run("s10_kmeans"))
-    // each of the KmIters+1 assignment rounds joins the corpus against a
-    // single broadcast row holding the ≤KmK-candidate array; the only
+    // round 8: assignment is the NearestCell codegen expression carrying
+    // the driver-materialized codebook — a pure projection, so the final
+    // assignment round needs NO join of any kind (the pre-r8 plan joined a
+    // broadcast 1-row codebook frame via BroadcastNestedLoopJoin); the only
     // exchanges carry the ≤KmK-row centroid updates and the final census
-    assert(s.contains("BroadcastNestedLoopJoin"),
-      "the collapsed codebook must join as a broadcast 1-row frame")
+    assert(s.contains("nearest_cell"),
+      "assignment must be the NearestCell codegen projection")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "no codebook join remains once assignment is a projection")
     assert(!s.contains("SortMergeJoin"),
       "the corpus must never shuffle for assignment or update")
     assert(!s.contains("CartesianProduct"))
     assert("HashAggregate".r.findAllIn(s).size >= 2,
-      "centroid updates aggregate with map-side combine")
+      "the census aggregates with map-side combine")
   }
 
   test("d16 bloom build is one bit_or aggregation; no shuffle join at broadcast scale") {
@@ -565,6 +569,26 @@ class PlanSpec extends SparkSpecBase {
     assert(s.contains("BroadcastHashJoin"),
       "the fixed-k query sample must broadcast; the corpus must not shuffle")
     assert(!s.contains("CartesianProduct"))
+  }
+
+  test("round-8 additions keep their scale shapes (s15/d22/r13)") {
+    // s15 MIPS: fixed-k broadcast query side scoring map-side + TopKByScore
+    // partial ranking — the corpus must not sort or merge-join
+    val s15 = planString(run("s15_mips_topk"))
+    assert(s15.contains("BroadcastHashJoin") || s15.contains("BroadcastNestedLoopJoin"),
+      "the fixed-k query sample joins as a broadcast")
+    assert(!s15.contains("SortMergeJoin") && !s15.contains("CartesianProduct"))
+    // d22 semantic decontamination: the benchmark suite is a fixed-k
+    // broadcast build side; the corpus streams through one BNLJ pass
+    val d22 = planString(run("d22_semantic_decontaminate"))
+    assert(d22.contains("BroadcastNestedLoopJoin"),
+      "cosine-threshold scoring joins the broadcast benchmark side")
+    assert(!d22.contains("SortMergeJoin") && !d22.contains("CartesianProduct"))
+    // r13 KMV: the k-smallest selection must plan as TakeOrdered (≤ k rows
+    // leave any partition), never a global sort of the hash set
+    val r13 = planString(run("r13_kmv_cardinality"))
+    assert(r13.contains("TakeOrderedAndProject"),
+      "k-minimum selection ships ≤ k hashes per partition")
   }
 
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
