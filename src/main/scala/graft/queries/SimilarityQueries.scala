@@ -516,39 +516,49 @@ object SimilarityQueries extends QueryPack {
   private def s08(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-    val subIdx = array((0 until SubSpaces).map(i => lit(i)): _*)
-    val sliced = vecs.select(col("vec_id"),
-      posexplode(transform(subIdx,
-        i => slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))))
-        .as(Seq("sub", "sv")))
     val centIds = vecs.select(col("vec_id"))
       .orderBy(md5(concat(col("vec_id").cast("string"), lit("#pq"))),
         col("vec_id"))
       .limit(CodeK)
-    val cents = sliced.join(broadcast(centIds), "vec_id")
-      .select(col("sub"),
-        struct(col("vec_id").as("c_id"), col("sv").as("c_sv")).as("cand"))
-      .groupBy(col("sub"))
-      .agg(sort_array(collect_list(col("cand"))).as("cands"))
-    val assign = sliced.join(broadcast(cents), "sub")
-      .withColumn("svv", dotLong(col("sv"), col("sv")))
-      .withColumn("best",
-        aggregate(col("cands"),
-          named_struct(lit("d2"), lit(Long.MaxValue), lit("code"), lit(-1L)),
-          (acc, c) => {
-            val d2 = col("svv") -
-              lit(2L) * dotLong(col("sv"), c.getField("c_sv")) +
-              dotLong(c.getField("c_sv"), c.getField("c_sv"))
-            when(d2 < acc.getField("d2"),
-              named_struct(lit("d2"), d2, lit("code"), c.getField("c_id")))
-              .otherwise(acc)
-          }))
-    assign
-      .groupBy(col("sub").cast("long").as("sub"), col("best.code").as("code"))
+    // The CodeK sub-centroids per subspace are FIXED once the seed sample
+    // is drawn, so (like KMeans.assign) they are materialized once on the
+    // driver and each subspace's assignment is a NearestCell codegen
+    // expression over the row's slice — same exact-int (d2, c_id) rule as
+    // the interpreted fold this replaces (spec-pinned in TextVectorSpec),
+    // but the whole encode is ONE whole-stage-codegen projection: no
+    // per-sub explode-join against a broadcast codebook frame.
+    val centsBySub = pqCodebooks(vecs, centIds)
+    val perSub = array((0 until SubSpaces).map { i =>
+      val sub = centsBySub(i)
+      val best = graft.functions.NearestCell.withD2(
+        slice(col("v"), i * SubDim + 1, SubDim),
+        sub.map(_._1), sub.map(_._2))
+      struct(lit(i.toLong).as("sub"), best.getField("c_id").as("code"),
+        best.getField("d2").as("d2"))
+    }: _*)
+    vecs.select(explode(perSub).as("a"))
+      .groupBy(col("a.sub").as("sub"), col("a.code").as("code"))
       .agg(count(lit(1)).as("n_vecs"),
-        (sum(col("best.d2")).cast("double") / count(lit(1))).as("mean_d2"))
+        (sum(col("a.d2")).cast("double") / count(lit(1))).as("mean_d2"))
       .orderBy(col("sub"), col("code"))
   }
+
+  /** Driver-materialized per-subspace PQ codebooks: sub index →
+    * c_id-sorted (c_id, sub-centroid) array — the reference-object form
+    * the NearestCell codegen encoders in s08/s13 ship to executors.
+    * CodeK rows collected once; ordering matches the sort_array(struct)
+    * book the LUT side still builds.
+    */
+  private def pqCodebooks(vecs: DataFrame, centIds: DataFrame)
+    : Map[Int, Array[(Long, Array[Long])]] =
+    vecs.join(broadcast(centIds), "vec_id").collect()
+      .flatMap { r =>
+        val cid = r.getLong(0)
+        val v = r.getSeq[Long](1)
+        (0 until SubSpaces).map(i =>
+          (i, (cid, v.slice(i * SubDim, (i + 1) * SubDim).toArray)))
+      }
+      .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).sortBy(_._1) }
 
   private def s08Sql: String =
     s"""WITH q AS (SELECT vec_id,
@@ -847,21 +857,18 @@ object SimilarityQueries extends QueryPack {
     def d2(sv: Column, c: Column): Column =
       dotLong(sv, sv) - lit(2L) * dotLong(sv, c.getField("c_sv")) +
         dotLong(c.getField("c_sv"), c.getField("c_sv"))
-    // Corpus → codes: per-row argmin over each subspace's candidates
-    // (strict-less keeps the smaller c_id on ties, matching ROW_NUMBER).
-    val coded = vecs.crossJoin(broadcast(book))
-      .withColumn("codes", transform(subIdx, i => {
-        val sv = slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))
-        val cands = element_at(col("book"), i + 1).getField("cands")
-        aggregate(cands,
-          named_struct(lit("d2"), lit(Long.MaxValue), lit("code"), lit(-1L)),
-          (acc, c) =>
-            when(d2(sv, c) < acc.getField("d2"),
-              named_struct(lit("d2"), d2(sv, c),
-                lit("code"), c.getField("c_id"))).otherwise(acc),
-          acc => acc.getField("code"))
-      }))
-      .select(col("vec_id"), col("codes"))
+    // Corpus → codes: the O(n) hot pass — per-subspace NearestCell codegen
+    // argmin (same strict-less / smaller-c_id tie rule as the interpreted
+    // fold it replaces; the ≤QueryK LUT side below keeps the fold since it
+    // touches only the fixed query sample).
+    val centsBySub = pqCodebooks(vecs, centIds)
+    val coded = vecs
+      .select(col("vec_id"), array((0 until SubSpaces).map { i =>
+        val sub = centsBySub(i)
+        graft.functions.NearestCell(
+          slice(col("v"), i * SubDim + 1, SubDim),
+          sub.map(_._1), sub.map(_._2))
+      }: _*).as("codes"))
     // Query lookup tables: luts[sub] = map(c_id → L2²(query_sv, c_sv)).
     val luts = vecs.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
       .crossJoin(broadcast(book))

@@ -241,10 +241,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
-  test("s08 PQ code assignment is per-row: broadcast codebook, one tiny agg") {
+  test("s08 PQ code assignment is per-row: codegen encode, one tiny agg") {
     val s = planString(run("s08_pq_codes"))
-    assert(s.contains("BroadcastHashJoin"),
-      "the 4-row codebook frame must broadcast; the corpus must not shuffle")
+    // round 8: the encode is SubSpaces NearestCell expressions in one
+    // projection (driver-materialized sub-codebooks as reference objects) —
+    // the corpus joins NOTHING for code assignment (pre-r8: an explode +
+    // BroadcastHashJoin against a codebook frame)
+    assert(s.contains("nearest_cell"),
+      "per-subspace encode must be the NearestCell codegen expression")
+    assert(!s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"),
+      "no codebook join remains once encoding is a projection")
     assert(!s.contains("SortMergeJoin"),
       "no shuffle join anywhere in code assignment")
     assert(!s.contains("CartesianProduct"))
