@@ -963,5 +963,53 @@ object TextQueries extends QueryPack {
     QueryDef("t22_tfidf_terms", t22, Some(t22Sql)),
     QueryDef("t23_quality_rules", t23, Some(t23Sql)),
     QueryDef("t24_ngram_novelty", t24, Some(t24Sql)),
-    QueryDef("t25_hapax_stats", t25, Some(t25Sql)))
+    QueryDef("t25_hapax_stats", t25, Some(t25Sql)),
+    QueryDef("t26_token_yield", t26, Some(t26Sql)))
+
+  /** t26 — effective token yield: the budget number a training run reads
+    * first — of all tokens in the raw corpus, how many survive exact
+    * dedup (one representative per md5(text) fingerprint)? Reported as raw
+    * and surviving doc/token counts plus the yield ratios. The duplicate
+    * mass uses d01's keep-smallest-id convention, so the surviving set is
+    * exactly what d01 would emit.
+    *
+    * Scale shape: one map-side-combined aggregate per fingerprint (token
+    * count rides along as min_by payload ≡ any representative's count,
+    * since duplicates share text), then a 1-row rollup — two exchanges
+    * carrying ≤ |distinct| and 1 rows; no joins, no windows.
+    */
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    d.groupBy(col("fp"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_toks")).as("toks_all"),
+        min(col("n_toks")).as("toks_one"))
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_unique_docs"),
+        sum(col("toks_all")).as("total_tokens"),
+        sum(col("toks_one")).as("unique_tokens"))
+      .select(col("n_docs"), col("n_unique_docs"),
+        col("total_tokens"), col("unique_tokens"),
+        (col("n_unique_docs").cast("double") / col("n_docs"))
+          .as("doc_yield"),
+        (col("unique_tokens").cast("double") / col("total_tokens"))
+          .as("token_yield"))
+  }
+
+  private val t26Sql =
+    """WITH d AS (SELECT doc_id, md5(text) AS fp,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      | FROM documents),
+      |g AS (SELECT fp, COUNT(*) AS copies,
+      |  CAST(SUM(n_toks) AS BIGINT) AS toks_all,
+      |  CAST(MIN(n_toks) AS BIGINT) AS toks_one
+      | FROM d GROUP BY fp)
+      |SELECT CAST(SUM(copies) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+      |  CAST(SUM(toks_all) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(toks_one) AS BIGINT) AS unique_tokens,
+      |  CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS doc_yield,
+      |  CAST(SUM(toks_one) AS DOUBLE) / SUM(toks_all) AS token_yield
+      |FROM g""".stripMargin
 }
