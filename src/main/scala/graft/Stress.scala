@@ -91,7 +91,9 @@ object Stress {
   def run(spark: SparkSession): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "20").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt
+    // executions per measure call; window separation comes from PASSES (two
+    // sweeps over the whole pack), so one run per call is the default
+    val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "1").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
       "results/stress_latest.json")
     // SPARK_GRAFT_STRESS_SKEW_ONLY=1: skip corpus + pack, measure only the
@@ -143,9 +145,27 @@ object Stress {
       } finally spark.conf.unset(kmKnob)
     }
 
-    val rows = (if (skewOnly) Seq.empty else heavyPack).map { case (name, table) =>
-      val (b, _, _, _, _) = measure(name, baseDir, scaleKm = false)
-      val (s, sw, sr, sp, pm) = measure(name, stressDir, kmScaled.contains(name))
+    // TWO full passes over the pack, minutes apart by construction (pass 2
+    // starts only after every query ran once): this box's slow regime
+    // persists for minutes, so `runs` back-to-back executions of one query
+    // can ALL land inside one slow window (observed: four single-pass ×20
+    // artifacts in a row each with a different contaminated row). Per-arm
+    // min across the union of both passes estimates intrinsic cost the same
+    // way the sweep's second-chance re-measure does; every run is recorded.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_STRESS_PASSES", "2").toInt
+    val pack = if (skewOnly) Seq.empty else heavyPack
+    val measured = (1 to passes).map { p =>
+      System.err.println(s"[stress] pack pass $p/$passes")
+      pack.map { case (name, _) =>
+        val b = measure(name, baseDir, scaleKm = false)
+        val s = measure(name, stressDir, kmScaled.contains(name))
+        name -> (b, s)
+      }.toMap
+    }
+    val rows = pack.map { case (name, table) =>
+      val b = measured.flatMap(_(name)._1._1)
+      val s = measured.flatMap(_(name)._2._1)
+      val (_, sw, sr, sp, pm) = measured.last(name)._2
       val t1 = minOk(b)
       val tN = minOk(s)
       val ratio = if (t1 > 0 && tN > 0) tN / (t1 * factor) else -1.0
@@ -164,22 +184,26 @@ object Stress {
       timestamp_millis(lit(1700000000000L) +
         pmod(col("id") * lit(2654435761L), lit(86400000L))).as("ts"),
       md5(col("id").cast("string")).as("payload"))
-    def skewTimes(f: => Unit): Seq[Double] = (1 to runs).map(_ => once(f))
-    val tPlain = skewTimes {
-      val df = skewFrame()
-      require(Dedup.keepFirst(df, Seq("k"), col("ts"), col("row_id"))
-        .count() == nSkew - nSkew / skewMod + 1)
+    // arms interleaved across passes (plain, salted, ranked, plain, ...) so
+    // one slow window cannot own all runs of a single arm
+    val nKept = nSkew - nSkew / skewMod + 1
+    def plainOnce() = once {
+      require(Dedup.keepFirst(skewFrame(), Seq("k"), col("ts"), col("row_id"))
+        .count() == nKept)
     }
-    val tSalted = skewTimes {
-      val df = skewFrame()
-      require(Dedup.keepFirstSalted(df, Seq("k"), col("ts"), col("row_id"), 32)
-        .count() == nSkew - nSkew / skewMod + 1)
+    def saltedOnce() = once {
+      require(Dedup.keepFirstSalted(skewFrame(), Seq("k"), col("ts"),
+        col("row_id"), 32).count() == nKept)
     }
-    val tRanked = skewTimes {
-      val df = skewFrame()
-      require(Dedup.rankDuplicates(df, Seq("k"), col("ts"), col("row_id"))
-        .filter(col("occurrence") === 1).count() == nSkew - nSkew / skewMod + 1)
+    def rankedOnce() = once {
+      require(Dedup.rankDuplicates(skewFrame(), Seq("k"), col("ts"), col("row_id"))
+        .filter(col("occurrence") === 1).count() == nKept)
     }
+    val skewRuns = (1 to math.max(runs, passes)).map(_ =>
+      (plainOnce(), saltedOnce(), rankedOnce()))
+    val tPlain = skewRuns.map(_._1)
+    val tSalted = skewRuns.map(_._2)
+    val tRanked = skewRuns.map(_._3)
     System.err.println(f"[stress] skew n=$nSkew keepFirst=${minOk(tPlain)}%.2fs " +
       f"salted=${minOk(tSalted)}%.2fs ranked=${minOk(tRanked)}%.2fs")
 
@@ -204,7 +228,7 @@ object Stress {
       s""""corpus_build_sec":$tCorpus,"kmk_stress":${kmBase * factor},""" +
       s""""queries":$qJson,"skew":$skewJson,""" +
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""timing":"min of $runs runs per arm"}"""
+      s""""timing":"min over $passes separated passes x $runs runs per arm"}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out,
