@@ -484,6 +484,78 @@ object RelationalQueries extends QueryPack {
       |SELECT digit, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share
       |FROM a ORDER BY digit""".stripMargin
 
+  /** r14 trailing window length (rows) and output sampling modulus. */
+  private val EwmaW = 20
+  private val EwmaSampleMod = 29
+
+  /** r14 — exponentially weighted moving average (α = 1/2) of the event
+    * value stream, per event type, over a trailing [[EwmaW]]-row window —
+    * the smoothing op behind rate dashboards and drift monitors. Dyadic
+    * weights make it oracle-exact: value quantized to integer cents, the
+    * row at distance d from the head weighted 2^(19−d), numerator and
+    * weight-sum accumulated as EXACT integers (|ws| ≤ 20 · 49e3·100 ·
+    * 2¹⁹ ≈ 5e11 — far inside 2⁵³), one final double division shared by
+    * both engines. A 20-row dyadic tail IS the α=1/2 EWMA to double
+    * precision (2⁻²⁰ < ulp of any sum term).
+    *
+    * Scale shape: the ONLY per-type window is the row_number assignment;
+    * the windowed weighting itself is re-expressed as a bucketed
+    * EQUI-join — each contributor duplicates into its own rn-bucket of
+    * [[EwmaW]] rows and the next, targets join on (event_type, bucket) —
+    * so the heavy stage shuffles on a key whose cardinality GROWS with the
+    * data (event_type × rn/20) instead of windowing over 5 whale
+    * partitions: ≤ 2 copies per row in, ≤ 40 candidates per target, any
+    * number of reducers. (DuckDB's oracle keeps the naive self-join — at
+    * oracle scale the shapes agree row-for-row.)
+    */
+  private def r14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value").cast("double") * 100).cast("long").as("vq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))))
+      .select(col("event_type"), col("rn"), col("vq"))
+    val contrib = v
+      .withColumn("bkt", explode(array(expr(s"(rn - 1) DIV $EwmaW"),
+        expr(s"(rn - 1) DIV $EwmaW + 1"))))
+      .select(col("event_type"), col("bkt"), col("rn").as("crn"),
+        col("vq").as("cvq"))
+    val tgt = v.select(col("event_type"), col("rn"),
+      expr(s"(rn - 1) DIV $EwmaW").as("bkt"))
+    val wcol = expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${EwmaW - 1} - (rn - crn) AS INT))")
+    val agg = tgt.join(contrib, Seq("event_type", "bkt"))
+      .where(col("rn") >= col("crn") && col("rn") - col("crn") < EwmaW)
+      .select(col("event_type"), col("rn"),
+        (col("cvq") * wcol).as("wv"), wcol.as("w"))
+      .groupBy(col("event_type"), col("rn"))
+      .agg(count(lit(1)).as("n_win"), sum(col("wv")).as("ws"),
+        sum(col("w")).as("wsum"))
+    agg.where(col("rn") % EwmaSampleMod === 0)
+      .select(col("event_type"), col("rn").cast("long").as("rn"),
+        col("n_win"),
+        (col("ws").cast("double") / (col("wsum") * 100).cast("double"))
+          .as("ewma"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  private val r14Sql =
+    s"""WITH v AS (SELECT event_type,
+       |  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+       | FROM events),
+       |p AS (SELECT n.event_type, n.rn, COUNT(*) AS n_win,
+       |  SUM(c.vq * (CAST(1 AS BIGINT) << CAST(${EwmaW - 1} - (n.rn - c.rn) AS INT))) AS ws,
+       |  SUM(CAST(1 AS BIGINT) << CAST(${EwmaW - 1} - (n.rn - c.rn) AS INT)) AS wsum
+       | FROM v n JOIN v c ON n.event_type = c.event_type
+       |   AND n.rn - c.rn BETWEEN 0 AND ${EwmaW - 1}
+       | GROUP BY 1, 2)
+       |SELECT event_type, CAST(rn AS BIGINT) AS rn,
+       |  CAST(n_win AS BIGINT) AS n_win,
+       |  CAST(CAST(ws AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(wsum AS BIGINT) * 100 AS DOUBLE) AS ewma
+       |FROM p WHERE rn % $EwmaSampleMod = 0 ORDER BY event_type, rn""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -497,7 +569,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r10_moment_stats", r10, Some(r10Sql)),
     QueryDef("r11_correlation_matrix", r11, Some(r11Sql)),
     QueryDef("r12_benford_digits", r12, Some(r12Sql)),
-    QueryDef("r13_kmv_cardinality", r13, Some(r13Sql)))
+    QueryDef("r13_kmv_cardinality", r13, Some(r13Sql)),
+    QueryDef("r14_ewma", r14, Some(r14Sql)))
 
   /** KMV sketch size for r13. */
   private val KmvK = 64

@@ -1035,6 +1035,94 @@ object SimilarityQueries extends QueryPack {
       |SELECT query_id, rk, neighbor_id, dot FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Output dimensionality of the s16 sparse random projection. */
+  private val JlDims = 16
+
+  /** Achlioptas sparse sign s(i,j) ∈ {+1, −1, 0} (density 1/3) from pure
+    * integer arithmetic — the "database-friendly random projection"
+    * construction (Achlioptas 2003) with the random draw replaced by a
+    * fixed integer hash so BOTH engines (and every executor) materialize
+    * the identical matrix from the formula alone: no seed shipping, no
+    * broadcast of a driver-sampled matrix, no RNG ordering hazard.
+    */
+  private def jlSign(i: Int, j: Int): Long =
+    ((i * 7919L + j * 104729L) % 6) match {
+      case 0 => 1L
+      case 1 => -1L
+      case _ => 0L
+    }
+
+  /** Row j of the Dims×JlDims sign matrix (1-based j). */
+  private def jlRow(j: Int): Seq[Long] = (1 to Dims).map(i => jlSign(i, j))
+
+  /** s16 — Johnson–Lindenstrauss random-projection recall: project the
+    * 64-dim corpus to [[JlDims]] dims through the sparse ±1 sign matrix
+    * [[jlSign]], rank by cosine in the projected space, and score recall@3
+    * against the full-dimension exact top-3 — the measurement that decides
+    * whether a 100 TB vector store can serve candidate generation from a
+    * 4× smaller projected index (the JL alternative to s14's prefix
+    * truncation: truncation assumes Matryoshka-trained embeddings, a
+    * random projection works on ANY embedding).
+    *
+    * Determinism: projected components are exact integer dots of the
+    * quantized vector with a constant ±1/0 row (|p_j| ≤ 64·10⁴ — far
+    * inside 2⁵³ for the projected-space dot), so both engines rank
+    * identical doubles.
+    *
+    * Scale shape: s14's harness — base/sample/ground-truth materialized
+    * once; the projection itself is 16 codegen'd constant-vector dots
+    * inside the corpus scan (a projection, no shuffle, no matrix join);
+    * the projected ranking is the same fixed-k broadcast-sample map-side
+    * O(k·n) pass with TopKByScore's bounded partial-combining rank.
+    */
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    val vecs = baseVecs(s, dir).localCheckpoint()
+    val ids = sampleIds(s, dir, QueryK).localCheckpoint()
+    val exact = s01From(vecs, ids).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val base = exact.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_possible")).localCheckpoint()
+    val projCols = (1 to JlDims).map(j => dotLong(col("v"), typedLit(jlRow(j))))
+    val proj = vecs.select(col("vec_id"), array(projCols: _*).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+    recallStats(exact, base, topkRank(bruteScoredPairs(proj, ids), 3),
+        s"jl_$JlDims")
+      .orderBy(col("method"))
+  }
+
+  private def s16Sql: String = {
+    val rows = (1 to JlDims).map { j =>
+      val cs = jlRow(j).mkString("[", ",", "]")
+      s"CAST(list_dot_product(v::DOUBLE[], $cs::DOUBLE[]) AS BIGINT)"
+    }.mkString(",\n    ")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |pj AS (SELECT vec_id, [
+       |    $rows] AS v FROM q),
+       |qs AS (${sampleSql(QueryK)}),
+       |ex AS (SELECT query_id, neighbor_id FROM ($s01Sql) WHERE rk <= 3),
+       |base AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |                COUNT(*) AS n_possible FROM ex),
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |      (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |       sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) DESC,
+       |      b.vec_id) AS rk
+       |  FROM pj a JOIN pj b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM qs)) WHERE rk <= 3)
+       |SELECT 'jl_$JlDims' AS method, n_queries,
+       |  (SELECT COUNT(*) FROM ex JOIN ann USING (query_id, neighbor_id))
+       |    AS n_hits,
+       |  n_possible,
+       |  CAST((SELECT COUNT(*) FROM ex JOIN ann USING (query_id, neighbor_id))
+       |    AS DOUBLE) / n_possible AS recall
+       |FROM base ORDER BY method""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -1050,5 +1138,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s12_range_search", s12, Some(s12Sql)),
     QueryDef("s13_adc_topk", s13, Some(s13Sql)),
     QueryDef("s14_mrl_recall", s14, Some(s14Sql)),
-    QueryDef("s15_mips_topk", s15, Some(s15Sql)))
+    QueryDef("s15_mips_topk", s15, Some(s15Sql)),
+    QueryDef("s16_jl_recall", s16, Some(s16Sql)))
 }

@@ -938,6 +938,127 @@ object TextQueries extends QueryPack {
       |  CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_share
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary head size the t27 regression fits over. */
+  private val ZipfK = 50
+
+  /** t27 — Zipf rank–frequency fit: rank the corpus vocabulary by
+    * frequency, regress ln(freq) on ln(rank) over the top [[ZipfK]] terms,
+    * and report slope / intercept / r² — the power-law health check of a
+    * natural corpus (Zipf's law: slope ≈ −1; a synthetic or
+    * boilerplate-heavy corpus bends it). Determinism: ln values are
+    * quantized to 1e−6 integers, ALL regression sums are exact BIGINT
+    * arithmetic (|n·Σxy| ≤ 50·50·5.5e13 ≈ 1.4e17 < 2⁶³), and the
+    * slope/intercept/r² divisions are single shared double expressions.
+    * The quantization scale cancels in the slope (both axes ×1e6).
+    *
+    * Scale shape: explode → one map-side-combined word count; the top-K
+    * head is TakeOrderedAndProject (≤ K rows per partition on the wire);
+    * the regression is a 1-group partial-combined aggregate over K rows.
+    * No window over the vocabulary, no join.
+    */
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(ZipfK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))))
+    val q = head.select(
+      round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+    val agg = q.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / dx
+    val intercept = (col("sy").cast("double") / lit(1e6)
+      - slope * (col("sx").cast("double") / lit(1e6))) / n.cast("double")
+    agg.select(n.as("n_terms"), slope.as("slope"), intercept.as("intercept"),
+        ((num / sqrt(dx)) * (num / sqrt(dx)) / dy).as("r2"))
+      .orderBy(col("n_terms"))
+  }
+
+  private val t27Sql =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |c AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+       |h AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk
+       |      FROM c ORDER BY cnt DESC, w LIMIT $ZipfK),
+       |q AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+       |             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       |      FROM h),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |  CAST(SUM(y * y) AS BIGINT) AS syy,
+       |  CAST(SUM(x * y) AS BIGINT) AS sxy FROM q)
+       |SELECT n AS n_terms,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    AS slope,
+       |  (CAST(sy AS DOUBLE) / 1e6
+       |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / CAST(n * sxx - sx * sx AS DOUBLE))
+       |      * (CAST(sx AS DOUBLE) / 1e6)) / CAST(n AS DOUBLE) AS intercept,
+       |  (CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)))
+       |    * (CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)))
+       |    / CAST(n * syy - sy * sy AS DOUBLE) AS r2
+       |FROM a ORDER BY n_terms""".stripMargin
+
+  /** t28 — readability grades: Automated Readability Index and
+    * Coleman–Liau per document, from the three exact counts every
+    * syllable-free readability formula is built on — non-space characters,
+    * whitespace tokens, sentence marks ([.!?], floor 1). Both grades are
+    * single double expressions over exact integers, shared verbatim by
+    * both engines; they bucket documents for curriculum/quality mixing
+    * without a tokenizer or syllable model.
+    *
+    * Scale shape: pure per-row column expressions inside the scan — one
+    * pass, no shuffle but the final tiny sort.
+    */
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    val chars = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val words = size(tokens(col("text"))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long"))
+    val cw = col("n_chars_ns").cast("double") / col("n_words").cast("double")
+    val ws = col("n_words").cast("double") / col("n_sents").cast("double")
+    val ari = lit(4.71) * cw + lit(0.5) * ws - lit(21.43)
+    val cli = (lit(0.0588) * (cw * lit(100.0))) -
+      (lit(0.296) * (col("n_sents").cast("double") /
+        col("n_words").cast("double") * lit(100.0))) - lit(15.8)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), chars.as("n_chars_ns"), words.as("n_words"),
+        sents.as("n_sents"))
+      .select(col("doc_id"), col("n_chars_ns"), col("n_words"), col("n_sents"),
+        ari.as("ari"), cli.as("cli"),
+        ceil(ari).cast("long").as("ari_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t28Sql =
+    """WITH c AS (SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_ns,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT) AS n_sents
+      | FROM documents)
+      |SELECT doc_id, n_chars_ns, n_words, n_sents,
+      |  4.71 * (CAST(n_chars_ns AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |    + 0.5 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+      |    - 21.43 AS ari,
+      |  0.0588 * (CAST(n_chars_ns AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0)
+      |    - 0.296 * (CAST(n_sents AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0)
+      |    - 15.8 AS cli,
+      |  CAST(ceil(4.71 * (CAST(n_chars_ns AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |    + 0.5 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+      |    - 21.43) AS BIGINT) AS ari_grade
+      |FROM c ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_lang_id", t02, Some(t02Sql)),
@@ -964,7 +1085,9 @@ object TextQueries extends QueryPack {
     QueryDef("t23_quality_rules", t23, Some(t23Sql)),
     QueryDef("t24_ngram_novelty", t24, Some(t24Sql)),
     QueryDef("t25_hapax_stats", t25, Some(t25Sql)),
-    QueryDef("t26_token_yield", t26, Some(t26Sql)))
+    QueryDef("t26_token_yield", t26, Some(t26Sql)),
+    QueryDef("t27_zipf_fit", t27, Some(t27Sql)),
+    QueryDef("t28_readability", t28, Some(t28Sql)))
 
   /** t26 — effective token yield: the budget number a training run reads
     * first — of all tokens in the raw corpus, how many survive exact

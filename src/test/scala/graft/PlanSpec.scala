@@ -597,6 +597,34 @@ class PlanSpec extends SparkSpecBase {
       "k-minimum selection ships ≤ k hashes per partition")
   }
 
+  test("round-8 batch 2 keeps scale shapes (s16/r14/t27/t28)") {
+    // s16 JL recall: projection is constant-vector dots inside the scan;
+    // ranking is the same broadcast-sample map pass as s01
+    val s16 = planString(run("s16_jl_recall"))
+    assert(s16.contains("BroadcastHashJoin") || s16.contains("BroadcastNestedLoopJoin"),
+      "the fixed-k query sample joins as a broadcast")
+    assert(!s16.contains("CartesianProduct"))
+    // r14 EWMA: the weighted stage is a bucketed EQUI-join (cardinality
+    // grows with data), never a cartesian/nested-loop over the stream
+    val r14 = planString(run("r14_ewma"))
+    assert(!r14.contains("CartesianProduct") &&
+      !r14.contains("BroadcastNestedLoopJoin"),
+      "trailing-window weighting must join on (event_type, rn-bucket)")
+    assert("HashAggregate".r.findAllIn(r14).size >= 2,
+      "weighted sums partial-combine before the (type, rn) reduce")
+    // t27 Zipf: vocabulary head is TakeOrdered (≤ K rows per partition);
+    // regression is a 1-group partial-combined aggregate, no join
+    val t27 = planString(run("t27_zipf_fit"))
+    assert(t27.contains("TakeOrderedAndProject"),
+      "top-K vocabulary head must not globally sort the vocabulary")
+    assert(!t27.contains("Join"), "the fit is aggregate-only")
+    // t28 readability: pure per-row expressions — no exchange before the
+    // final tiny sort, stays in whole-stage codegen
+    val t28 = planString(run("t28_readability"))
+    assert(!t28.contains("Join") && !t28.contains("HashAggregate"))
+    assert(t28.contains("codegen id"), "per-row grades stay codegen'd")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
