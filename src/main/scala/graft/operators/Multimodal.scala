@@ -232,6 +232,81 @@ object Multimodal {
     (floor(width * scale).cast("int"), floor(height * scale).cast("int"))
   }
 
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels: decode
+    * each image payload, block-average the pixel grid down to 9×8 (block
+    * of pixel (x,y) is ((x·9) div w, (y·8) div h) — a ±1-sized integer
+    * partition both an oracle and any other engine reproduce exactly),
+    * then emit one bit per horizontally adjacent block pair — 1 iff the
+    * left block mean exceeds the right, compared as cross-multiplied
+    * integer sums (sumL·nR > sumR·nL) so no float ever enters the hash.
+    * Output is the 64-bit hash as 16 hex chars (two 32-bit halves to
+    * dodge BIGINT sign issues in engines without unsigned formatting)
+    * plus the hash popcount.
+    *
+    * The image near-duplicate primitive: Hamming distance between dHashes
+    * survives re-encode, resize and small luma shifts, which exact byte
+    * hashing (m05) does not. Requires w ≥ 9 and h ≥ 8.
+    *
+    * Scale shape: mapPartitions decode + per-image O(w·h) fold —
+    * embarrassingly parallel, no shuffle, like [[decodeFeatures]].
+    */
+  def dHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", StringType, nullable = false),
+      StructField("n_ones", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    val wIdx = media.schema.fieldIndex("width")
+    val hIdx = media.schema.fieldIndex("height")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val w = r.getInt(wIdx)
+          val h = r.getInt(hIdx)
+          require(w >= 9 && h >= 8, s"dHash needs w>=9, h>=8; got ${w}x$h")
+          val samples = decodeSamples(r.getString(kindIdx),
+            r.getAs[Array[Byte]](contentIdx))
+          require(samples.length == w * h,
+            s"decoded ${samples.length} px, expected ${w * h}")
+          val sums = Array.ofDim[Long](8, 9)
+          val cnts = Array.ofDim[Long](8, 9)
+          var i = 0
+          while (i < samples.length) {
+            val x = i % w
+            val y = i / w
+            sums(y * 8 / h)(x * 9 / w) += samples(i)
+            cnts(y * 8 / h)(x * 9 / w) += 1
+            i += 1
+          }
+          var hi = 0
+          var lo = 0
+          var idx = 0
+          var rr = 0
+          while (rr < 8) {
+            var c = 0
+            while (c < 8) {
+              val bit =
+                if (sums(rr)(c) * cnts(rr)(c + 1) > sums(rr)(c + 1) * cnts(rr)(c)) 1
+                else 0
+              if (idx < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+              idx += 1
+              c += 1
+            }
+            rr += 1
+          }
+          val bits = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+          Row(r.getLong(idIdx), w, h, f"$hi%08x$lo%08x",
+            java.lang.Long.bitCount(bits).toLong)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video rows: every `everyMs` milliseconds over
     * duration, as (media_id, frame_idx, ts_ms) — sequence + explode, fully
     * codegen'd, one output row per sampled frame.

@@ -305,6 +305,60 @@ object MultimodalQueries extends QueryPack {
       |SELECT media_id, frame_idx, delta FROM d
       |WHERE abs(delta) >= 96 ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m10 — perceptual dHash over REAL decoded PNGs: synthesize the m07
+    * gradient PNGs (doc_id % 31 selection), decode through the ImageIO
+    * branch, block-average to 9×8 with the integer ±1 partition, and emit
+    * the 64-bit difference hash (16 hex chars) + popcount per image — the
+    * image near-duplicate primitive byte-exact in both engines because the
+    * downsample is integer block sums and each bit is a cross-multiplied
+    * integer comparison (`Multimodal.dHash`). The oracle recomputes every
+    * block sum from the closed-form pixel function with no decoder: a
+    * wrong encode, decode, block partition, bit order, or popcount all
+    * hash-mismatch.
+    *
+    * Scale shape: mapPartitions decode + per-image O(w·h) fold, no
+    * shuffle before the oracle sort — like m07/m08.
+    */
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(31)) === 0)
+      .withColumn("width",
+        (lit(16) + pmod(col("media_id"), lit(5)) * 8).cast("int"))
+      .withColumn("height",
+        (lit(12) + pmod(col("media_id"), lit(4)) * 6).cast("int"))
+    Multimodal.dHash(Multimodal.synthesizePng(dims), batchSize = 32)
+      .orderBy(col("media_id"))
+  }
+
+  private val m10Sql =
+    """WITH ids AS (SELECT doc_id AS media_id,
+      |  16 + (doc_id % 5) * 8 AS w, 12 + (doc_id % 4) * 6 AS h
+      | FROM documents WHERE doc_id % 31 = 0),
+      |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+      |g AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |v AS (SELECT media_id, (x * 9) // w AS c, (y * 8) // h AS r,
+      |  (x + y + media_id) % 256 AS val FROM g),
+      |b AS (SELECT media_id, r, c, SUM(val) AS s, COUNT(*) AS n
+      | FROM v GROUP BY 1, 2, 3),
+      |p AS (SELECT l.media_id, l.r, l.c,
+      |  CASE WHEN l.s * rt.n > rt.s * l.n THEN 1 ELSE 0 END AS bit
+      | FROM b l JOIN b rt
+      |   ON l.media_id = rt.media_id AND l.r = rt.r AND rt.c = l.c + 1
+      | WHERE l.c < 8),
+      |hb AS (SELECT media_id,
+      |  CAST(SUM(CASE WHEN r < 4
+      |    THEN CAST(bit AS BIGINT) << (31 - (r * 8 + c)) ELSE 0 END) AS BIGINT) AS hi,
+      |  CAST(SUM(CASE WHEN r >= 4
+      |    THEN CAST(bit AS BIGINT) << (31 - ((r - 4) * 8 + c)) ELSE 0 END) AS BIGINT) AS lo,
+      |  CAST(SUM(bit) AS BIGINT) AS n_ones
+      | FROM p GROUP BY 1)
+      |SELECT i.media_id, CAST(i.w AS INTEGER) AS width,
+      |  CAST(i.h AS INTEGER) AS height,
+      |  printf('%08x%08x', hb.hi, hb.lo) AS dhash, hb.n_ones
+      |FROM ids i JOIN hb ON i.media_id = hb.media_id
+      |ORDER BY i.media_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
@@ -314,5 +368,6 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m06_audio_frames", m06, Some(m06Sql)),
     QueryDef("m07_png_decode", m07, Some(m07Sql)),
     QueryDef("m08_bmp_gif_decode", m08, Some(m08Sql)),
-    QueryDef("m09_shot_boundaries", m09, Some(m09Sql)))
+    QueryDef("m09_shot_boundaries", m09, Some(m09Sql)),
+    QueryDef("m10_perceptual_hash", m10, Some(m10Sql)))
 }
