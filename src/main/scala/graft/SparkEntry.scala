@@ -13,7 +13,7 @@ object SparkEntry {
   /** Query packs, one per operator family (SURVEY.md §2). */
   private def packs: Seq[QueryPack] =
     Seq(CoreQueries, TextQueries, DedupQueries, SimilarityQueries, JoinQueries,
-      MultimodalQueries, RelationalQueries)
+      MultimodalQueries, RelationalQueries, GraphQueries)
 
   // a def, not a lazy val: the oracle SQL builders read the graft.scale.*
   // conf knobs at build time, so the registry must re-evaluate per access —

@@ -149,7 +149,7 @@ object DedupQueries extends QueryPack {
       |  unnest([m0*1000003 + m1, m2*1000003 + m3, m4*1000003 + m5, m6*1000003 + m7]) AS bv
       | FROM sig)""".stripMargin
 
-  private val minhashPairsCore = minhashBandsCte +
+  private[queries] val minhashPairsCore = minhashBandsCte +
     """,
       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |  FROM bands a JOIN bands b

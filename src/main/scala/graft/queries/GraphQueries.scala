@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MinHashLSH
+
+/** Graph analytics over the document similarity graph — the layer a
+  * curation pipeline runs AFTER near-dup pair generation: which documents
+  * are the central/representative members of duplicate neighborhoods
+  * (PageRank), and how clique-like is the duplication structure (triangle
+  * census / clustering coefficient)? Nodes are documents, edges are the
+  * d03 MinHash+LSH near-dup pairs (Jaccard ≥ 0.3), undirected.
+  *
+  * Determinism: every iteration of g01 is INTEGER arithmetic — rank mass
+  * is carried at a fixed 1e6 scale and neighbor contributions use floor
+  * division (`pr DIV deg`), so both engines walk bit-identical states; no
+  * float enters until the display column. g02 is exact combinatorics.
+  */
+object GraphQueries extends QueryPack {
+
+  /** Power-iteration count for g01 (unrolled identically in the oracle). */
+  private val PrIters = 3
+
+  /** Undirected near-dup edge list, both directions (u, v). */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j"))
+    pairs.select(col("i").as("u"), col("j").as("v"))
+      .unionAll(pairs.select(col("j").as("u"), col("i").as("v")))
+  }
+
+  /** Oracle CTE prelude shared by g01/g02: `pp` = ordered near-dup pairs
+    * (i < j), `e` = both directions, `d` = degrees. Embeds d03's full
+    * MinHash+LSH pair pipeline (DedupQueries.minhashPairsCore) as a
+    * derived table, exactly like the d07 clustering oracle does.
+    */
+  private def graphCtes: String =
+    s"""WITH pp AS (SELECT i, j FROM (${DedupQueries.minhashPairsCore})),
+       |e AS (SELECT i AS u, j AS v FROM pp
+       |      UNION ALL SELECT j AS u, i AS v FROM pp),
+       |d AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u)""".stripMargin
+
+  /** g01 — integer PageRank over the similarity graph: [[PrIters]] power
+    * iterations with damping 0.85, rank carried as exact 1e6-scaled
+    * integers and per-neighbor shares floored (`pr DIV deg`) — a
+    * deterministic variant of PageRank whose per-iteration floor error is
+    * < deg ulps of 1e−6, far below ranking resolution, in exchange for
+    * bit-identical states in any engine. The representative-selection
+    * signal: in a near-dup neighborhood the highest-PR member is the most
+    * central copy (the one d08-style keep-best should favor).
+    *
+    * Scale shape: the edge list is materialized ONCE (localCheckpoint) and
+    * every iteration is one equi-join + one map-side-combined aggregate on
+    * the destination key — the standard distributed PageRank step (no
+    * windows, no driver-side state; iteration count is fixed, not
+    * data-dependent). Final ranking is TakeOrderedAndProject top-50.
+    */
+  private def g01(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    var pr = deg.select(col("u"), lit(1000000L).as("pr"))
+    for (_ <- 1 to PrIters) {
+      pr = e.join(pr, "u").join(deg, "u")
+        .select(col("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+        .select(col("v").as("u"),
+          (lit(150000L) + expr("(85 * sc) DIV 100")).as("pr"))
+    }
+    pr.join(deg, "u")
+      .select(col("u").as("doc_id"), col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private def g01Sql: String = {
+    val iters = (1 to PrIters).map { t =>
+      s"""c$t AS (SELECT e.v AS u, SUM(p${t - 1}.pr // d.deg) AS sc
+         | FROM e JOIN p${t - 1} ON e.u = p${t - 1}.u JOIN d ON e.u = d.u
+         | GROUP BY e.v),
+         |p$t AS (SELECT u,
+         |  CAST(150000 + (85 * CAST(sc AS BIGINT)) // 100 AS BIGINT) AS pr
+         | FROM c$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphCtes,
+       |p0 AS (SELECT u, CAST(1000000 AS BIGINT) AS pr FROM d),
+       |$iters
+       |SELECT p$PrIters.u AS doc_id, d.deg, p$PrIters.pr
+       |FROM p$PrIters JOIN d ON p$PrIters.u = d.u
+       |ORDER BY pr DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  /** g02 — triangle census + global clustering coefficient: count the
+    * closed triples of the similarity graph by the ordered three-way
+    * self-join (a < b < c — each triangle counted exactly once), the open
+    * wedges from the degree sequence (Σ deg·(deg−1)/2), and report
+    * 3·triangles / wedges — how clique-like near-dup neighborhoods are
+    * (template families form cliques; chains of partial overlap don't),
+    * which calibrates how aggressively d08-style cluster eviction can
+    * collapse a neighborhood to one representative.
+    *
+    * Scale shape: two equi-joins on the smaller ordered pair list (i < j,
+    * half the edge list) with join keys that spread over the node space;
+    * the wedge sum is one map-side-combined aggregate over degrees. The
+    * standard distributed triangle count — no node ever sees more than its
+    * own neighborhood.
+    */
+  private def g02(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j")).localCheckpoint()
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.i") === col("e1.j"))
+      .join(pairs.as("e3"),
+        col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("i").as("u"))
+      .unionAll(pairs.select(col("j").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("SUM(deg) DIV 2").as("n_edges"),
+      expr("SUM(deg * (deg - 1) DIV 2)").as("n_wedges"))
+    base.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        (lit(3.0) * col("n_triangles").cast("double")
+          / col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
+
+  private def g02Sql: String =
+    s"""$graphCtes,
+       |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       | FROM pp e1 JOIN pp e2 ON e2.i = e1.j
+       |   JOIN pp e3 ON e3.i = e1.i AND e3.j = e2.j),
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+       |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM d)
+       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |    AS clustering_coeff
+       |FROM base, tri""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("g01_pagerank", g01, Some(g01Sql)),
+    QueryDef("g02_triangles", g02, Some(g02Sql)))
+}

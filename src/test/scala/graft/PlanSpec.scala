@@ -625,6 +625,23 @@ class PlanSpec extends SparkSpecBase {
     assert(t28.contains("codegen id"), "per-row grades stay codegen'd")
   }
 
+  test("graph pack keeps scale shapes (g01/g02)") {
+    // g01 PageRank: every iteration is equi-join + partial-combined agg on
+    // the destination key; final ranking is TakeOrdered, never a global sort
+    val g01 = planString(run("g01_pagerank"))
+    assert(!g01.contains("CartesianProduct") &&
+      !g01.contains("BroadcastNestedLoopJoin"),
+      "rank propagation must stay equi-keyed")
+    assert(g01.contains("TakeOrderedAndProject"),
+      "top-50 ranking ships <= 50 rows per partition")
+    // g02 triangles: ordered three-way self-join is equi-keyed; wedge sum
+    // partial-combines
+    val g02 = planString(run("g02_triangles"))
+    assert(!g02.contains("CartesianProduct"),
+      "triangle join must be keyed on shared endpoints")
+    assert("HashAggregate".r.findAllIn(g02).size >= 2)
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
