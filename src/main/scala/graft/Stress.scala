@@ -67,7 +67,11 @@ object Stress {
     "s10_kmeans" -> "embeddings",
     "s11_cluster_sample" -> "embeddings",
     "t22_tfidf_terms" -> "documents",
-    "t24_ngram_novelty" -> "documents")
+    "t24_ngram_novelty" -> "documents",
+    // graph pack: the 3-way triangle self-join is the natural superlinear
+    // suspect (pairs^1.5 worst case); PageRank is 3 equi-join iterations
+    "g01_pagerank" -> "documents",
+    "g02_triangles" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

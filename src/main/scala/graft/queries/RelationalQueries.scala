@@ -556,6 +556,55 @@ object RelationalQueries extends QueryPack {
        |    / CAST(CAST(wsum AS BIGINT) * 100 AS DOUBLE) AS ewma
        |FROM p WHERE rn % $EwmaSampleMod = 0 ORDER BY event_type, rn""".stripMargin
 
+  /** r15 — running z-score anomaly screen: every event scored against the
+    * exact mean/stddev of the STRICTLY PRECEDING events of its type
+    * (cumulative integer power sums, one window pass), anomalies = |z| ≥ 3
+    * after a 30-event burn-in. This is the batch form of
+    * `streaming/StreamingStats.score` — the ONLINE detector with O(1)
+    * state per key — and the two are row-for-row identical by
+    * construction (StreamingStatsSpec pins the agreement; this oracle pins
+    * the arithmetic end to end).
+    *
+    * Scale shape: one keyed cumulative window (running sums are inherently
+    * sequential per type — the streaming form is how this runs at 100 TB,
+    * with (type, epoch) sharding and associative sum merges), then a
+    * per-row z expression and filter. No join, no second pass.
+    */
+  private def r15(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.streaming.StreamingStats
+      .batchZScores(ev, col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .where(col("anomalous"))
+      .select(col("event_id"), col("event_type"), col("vq"),
+        col("n_before"), col("zscore"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  private val r15Sql =
+    """WITH v AS (SELECT event_id, ts, event_type,
+      |  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq FROM events),
+      |c AS (SELECT event_id, event_type, vq,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_before,
+      |  COALESCE(CAST(SUM(vq) OVER w AS BIGINT), 0) AS s1,
+      |  COALESCE(CAST(SUM(vq * vq) OVER w AS BIGINT), 0) AS s2
+      | FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_id, event_type, vq, n_before,
+      |  CASE WHEN n_before >= 30
+      |    AND (CAST(s2 AS DOUBLE) / CAST(n_before AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n_before AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n_before AS DOUBLE))) > 0
+      |  THEN (CAST(vq AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_before AS DOUBLE))
+      |    / sqrt(CAST(s2 AS DOUBLE) / CAST(n_before AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n_before AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n_before AS DOUBLE)))
+      |  ELSE 0.0 END AS zscore
+      | FROM c)
+      |SELECT event_id, event_type, vq, n_before, zscore FROM z
+      |WHERE n_before >= 30 AND abs(zscore) >= 3.0
+      |ORDER BY event_type, event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("r01_rollup", r01, Some(r01Sql)),
     QueryDef("r02_date_string_pack", r02, Some(r02Sql)),
@@ -570,7 +619,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r11_correlation_matrix", r11, Some(r11Sql)),
     QueryDef("r12_benford_digits", r12, Some(r12Sql)),
     QueryDef("r13_kmv_cardinality", r13, Some(r13Sql)),
-    QueryDef("r14_ewma", r14, Some(r14Sql)))
+    QueryDef("r14_ewma", r14, Some(r14Sql)),
+    QueryDef("r15_zscore", r15, Some(r15Sql)))
 
   /** KMV sketch size for r13. */
   private val KmvK = 64
