@@ -132,6 +132,9 @@ object StreamBench {
     if (op == "semdedup") {
       runSemDeDup(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "anomaly") {
+      runAnomaly(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -333,6 +336,63 @@ object StreamBench {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val sustained = math.round(nDocs / elapsed)
     println(s"""{"metric":"semdedup_rps","value":$sustained,"unit":"docs/sec","capacity_rps":$capacity,"docs":$nDocs,"rejected":$nRejected,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=anomaly measures the online running-moments
+    * z-score detector (StreamingStats — query r15's streaming form):
+    * synthetic integer-cent values (calm band 990.00–1010.00, every 97th
+    * row a 1500.00 spike) over 5 event types, so after each type's 30-row
+    * burn-in the spikes flag. The interesting contrast with the dedup
+    * family: state is THREE LONGS per key (no window, nothing to lapse),
+    * so this is the ceiling of the flatMapGroupsWithState plumbing itself
+    * — any gap to the rate source is framework, not state size.
+    */
+  private def runAnomaly(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                         secs: Int, sinkDir: String, ckpt: String,
+                         stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{StreamingStats, ValueEvent}
+    implicit val enc: org.apache.spark.sql.Encoder[ValueEvent] =
+      org.apache.spark.sql.Encoders.product[ValueEvent]
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val vq = when(pmod(col("value"), lit(97)) === 0, lit(150000L))
+      .otherwise(lit(100000L) +
+        (pmod(hash(col("value")), lit(2001)) - lit(1000)).cast("long"))
+    val events = raw.select(col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        concat(lit("t"), pmod(col("value"), lit(5))).as("event_type"),
+        vq.as("vq"))
+      .as[ValueEvent]
+    val verdicts = StreamingStats.score(events)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = verdicts.toDF()
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("zscore"), col("anomalous"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val out = sunkOrEmpty(sink, spark)
+    val nEvents = out.map(_.count()).getOrElse(0L)
+    val nFlagged = out.map(_.filter(col("anomalous")).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val sustained = math.round(nEvents / elapsed)
+    println(s"""{"metric":"anomaly_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"flagged":$nFlagged,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
