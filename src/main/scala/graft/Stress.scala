@@ -211,6 +211,46 @@ object Stress {
     System.err.println(f"[stress] skew n=$nSkew keepFirst=${minOk(tPlain)}%.2fs " +
       f"salted=${minOk(tSalted)}%.2fs ranked=${minOk(tRanked)}%.2fs")
 
+    // ---- join-skew arm: shuffle join with ONE hot probe key owning
+    // 1/skewMod of all probe rows, AQE skew-join ON vs OFF — the committed
+    // evidence for the third skew mitigation the README claims (dedup skew
+    // is covered above; this is the join side). Broadcast is disabled so
+    // the join MUST shuffle both sides (the 100 TB fact-fact case); the
+    // skew thresholds are lowered to match the arm's data size the same
+    // way a production conf sizes them to the cluster. Arms interleave
+    // across passes like the dedup skew arm.
+    val nJoin = sys.env.getOrElse("SPARK_GRAFT_STRESS_JOIN_ROWS", "8000000").toLong
+    def probe() = spark.range(nJoin).select(
+      when(pmod(col("id"), lit(skewMod)) === 0, lit(0L)).otherwise(col("id")).as("k"),
+      md5(col("id").cast("string")).as("p"))
+    def build() = spark.range(nJoin).select(col("id").as("k"),
+      md5(concat(col("id").cast("string"), lit("b"))).as("b"))
+    def joinOnce(skewOn: Boolean): Double = {
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      try once { require(probe().join(build(), "k").count() == nJoin) }
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val joinRuns = (1 to math.max(runs, passes)).map(_ =>
+      (joinOnce(true), joinOnce(false)))
+    val tJoinOn = joinRuns.map(_._1)
+    val tJoinOff = joinRuns.map(_._2)
+    System.err.println(f"[stress] joinskew n=$nJoin " +
+      f"aqeOn=${minOk(tJoinOn)}%.2fs aqeOff=${minOk(tJoinOff)}%.2fs")
+
     val superlinear = rows.collect { case (n, _, _, _, _, _, r, _, _, _, _, _)
       if r > 1.5 => n }
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
@@ -230,7 +270,10 @@ object Stress {
     val full = s"""{"metric":"stress","factor":$factor,"base_sf":"$baseDir",""" +
       s""""docs":${stressRows("documents")},"vecs":${stressRows("embeddings")},""" +
       s""""corpus_build_sec":$tCorpus,"kmk_stress":${kmBase * factor},""" +
-      s""""queries":$qJson,"skew":$skewJson,""" +
+      s""""queries":$qJson,"skew":$skewJson,"join_skew":{"rows":$nJoin,""" +
+      s""""hot_key_share":${1.0 / skewMod},"aqe_on_sec":${minOk(tJoinOn)},""" +
+      s""""aqe_off_sec":${minOk(tJoinOff)},"runs_on":${arr(tJoinOn)},""" +
+      s""""runs_off":${arr(tJoinOff)}},""" +
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""timing":"min over $passes separated passes x $runs runs per arm"}"""
     val out = java.nio.file.Paths.get(outPath)
@@ -243,6 +286,8 @@ object Stress {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"ratio_rps":$short,""" +
       s""""superlinear":${superlinear.size},""" +
+      s""""joinskew_on_sec":${f"${minOk(tJoinOn)}%.2f"},""" +
+      s""""joinskew_off_sec":${f"${minOk(tJoinOff)}%.2f"},""" +
       s""""skew_keepfirst_sec":${f"${minOk(tPlain)}%.2f"},""" +
       s""""skew_salted_sec":${f"${minOk(tSalted)}%.2f"},""" +
       s""""skew_ranked_sec":${f"${minOk(tRanked)}%.2f"}}""")
