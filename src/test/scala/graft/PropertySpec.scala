@@ -314,4 +314,58 @@ class PropertySpec extends SparkSpecBase {
         s"trial $trial: min-k must equal sort-then-slice")
     }
   }
+
+  test("r14 bucketed-join EWMA and t27 Zipf fit match sequential references") {
+    val dir = sf("sf0.001")
+    // r14: the bucketed equi-join re-expression of the trailing window must
+    // equal a driver-side sequential computation bit for bit
+    val out = SparkEntry.queries("r14_ewma")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value").cast("double") * 100).cast("long").as("vq"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4).toSeq
+      sorted.zipWithIndex.collect { case (_, i) if (i + 1) % 29 == 0 =>
+        val win = sorted.slice(math.max(0, i - 19), i + 1).toSeq
+        val l = win.length
+        val ws = win.zipWithIndex.map { case (v, j) =>
+          v * (1L << (19 - (l - 1 - j))) }.sum
+        val wsum = win.indices.map(j => 1L << (19 - (l - 1 - j))).sum
+        (t, (i + 1).toLong) -> (l.toLong, ws.toDouble / (wsum * 100).toDouble)
+      }
+    }.toMap
+    assert(out == expected, "EWMA bucketed join must equal the sequential fold")
+
+    // t27: the distributed exact-integer regression must equal a direct
+    // least-squares fit over the same vocabulary head
+    val row = SparkEntry.queries("t27_zipf_fit")(spark, dir).head()
+    val words = graft.Tables.documents(spark, dir)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+    val head = words.groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(50)
+    val xy = head.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val dx = (n * sxx - sx * sx).toDouble
+    val dy = (n * syy - sy * sy).toDouble
+    val slope = num / dx
+    val intercept = (sy.toDouble / 1e6 - slope * (sx.toDouble / 1e6)) / n.toDouble
+    val a = num / math.sqrt(dx)
+    assert(row.getAs[Long]("n_terms") == n)
+    assert(row.getAs[Double]("slope") == slope)
+    assert(row.getAs[Double]("intercept") == intercept)
+    assert(row.getAs[Double]("r2") == a * a / dy)
+    assert(slope < -0.1 && slope > -3.0, s"plausible Zipf slope, got $slope")
+  }
 }
