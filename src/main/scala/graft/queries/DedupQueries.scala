@@ -538,6 +538,97 @@ object DedupQueries extends QueryPack {
        |  MIN(jac) AS min_jac, MAX(jac) AS max_jac
        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 
+  /** Band widths d23 sweeps (k = 8 signatures: 8×1, 4×2, 2×4 bands). */
+  private val BandSweepRs = Seq(1, 2, 4)
+
+  /** d23 — LSH banding parameter sweep: candidate recall AND precision of
+    * each (bands × rows) configuration of the k=8 MinHash signature
+    * against the exact Jaccard ≥ 0.3 truth set (d02's full pair
+    * computation) — the measured S-curve every LSH deployment tunes r
+    * against (narrow bands → high recall / low precision → more exact
+    * verifications; wide bands → the reverse). Band keys are the
+    * comma-joined signature components (strings, not the packed-long form
+    * used operationally) so every width is overflow-free and
+    * engine-portable.
+    *
+    * Scale shape: the truth set and signature table materialize ONCE
+    * (localCheckpoint); each arm is band-explode → band equi-join →
+    * distinct — the d03 candidate plan at a different width, no cartesian
+    * anywhere; hits are left-semi joins; each arm reduces to one row.
+    */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val truth = d02Pairs(s, dir, DefaultMaxDf)
+      .select(col("i"), col("j")).localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("sh"))
+    val sig = MinHashLSH.signatures(sh, col("doc_id"), col("sh"), 8)
+      .localCheckpoint()
+    def arm(r: Int): DataFrame = {
+      val nb = 8 / r
+      val bandCols = (0 until nb).map { b =>
+        val cs = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
+        struct(lit(b).as("bi"), concat_ws(",", cs: _*).as("bv"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+      val cands = bands.as("l").join(bands.as("r"),
+          col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+        .distinct().localCheckpoint()
+      val hits = cands.join(truth, Seq("i", "j"), "left_semi")
+      nTruth.crossJoin(cands.agg(count(lit(1)).as("n_cands")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(r).cast("long").as("r"), lit(nb).cast("long").as("bands"),
+          col("n_cands"), col("n_truth"), col("n_hits"),
+          when(col("n_truth") > 0,
+            col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .otherwise(0.0).as("recall"),
+          when(col("n_cands") > 0,
+            col("n_hits").cast("double") / col("n_cands").cast("double"))
+            .otherwise(0.0).as("precision"))
+    }
+    BandSweepRs.map(arm).reduce(_.unionAll(_)).orderBy(col("r"))
+  }
+
+  private def d23Sql: String = {
+    def bandCte(r: Int): String = {
+      val nb = 8 / r
+      val bis = (0 until nb).mkString("[", ",", "]")
+      val bvs = (0 until nb).map { b =>
+        (b * r until (b + 1) * r).map(j => s"CAST(m$j AS VARCHAR)")
+          .mkString(" || ',' || ")
+      }.mkString("[", ", ", "]")
+      s"""band$r AS (SELECT doc_id, unnest($bis) AS bi, unnest($bvs) AS bv
+         | FROM sig),
+         |c$r AS (SELECT DISTINCT l.doc_id AS i, rr.doc_id AS j
+         | FROM band$r l JOIN band$r rr
+         |   ON l.bi = rr.bi AND l.bv = rr.bv AND l.doc_id < rr.doc_id)""".stripMargin
+    }
+    val arms = BandSweepRs.map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS r, CAST(${8 / r} AS BIGINT) AS bands,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS n_cands,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r JOIN truth USING (i, j))
+         |    AS n_hits""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    minhashBandsCte +
+      s""",
+         |truth AS (SELECT i, j FROM ($d02Sql)),
+         |${BandSweepRs.map(bandCte).mkString(",\n")},
+         |a AS (
+         |  $arms)
+         |SELECT r, bands, n_cands, n_truth, n_hits,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    ELSE 0.0 END AS recall,
+         |  CASE WHEN n_cands > 0
+         |    THEN CAST(n_hits AS DOUBLE) / CAST(n_cands AS DOUBLE)
+         |    ELSE 0.0 END AS precision
+         |FROM a ORDER BY r""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -560,7 +651,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d19_curation_pipeline", d19, Some(d19Sql)),
     QueryDef("d20_contamination_runs", d20, Some(d20Sql)),
     QueryDef("d21_source_dup_matrix", d21, Some(d21Sql)),
-    QueryDef("d22_semantic_decontaminate", d22, Some(d22Sql)))
+    QueryDef("d22_semantic_decontaminate", d22, Some(d22Sql)),
+    QueryDef("d23_band_sweep", d23, Some(d23Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
