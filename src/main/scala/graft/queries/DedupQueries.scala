@@ -652,7 +652,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d20_contamination_runs", d20, Some(d20Sql)),
     QueryDef("d21_source_dup_matrix", d21, Some(d21Sql)),
     QueryDef("d22_semantic_decontaminate", d22, Some(d22Sql)),
-    QueryDef("d23_band_sweep", d23, Some(d23Sql)))
+    QueryDef("d23_band_sweep", d23, Some(d23Sql)),
+    QueryDef("d24_edit_verify", d24, Some(d24Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
@@ -1152,4 +1153,57 @@ object DedupQueries extends QueryPack {
        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
        |  MAX(cos) AS max_cos
        |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Edit-similarity floor for d24's verified flag: 1 − lev/max_len ≥ 0.6
+    * keeps near-verbatim pairs and drops topic-overlap pairs whose shared
+    * shingles survive the Jaccard gate but whose texts differ broadly.
+    */
+  private val EditSimThreshold = 0.6
+
+  /** d24 — exact edit-distance verification of LSH candidates: the verify
+    * stage real dedup pipelines run AFTER MinHash (fuzzy dedup in The
+    * Stack / StarCoder pipelines): for every d03 candidate pair, the exact
+    * Levenshtein distance between the two full texts, normalized to
+    * 1 − lev/max(len), with a `verified` flag at [[EditSimThreshold]].
+    * MinHash answers "do the shingle SETS overlap"; edit distance answers
+    * "are the texts the SAME STRING up to small edits" — reordered
+    * paragraphs pass Jaccard but fail here.
+    *
+    * Scale shape: Levenshtein is O(len²) per pair — affordable ONLY
+    * because it runs on the banded candidate set (O(n) pairs with bounded
+    * bucket sizes), never all-pairs; the two text joins are equi-joins on
+    * doc_id, and the DP itself is a per-row codegen'd expression
+    * (Spark's built-in `levenshtein`), map-side after the joins.
+    */
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    pairs
+      .join(docs.as("da"), col("i") === col("da.doc_id"))
+      .join(docs.as("db"), col("j") === col("db.doc_id"))
+      .select(col("i"), col("j"), col("jac"),
+        levenshtein(col("da.text"), col("db.text")).cast("long").as("lev"),
+        greatest(length(col("da.text")), length(col("db.text")))
+          .cast("long").as("max_len"))
+      .select(col("i"), col("j"), col("jac"), col("lev"),
+        (lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"))
+          .as("edit_sim"))
+      .withColumn("verified",
+        when(col("edit_sim") >= EditSimThreshold, 1L).otherwise(0L))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d24Sql =
+    s"""WITH pr AS (SELECT i, j, jac FROM ($minhashPairsCore))
+       |SELECT pr.i, pr.j, pr.jac,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+       |    CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS edit_sim,
+       |  CAST(CASE WHEN 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+       |    CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+       |      >= $EditSimThreshold THEN 1 ELSE 0 END AS BIGINT) AS verified
+       |FROM pr JOIN documents a ON a.doc_id = pr.i
+       |  JOIN documents b ON b.doc_id = pr.j
+       |ORDER BY i, j""".stripMargin
 }

@@ -142,7 +142,63 @@ object GraphQueries extends QueryPack {
        |    AS clustering_coeff
        |FROM base, tri""".stripMargin
 
+  /** g03 — per-node local clustering coefficient: for each node, the
+    * fraction of its neighbor pairs that are themselves connected —
+    * triangles_at(u) / (deg(u)·(deg(u)−1)/2). The node-level refinement of
+    * g02's global census: a near-dup neighborhood whose members all have
+    * cc ≈ 1 is a clique (one template family — collapse to one
+    * representative); a hub with low cc chains unrelated documents through
+    * partial overlaps and must NOT be collapsed around. Output is every
+    * node of degree ≥ 2 with its degree, triangle count, and coefficient.
+    *
+    * Scale shape: reuses g02's ordered three-way self-join; each triangle
+    * then fans out to exactly 3 (node, 1) rows — the per-node census is a
+    * map-side-combined aggregate over 3·|triangles| rows, joined back to
+    * degrees on the node key. No node ever sees beyond its neighborhood.
+    */
+  private def g03(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j")).localCheckpoint()
+    val tris = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.i") === col("e1.j"))
+      .join(pairs.as("e3"),
+        col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
+      .select(col("e1.i").as("a"), col("e1.j").as("b"), col("e2.j").as("c"))
+    val triPerNode = tris.select(explode(array(col("a"), col("b"), col("c")))
+        .as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+    val deg = pairs.select(col("i").as("u"))
+      .unionAll(pairs.select(col("j").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("u"), "left")
+      .select(col("u").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("local_cc",
+        (lit(2.0) * col("n_tri").cast("double"))
+          / (col("deg") * (col("deg") - 1)).cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def g03Sql: String =
+    s"""$graphCtes,
+       |tris AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+       |  FROM pp e1 JOIN pp e2 ON e2.i = e1.j
+       |    JOIN pp e3 ON e3.i = e1.i AND e3.j = e2.j),
+       |tn AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT a AS u FROM tris
+       |    UNION ALL SELECT b FROM tris
+       |    UNION ALL SELECT c FROM tris) GROUP BY u)
+       |SELECT d.u AS doc_id, d.deg, COALESCE(tn.n_tri, 0) AS n_tri,
+       |  2.0 * CAST(COALESCE(tn.n_tri, 0) AS DOUBLE)
+       |    / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS local_cc
+       |FROM d LEFT JOIN tn ON tn.u = d.u
+       |WHERE d.deg >= 2
+       |ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(g01Sql)),
-    QueryDef("g02_triangles", g02, Some(g02Sql)))
+    QueryDef("g02_triangles", g02, Some(g02Sql)),
+    QueryDef("g03_local_clustering", g03, Some(g03Sql)))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1123,6 +1124,83 @@ object SimilarityQueries extends QueryPack {
        |FROM base ORDER BY method""".stripMargin
   }
 
+  /** Neighbors consulted per query in s17 — odd, so binary label splits
+    * can't tie; multi-way ties still break to the smallest label.
+    */
+  private val KnnVoteK = 9
+
+  /** s17 — kNN label classification audit: predict each sampled vector's
+    * label by majority vote over its [[KnnVoteK]] exact-cosine nearest
+    * neighbors, then report per-label accuracy. The standard
+    * auto-labeling / label-noise probe a training-data pipeline runs over
+    * an embedded corpus: a label whose members' neighborhoods disagree
+    * with it is mislabeled or semantically incoherent (the actionable
+    * complement of s03's cohesion score).
+    *
+    * Scale shape: the expensive stage is s01's fixed-k broadcast scoring
+    * pass (O(k·n), corpus never shuffles); everything after ranks within
+    * ≤ QueryK·KnnVoteK rows — votes, the per-query winner window, and a
+    * 10-row label rollup are all negligible at any corpus size.
+    */
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val ids = sampleIds(s, dir, QueryK)
+    val nn = topkRank(bruteScoredPairs(baseVecs(s, dir), ids), KnnVoteK)
+    val votes = nn
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"))
+    pred
+      .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .groupBy(col("label").as("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"))
+      .orderBy(col("true_label"))
+  }
+
+  private def s17Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |qs AS (${sampleSql(QueryK)}),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      | WHERE a.vec_id IN (SELECT vec_id FROM qs)),
+      |r AS (SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      | FROM p),
+      |v AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS label,
+      |    COUNT(*) AS votes
+      |  FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+      |  WHERE r.rk <= $KnnVoteK
+      |  GROUP BY r.query_id, CAST(e.label AS BIGINT)),
+      |pw AS (SELECT query_id, label,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+      | FROM v),
+      |pred AS (SELECT query_id, label AS pred_label FROM pw WHERE vr = 1)
+      |SELECT CAST(t.label AS BIGINT) AS true_label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(SUM(CASE WHEN pred.pred_label = CAST(t.label AS BIGINT)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN pred.pred_label = CAST(t.label AS BIGINT)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+      |FROM pred JOIN embeddings t ON t.vec_id = pred.query_id
+      |GROUP BY CAST(t.label AS BIGINT)
+      |ORDER BY true_label""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -1139,5 +1217,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s13_adc_topk", s13, Some(s13Sql)),
     QueryDef("s14_mrl_recall", s14, Some(s14Sql)),
     QueryDef("s15_mips_topk", s15, Some(s15Sql)),
-    QueryDef("s16_jl_recall", s16, Some(s16Sql)))
+    QueryDef("s16_jl_recall", s16, Some(s16Sql)),
+    QueryDef("s17_knn_classify", s17, Some(s17Sql)))
 }
