@@ -135,6 +135,9 @@ object StreamBench {
     if (op == "anomaly") {
       runAnomaly(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "topk") {
+      runTopK(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -393,6 +396,67 @@ object StreamBench {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val sustained = math.round(nEvents / elapsed)
     println(s"""{"metric":"anomaly_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"flagged":$nFlagged,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=topk measures the online SpaceSaving heavy-
+    * hitter tracker (StreamingTopK): a Zipf-skewed synthetic user stream
+    * (user id = rate value mod a power-law bucket) over 5 event-type
+    * groups, capacity 64 per group — state is 320 tracked slots TOTAL at
+    * any stream length, the smallest state of any operator here (the
+    * windowagg's 2000 windows beat it only because they lapse). Reported
+    * rate is EVENTS/sec into the sketch; the sink carries the per-batch
+    * ranked snapshots (groups × capacity rows per batch, output-bounded).
+    */
+  private def runTopK(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                      secs: Int, sinkDir: String, ckpt: String,
+                      stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingTopK
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    // Zipf-ish item draw without floats: h mod 2^16 picks a geometric
+    // "tier" (half the mass tier 0, quarter tier 1, ...); the item id is
+    // the tier-local bucket — tier 0 has 1 user, deeper tiers widen, so a
+    // handful of users dominate exactly as real abuse traffic does.
+    val h = pmod(hash(col("value")), lit(65536))
+    val tier = (lit(16) - floor(log2(lit(65536) - h))).cast("long")
+    val item = concat(lit("u"), tier,
+      lit("_"), pmod(hash(col("value"), lit(1)), (tier * tier) * 4 + lit(1)))
+    val events = raw.select(col("timestamp").as("ts"),
+      col("value").as("seq"),
+      concat(lit("t"), pmod(col("value"), lit(5))).as("group"),
+      item.as("item"))
+    val keyed = StreamingTopK.keyedItems(events, col("ts"), col("seq"),
+      col("group"), col("item"))
+    val snaps = StreamingTopK.track(keyed, capacity = 64)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = snaps.toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val nEvents = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nSnapRows = out.map(_.count()).getOrElse(0L)
+    val maxSeen = out.map(_.agg(max(col("n_total"))).collect()(0).getLong(0))
+      .getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val sustained = math.round(nEvents / elapsed)
+    println(s"""{"metric":"topk_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"snapshot_rows":$nSnapRows,"max_n_total":$maxSeen,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
