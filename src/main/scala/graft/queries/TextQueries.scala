@@ -1087,7 +1087,8 @@ object TextQueries extends QueryPack {
     QueryDef("t25_hapax_stats", t25, Some(t25Sql)),
     QueryDef("t26_token_yield", t26, Some(t26Sql)),
     QueryDef("t27_zipf_fit", t27, Some(t27Sql)),
-    QueryDef("t28_readability", t28, Some(t28Sql)))
+    QueryDef("t28_readability", t28, Some(t28Sql)),
+    QueryDef("t29_rake_keywords", t29, Some(t29Sql)))
 
   /** t26 — effective token yield: the budget number a training run reads
     * first — of all tokens in the raw corpus, how many survive exact
@@ -1135,4 +1136,91 @@ object TextQueries extends QueryPack {
       |  CAST(COUNT(*) AS DOUBLE) / SUM(copies) AS doc_yield,
       |  CAST(SUM(toks_one) AS DOUBLE) / SUM(toks_all) AS token_yield
       |FROM g""".stripMargin
+
+  /** The stopword delimiter set for t29 — the en profile t02's language ID
+    * already pins cross-engine.
+    */
+  private val RakeStops = Seq("the", "a", "of", "and", "is")
+
+  /** t29 — RAKE keyword extraction (Rose, Engel, Cramer, Cowley, "Automatic
+    * keyword extraction from individual documents", 2010): candidate
+    * phrases are the maximal runs of non-stopword tokens; each word scores
+    * deg/freq (deg = Σ length of the phrases its occurrences sit in,
+    * freq = occurrence count, both per document); a phrase scores the sum
+    * over its word occurrences; top 3 phrases per doc. The metadata-
+    * enrichment step of a curation pipeline (topical keys for routing,
+    * clustering, and dedup explanation without a model).
+    *
+    * Determinism: word scores are FLOOR-scaled integers (deg·10⁶ DIV freq)
+    * and phrase scores integer sums of them, so no float enters until the
+    * display column; ties rank by phrase text.
+    *
+    * Scale shape: everything is keyed by doc_id (the run-id window, the
+    * phrase agg, the per-doc word stats) or (doc_id, word) — no corpus-
+    * wide key ever forms, so the shuffles spread with the document count.
+    * The phrase-assembly collect_list buffers one run of one document —
+    * bounded by document length, not data distribution.
+    */
+  private def t29(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+    val nst = tok.filter(!col("w").isin(RakeStops: _*))
+    val rw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = nst.withColumn("grp", col("pos") - row_number().over(rw))
+    val ph = runs.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+    val occ = runs.join(ph, Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("grp"), col("w"), col("plen"))
+    val wordSc = occ.groupBy(col("doc_id"), col("w"))
+      .agg(expr("(SUM(plen) * 1000000) DIV COUNT(*)").as("sc"))
+    val phraseSc = occ.join(wordSc, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("sc")).as("score_scaled"))
+    val tw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("phrase"))
+    ph.join(phraseSc, Seq("doc_id", "grp"))
+      .withColumn("rk", row_number().over(tw).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("phrase"),
+        col("plen").as("n_words"), col("score_scaled"),
+        (col("score_scaled").cast("double") / 1000000.0).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val t29Sql = {
+    val stops = RakeStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      | FROM documents),
+      |nst AS (SELECT doc_id, pos, w FROM tok WHERE w NOT IN ($stops)),
+      |r AS (SELECT doc_id, pos, w,
+      |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      | FROM nst),
+      |ph AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen,
+      |  string_agg(w, ' ' ORDER BY pos) AS phrase
+      | FROM r GROUP BY doc_id, grp),
+      |occ AS (SELECT r.doc_id, r.grp, r.w, ph.plen
+      | FROM r JOIN ph ON ph.doc_id = r.doc_id AND ph.grp = r.grp),
+      |ws AS (SELECT doc_id, w,
+      |  CAST((SUM(plen) * 1000000) // COUNT(*) AS BIGINT) AS sc
+      | FROM occ GROUP BY doc_id, w),
+      |psc AS (SELECT occ.doc_id, occ.grp,
+      |  CAST(SUM(ws.sc) AS BIGINT) AS score_scaled
+      | FROM occ JOIN ws ON ws.doc_id = occ.doc_id AND ws.w = occ.w
+      | GROUP BY occ.doc_id, occ.grp),
+      |top AS (SELECT ph.doc_id, ph.phrase, ph.plen, psc.score_scaled,
+      |  ROW_NUMBER() OVER (PARTITION BY ph.doc_id
+      |    ORDER BY psc.score_scaled DESC, ph.phrase) AS rk
+      | FROM ph JOIN psc ON psc.doc_id = ph.doc_id AND psc.grp = ph.grp)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase, plen AS n_words,
+      |  score_scaled,
+      |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
+      |FROM top WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+  }
 }
