@@ -359,6 +359,73 @@ object MultimodalQueries extends QueryPack {
       |FROM ids i JOIN hb ON i.media_id = hb.media_id
       |ORDER BY i.media_id""".stripMargin
 
+  /** Hamming radius for m11: with 8 bands of 8 bits, any pair within
+    * distance 7 must agree on at least one whole band (pigeonhole), so the
+    * banded candidate join is EXACT at this radius — same guarantee
+    * structure as d03's MinHash bands, here deterministic rather than
+    * probabilistic.
+    */
+  private val HammingMax = 7
+
+  /** m11 — perceptual-hash image dedup pairs: band each image's 64-bit
+    * dHash (m10's REAL decoded-pixel hash) into 8 one-byte segments,
+    * equi-join on (segment index, segment value) for candidates, verify by
+    * exact Hamming distance ≤ [[HammingMax]]. This is the standard
+    * billion-image dedup shape (pHash/dHash + multi-index Hamming search,
+    * the MIH construction of Norouzi et al.): near-identical images —
+    * resizes, re-encodes, small crops — land within a few bits, and the
+    * band join finds them without comparing all pairs.
+    *
+    * Scale shape: candidates form on a band equi-join (never a cartesian);
+    * the Hamming verify is two xor+bit_count codegen expressions per
+    * candidate. A production corpus with band-bucket skew (e.g. flat-color
+    * images hashing to 0) adds a d05-style bucket-occupancy cap; the
+    * synthetic corpus's buckets are near-unique so none is needed here.
+    */
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    val hashed = m10(s, dir).select(col("media_id"), col("dhash"))
+    val bands = hashed.select(col("media_id"),
+      posexplode(array((0 until 8).map(b =>
+        substring(col("dhash"), b * 2 + 1, 2)): _*)).as(Seq("bi", "bv")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
+      .distinct()
+    val hx = hashed.select(col("media_id"),
+      conv(substring(col("dhash"), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(col("dhash"), 9, 8), 16, 10).cast("long").as("lo"))
+    cand
+      .join(hx.as("x"), col("i") === col("x.media_id"))
+      .join(hx.as("y"), col("j") === col("y.media_id"))
+      .select(col("i"), col("j"),
+        (expr("bit_count(x.hi ^ y.hi)") + expr("bit_count(x.lo ^ y.lo)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val m11Sql =
+    s"""WITH m10 AS ($m10Sql),
+       |hx AS (SELECT media_id, dhash,
+       |  CAST(('0x' || substr(dhash, 1, 8)) AS BIGINT) AS hi,
+       |  CAST(('0x' || substr(dhash, 9, 8)) AS BIGINT) AS lo
+       | FROM m10),
+       |bands AS (SELECT media_id, bi, substr(dhash, bi * 2 + 1, 2) AS bv
+       | FROM (SELECT media_id, dhash,
+       |   unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS bi FROM hx)),
+       |cand AS (SELECT DISTINCT a.media_id AS i, b.media_id AS j
+       | FROM bands a JOIN bands b
+       | ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+       |SELECT c.i, c.j,
+       |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+       |    AS BIGINT) AS hamming
+       |FROM cand c JOIN hx x ON x.media_id = c.i JOIN hx y ON y.media_id = c.j
+       |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+       |  <= $HammingMax
+       |ORDER BY i, j""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
@@ -369,5 +436,6 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m07_png_decode", m07, Some(m07Sql)),
     QueryDef("m08_bmp_gif_decode", m08, Some(m08Sql)),
     QueryDef("m09_shot_boundaries", m09, Some(m09Sql)),
-    QueryDef("m10_perceptual_hash", m10, Some(m10Sql)))
+    QueryDef("m10_perceptual_hash", m10, Some(m10Sql)),
+    QueryDef("m11_phash_pairs", m11, Some(m11Sql)))
 }
