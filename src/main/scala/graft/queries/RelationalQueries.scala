@@ -620,7 +620,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r12_benford_digits", r12, Some(r12Sql)),
     QueryDef("r13_kmv_cardinality", r13, Some(r13Sql)),
     QueryDef("r14_ewma", r14, Some(r14Sql)),
-    QueryDef("r15_zscore", r15, Some(r15Sql)))
+    QueryDef("r15_zscore", r15, Some(r15Sql)),
+    QueryDef("r16_chisq_drift", r16, Some(r16Sql)))
 
   /** KMV sketch size for r13. */
   private val KmvK = 64
@@ -675,4 +676,75 @@ object RelationalQueries extends QueryPack {
        |  ABS(${KmvK - 1}.0 / kth_frac - CAST(exact_distinct AS DOUBLE))
        |    / CAST(exact_distinct AS DOUBLE) AS rel_err
        |FROM f, x""".stripMargin
+
+  /** r16 — chi-square distribution drift: split the event stream at the
+    * midpoint of its time range and test whether the event-type mix of the
+    * late half drifted from the early half — the categorical-drift monitor
+    * that complements r15 (per-value z-scores) and r14 (per-type level
+    * EWMA): those see VALUE changes, this sees MIX changes (a type
+    * vanishing or flooding). Per type: observed counts in each half,
+    * expected counts under independence, and the type's contribution to
+    * the chi-square statistic (Σ over the 5 rows = the test statistic,
+    * 4 degrees of freedom).
+    *
+    * Determinism: all counts stay BIGINT; the deviation d = o_a·n −
+    * n_type·n_a is exact integer (|d| < n² — long-safe through sf1.0, the
+    * decimal widening is mechanical beyond); each contribution is a fixed
+    * two-term double expression over exactly-converted integers — no
+    * float sum whose order could wander.
+    *
+    * Scale shape: one map-side-combined count aggregate over (type) with
+    * conditional sums, one broadcast single-row totals join — the whole
+    * query is two scans' worth of work collapsed to 5 rows, any corpus
+    * size.
+    */
+  private def r16(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(expr("(MIN(us) + MAX(us)) DIV 2").as("mid"))
+    val perType = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("n_a"),
+        count(lit(1)).as("n_type"))
+      .withColumn("n_b", col("n_type") - col("n_a"))
+    val totals = perType.agg(sum(col("n_a")).as("t_a"),
+      sum(col("n_type")).as("t_n"))
+    val d = col("n_a") * col("t_n") - col("n_type") * col("t_a")
+    val dd = d.cast("double") * d.cast("double")
+    val denA = (col("n_type") * col("t_a")).cast("double") * col("t_n").cast("double")
+    val denB = (col("n_type") * (col("t_n") - col("t_a"))).cast("double") *
+      col("t_n").cast("double")
+    perType.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n_type"),
+        (col("n_type").cast("double") * col("t_a").cast("double")
+          / col("t_n").cast("double")).as("exp_a"),
+        (col("n_type").cast("double") * (col("t_n") - col("t_a")).cast("double")
+          / col("t_n").cast("double")).as("exp_b"),
+        (dd / denA + dd / denB).as("chisq_contrib"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r16Sql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+      |pt AS (SELECT event_type,
+      |  CAST(SUM(CASE WHEN us <= m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(COUNT(*) AS BIGINT) AS n_type
+      | FROM e, m GROUP BY event_type),
+      |tt AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+      |  CAST(SUM(n_type) AS BIGINT) AS t_n FROM pt)
+      |SELECT event_type, n_a, n_type - n_a AS n_b, n_type,
+      |  CAST(n_type AS DOUBLE) * CAST(t_a AS DOUBLE) / CAST(t_n AS DOUBLE)
+      |    AS exp_a,
+      |  CAST(n_type AS DOUBLE) * CAST(t_n - t_a AS DOUBLE) / CAST(t_n AS DOUBLE)
+      |    AS exp_b,
+      |  (CAST(n_a * t_n - n_type * t_a AS DOUBLE)
+      |     * CAST(n_a * t_n - n_type * t_a AS DOUBLE))
+      |    / (CAST(n_type * t_a AS DOUBLE) * CAST(t_n AS DOUBLE))
+      |  + (CAST(n_a * t_n - n_type * t_a AS DOUBLE)
+      |       * CAST(n_a * t_n - n_type * t_a AS DOUBLE))
+      |    / (CAST(n_type * (t_n - t_a) AS DOUBLE) * CAST(t_n AS DOUBLE))
+      |    AS chisq_contrib
+      |FROM pt, tt
+      |ORDER BY event_type""".stripMargin
 }
