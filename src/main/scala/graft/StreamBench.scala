@@ -138,6 +138,9 @@ object StreamBench {
     if (op == "topk") {
       runTopK(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "session") {
+      runSession(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -223,6 +226,61 @@ object StreamBench {
     val matched = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val sustained = math.round(matched / elapsed)
     println(s"""{"metric":"join_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"matched":$matched,"state_rows":$stateRows,"avg_commit_ms":$avgCommitMs,"elapsed_sec":$elapsed,"offered_rps_per_side":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=session measures watermarked SESSION-window
+    * aggregation (j04's shape as a live query — Spark's merging-session
+    * state store, a genuinely different stateful operator from the
+    * tumbling windowagg: sessions EXTEND and MERGE as events arrive, and
+    * only close when the watermark passes gap past the last event).
+    * Synthetic churn drives closure: user = value DIV 256 — each user
+    * emits 256 consecutive events (~ms of activity at bench rates) and
+    * never returns, so their session closes one 5 s gap + 5 s watermark
+    * later. In-flight state ≈ users active in the trailing gap+watermark
+    * horizon ≈ rps·10/256 sessions — offered-rate-bounded, not
+    * stream-length-bounded. Reported rate is INPUT rows/s (closed session
+    * rows are rps/256/s — tiny by construction).
+    */
+  private def runSession(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                         secs: Int, sinkDir: String, ckpt: String,
+                         stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val agged = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+      .withWatermark("timestamp", "5 seconds")
+      .groupBy(session_window(col("timestamp"), "5 seconds").as("sw"),
+        expr("value DIV 256").as("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_v"))
+      .select(col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_v"))
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = agged.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    progress.takeRight(4).foreach(p => System.err.println(
+      s"[streambench] batch=${p.batchId} rows=${p.numInputRows} " +
+        s"durMs=${p.durationMs} " +
+        s"state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs} rows=${s.numRowsTotal}").mkString(";")}"))
+    val capacity = capacityOf(progress)
+    val inputRows = progress.map(_.numInputRows).sum
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val closed = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
+    val sustained = math.round(inputRows / elapsed)
+    println(s"""{"metric":"session_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inputRows,"closed_sessions":$closed,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
