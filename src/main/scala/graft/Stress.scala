@@ -71,7 +71,11 @@ object Stress {
     // graph pack: the 3-way triangle self-join is the natural superlinear
     // suspect (pairs^1.5 worst case); PageRank is 3 equi-join iterations
     "g01_pagerank" -> "documents",
-    "g02_triangles" -> "documents")
+    "g02_triangles" -> "documents",
+    // the O(len²)-per-pair Levenshtein verify: cost scales with CANDIDATE
+    // PAIRS × text length² — the arm that proves the banded candidate set
+    // (not the corpus) is what the verify stage pays for
+    "d24_edit_verify" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

@@ -498,6 +498,71 @@ object JoinQueries extends QueryPack {
       |FROM p GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** j13 — linear multi-touch attribution: split each purchase's value
+    * evenly across the user's clicks in the preceding hour (the candidate
+    * set j02's as-of join picks ONE winner from; here every touch gets
+    * credit). Exact largest-remainder arithmetic in integer cents: each of
+    * the k touches gets cents DIV k, the first cents MOD k touches (in
+    * time order) one extra cent — shares sum to the purchase value to the
+    * cent, deterministically, with no float division in the split.
+    *
+    * Scale shape: the candidate join is the interval-binned temporal join
+    * (equi-key user × time bin, never a cartesian); the rank/count windows
+    * key on p_id — per-purchase partitions bounded by the 1 h window's
+    * click count, spread over the purchase space.
+    */
+  private def j13(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val cand = TemporalJoin.batch(p, c, "p_user", "c_user",
+        col("p_ts"), col("c_ts"), Duration.parse("1h"))
+      .filter(col("c_ts") <= col("p_ts"))
+    val rw = Window.partitionBy(col("p_id")).orderBy(col("c_ts"), col("c_id"))
+    val kw = Window.partitionBy(col("p_id"))
+    cand
+      .withColumn("touch_rank", row_number().over(rw).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(kw))
+      .withColumn("cents",
+        round(col("p_value").cast("double") * 100).cast("long"))
+      .withColumn("share_cents",
+        expr("cents DIV n_touches") +
+          when(col("touch_rank") <= expr("cents % n_touches"), 1L)
+            .otherwise(0L))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("touch_rank"), col("n_touches"), col("share_cents"),
+        (col("share_cents").cast("double") / 100.0).as("share_value"))
+      .orderBy(col("p_id"), col("touch_rank"))
+  }
+
+  private val j13Sql =
+    """WITH cand AS (
+      |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |         p.user_id AS user_id, c.ts AS c_ts,
+      |         CAST(round(CAST(p.value AS DOUBLE) * 100) AS BIGINT) AS cents
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR),
+      |r AS (SELECT p_id, c_id, user_id, cents,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id)
+      |    AS BIGINT) AS touch_rank,
+      |  CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touches
+      | FROM cand)
+      |SELECT p_id, c_id, user_id, touch_rank, n_touches,
+      |  cents // n_touches
+      |    + CASE WHEN touch_rank <= cents % n_touches THEN 1 ELSE 0 END
+      |    AS share_cents,
+      |  CAST(cents // n_touches
+      |    + CASE WHEN touch_rank <= cents % n_touches THEN 1 ELSE 0 END
+      |    AS DOUBLE) / 100.0 AS share_value
+      |FROM r ORDER BY p_id, touch_rank""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -510,5 +575,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j09_concurrent_sessions", j09, Some(j09Sql)),
     QueryDef("j10_concurrent_auto", j10, Some(j09Sql)),
     QueryDef("j11_event_transitions", j11, Some(j11Sql)),
-    QueryDef("j12_session_paths", j12, Some(j12Sql)))
+    QueryDef("j12_session_paths", j12, Some(j12Sql)),
+    QueryDef("j13_attribution", j13, Some(j13Sql)))
 }

@@ -101,7 +101,9 @@ class PlanSpec extends SparkSpecBase {
     for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
         "j01_temporal_join", "j02_asof_join", "s02_ann_lsh", "s06_ann_lsh_mp",
         "t13_bigram_fluency", "q13_label_quality", "d11_semantic_dedup",
-        "d14_minhash_calibration", "d15_semdedup")) {
+        "d14_minhash_calibration", "d15_semdedup",
+        "d24_edit_verify", "m11_phash_pairs", "g03_local_clustering",
+        "j13_attribution")) {
       val s = planString(run(name))
       assert(!s.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join, found cartesian")
