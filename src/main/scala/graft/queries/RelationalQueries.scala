@@ -621,7 +621,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r13_kmv_cardinality", r13, Some(r13Sql)),
     QueryDef("r14_ewma", r14, Some(r14Sql)),
     QueryDef("r15_zscore", r15, Some(r15Sql)),
-    QueryDef("r16_chisq_drift", r16, Some(r16Sql)))
+    QueryDef("r16_chisq_drift", r16, Some(r16Sql)),
+    QueryDef("r17_ks_drift", r17, Some(r17Sql)))
 
   /** KMV sketch size for r13. */
   private val KmvK = 64
@@ -746,5 +747,85 @@ object RelationalQueries extends QueryPack {
       |    / (CAST(n_type * (t_n - t_a) AS DOUBLE) * CAST(t_n AS DOUBLE))
       |    AS chisq_contrib
       |FROM pt, tt
+      |ORDER BY event_type""".stripMargin
+
+  /** r17 — exact Kolmogorov–Smirnov drift per event type: split each
+    * type's value stream at the time-range midpoint (r16's cut) and
+    * compute the exact two-sample KS statistic D = max |CDF_a − CDF_b| —
+    * the VALUE-distribution drift test completing the monitor family
+    * (r16 sees mix drift across types, r15 per-event outliers; this sees
+    * a type's whole value distribution shifting shape with zero
+    * distributional assumptions). D is carried as the integer numerator
+    * max |cum_a·n_b − cum_b·n_a| over the merged support (exact — no
+    * float enters until the final division), with the smallest quantized
+    * value attaining it reported as the drift location.
+    *
+    * Scale shape: one count aggregate per (type, distinct value), then
+    * per-TYPE ordered prefix sums — the windows key on event_type, so
+    * partitions spread across types and each holds |distinct values of
+    * one type| rows (the same keyed-window discipline as r05's exact
+    * percentiles; nothing global ever sorts).
+    */
+  private def r17(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value").cast("double") * 1000000).cast("long").as("vq"),
+        unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(expr("(MIN(us) + MAX(us)) DIV 2").as("mid"))
+    val perVq = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("vq"))
+      .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("cb"))
+    val cw = Window.partitionBy(col("event_type")).orderBy(col("vq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("event_type"))
+    val scored = perVq
+      .withColumn("cum_a", sum(col("ca")).over(cw))
+      .withColumn("cum_b", sum(col("cb")).over(cw))
+      .withColumn("n_a", sum(col("ca")).over(tw))
+      .withColumn("n_b", sum(col("cb")).over(tw))
+      .withColumn("d_num",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("d_num").desc, col("vq"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks_d"),
+        (col("vq").cast("double") / 1000000.0).as("at_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r17Sql =
+    """WITH e AS (SELECT event_type,
+      |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vq,
+      |  epoch_us(ts) AS us FROM events),
+      |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+      |pv AS (SELECT event_type, vq,
+      |  CAST(SUM(CASE WHEN us <= m.mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |  CAST(SUM(CASE WHEN us > m.mid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      | FROM e, m GROUP BY event_type, vq),
+      |c AS (SELECT event_type, vq,
+      |  CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+      |  CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+      |  CAST(SUM(ca) OVER t AS BIGINT) AS n_a,
+      |  CAST(SUM(cb) OVER t AS BIGINT) AS n_b
+      | FROM pv
+      | WINDOW w AS (PARTITION BY event_type ORDER BY vq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  t AS (PARTITION BY event_type)),
+      |d AS (SELECT event_type, vq, n_a, n_b,
+      |  ABS(cum_a * n_b - cum_b * n_a) AS d_num,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY ABS(cum_a * n_b - cum_b * n_a) DESC, vq) AS rn
+      | FROM c)
+      |SELECT event_type, n_a, n_b, d_num,
+      |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |    AS ks_d,
+      |  CAST(vq AS DOUBLE) / 1000000.0 AS at_value
+      |FROM d WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 }

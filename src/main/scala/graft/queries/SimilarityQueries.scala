@@ -1201,6 +1201,103 @@ object SimilarityQueries extends QueryPack {
       |GROUP BY CAST(t.label AS BIGINT)
       |ORDER BY true_label""".stripMargin
 
+  /** MMR pool size / picks / λ·10 for s18 (λ = 0.7 in tenths so the score
+    * arithmetic stays a fixed two-term double expression).
+    */
+  private val MmrPool = 50
+  private val MmrK = 5
+
+  /** s18 — maximal marginal relevance (MMR) diverse selection (Carbonell &
+    * Goldstein 1998): from the [[MmrPool]] nearest neighbors of a probe
+    * vector, greedily pick [[MmrK]] items maximizing 0.7·relevance −
+    * 0.3·max-similarity-to-already-picked — the diverse-exemplar sampler
+    * an eval-set builder runs so near-duplicate neighbors don't all get
+    * picked (the selection-side complement of d15's SemDeDup eviction).
+    *
+    * Determinism: relevance and pairwise similarity are exact quantized-
+    * integer cosines; each greedy step is an argmax with a (score desc,
+    * vec_id) total tiebreak; the oracle unrolls the same [[MmrK]] steps as
+    * chained CTEs.
+    *
+    * Scale shape: ONE fixed-k brute scoring pass against the corpus
+    * (O(n), map-side, the s01 machinery) builds the pool; everything after
+    * — the pool×pool similarity matrix and the greedy loop — touches ≤
+    * MmrPool² rows of driver-free DataFrame work regardless of corpus
+    * size. The greedy loop is inherently sequential (each pick conditions
+    * the next), so it runs over the TINY pool, never the corpus.
+    */
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    val base = baseVecs(s, dir)
+    val probe = sampleIds(s, dir, 1)
+    val rel = bruteScoredPairs(base, probe)
+      .select(col("neighbor_id").as("vec_id"), col("cos").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+      .localCheckpoint()
+    val poolVecs = base.join(broadcast(rel.select(col("vec_id"))), "vec_id")
+    val pp = poolVecs.as("a")
+      .join(broadcast(poolVecs.as("b")),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .localCheckpoint()
+    var selected = rel.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
+        lit(1L).as("rank"))
+    for (step <- 2 to MmrK) {
+      val chosenIds = selected.select(col("vec_id"))
+      val maxSim = pp.join(broadcast(chosenIds.withColumnRenamed("vec_id", "j")), "j")
+        .groupBy(col("i")).agg(max(col("sim")).as("max_sim"))
+      val next = rel.join(broadcast(chosenIds), Seq("vec_id"), "left_anti")
+        .join(maxSim, col("vec_id") === col("i"))
+        .select(col("vec_id"), col("rel"),
+          (col("rel") * 0.7 - col("max_sim") * 0.3).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .withColumn("rank", lit(step.toLong))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("rel"), col("mmr"))
+      .orderBy(col("rank"))
+  }
+
+  private def s18Sql: String = {
+    val steps = (2 to MmrK).map { k =>
+      val prev = (1 until k).map(i => s"SELECT vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$k AS (SELECT r.vec_id, r.rel,
+         |  r.rel * 0.7 - ms.max_sim * 0.3 AS mmr, CAST($k AS BIGINT) AS rank
+         | FROM rel r
+         | JOIN (SELECT i, MAX(sim) AS max_sim FROM pp
+         |        WHERE j IN ($prev) GROUP BY i) ms ON ms.i = r.vec_id
+         | WHERE r.vec_id NOT IN ($prev)
+         | ORDER BY mmr DESC, r.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |probe AS (${sampleSql(1)}),
+       |rel AS (SELECT b.vec_id,
+       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS rel
+       | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+       | WHERE a.vec_id IN (SELECT vec_id FROM probe)
+       | ORDER BY rel DESC, b.vec_id LIMIT $MmrPool),
+       |pool AS (SELECT q.vec_id, q.v FROM q
+       |  WHERE q.vec_id IN (SELECT vec_id FROM rel)),
+       |pp AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS sim
+       | FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT vec_id, rel, rel AS mmr, CAST(1 AS BIGINT) AS rank
+       | FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT rank, vec_id, rel, mmr FROM (
+       |  ${(1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_knn_bruteforce", s01, Some(s01Sql)),
     QueryDef("s02_ann_lsh", s02, Some(s02Sql)),
@@ -1218,5 +1315,6 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s14_mrl_recall", s14, Some(s14Sql)),
     QueryDef("s15_mips_topk", s15, Some(s15Sql)),
     QueryDef("s16_jl_recall", s16, Some(s16Sql)),
-    QueryDef("s17_knn_classify", s17, Some(s17Sql)))
+    QueryDef("s17_knn_classify", s17, Some(s17Sql)),
+    QueryDef("s18_mmr_diversity", s18, Some(s18Sql)))
 }
