@@ -622,7 +622,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r14_ewma", r14, Some(r14Sql)),
     QueryDef("r15_zscore", r15, Some(r15Sql)),
     QueryDef("r16_chisq_drift", r16, Some(r16Sql)),
-    QueryDef("r17_ks_drift", r17, Some(r17Sql)))
+    QueryDef("r17_ks_drift", r17, Some(r17Sql)),
+    QueryDef("r18_heavy_hitters", r18, Some(r18Sql)))
 
   /** KMV sketch size for r13. */
   private val KmvK = 64
@@ -828,4 +829,38 @@ object RelationalQueries extends QueryPack {
       |  CAST(vq AS DOUBLE) / 1000000.0 AS at_value
       |FROM d WHERE rn = 1
       |ORDER BY event_type""".stripMargin
+
+  /** r18 — exact heavy hitters: top-10 users per event type by exact
+    * count, ranked (count desc, user_id) — the batch ground truth of the
+    * streaming SpaceSaving sketch, THROUGH THE SAME CODE PATH
+    * (`StreamingTopK.exactTopK`) the batch==streaming agreement spec pins
+    * the sketch against, so the oracle check here transitively anchors
+    * the streaming operator's no-eviction behavior to DuckDB.
+    *
+    * Scale shape: one map-side-combined count over (type, user), then a
+    * per-type rank window whose partitions are the per-type user sets —
+    * keyed, spread, top-10 cut. At unbounded-stream scale this exact form
+    * is impossible (state = all users) — which is precisely the gap the
+    * SpaceSaving sketch fills with capacity-bounded state.
+    */
+  private def r18(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingTopK.exactTopK(Tables.events(s, dir),
+        col("event_type"), col("user_id"), capacity = 10)
+      .select(col("group").as("event_type"), col("rank").as("rk"),
+        col("item").as("user_id"), col("cnt"))
+      .orderBy(col("event_type"), col("rk"))
+
+  // item ids travel as STRINGS through the tracker (stream-generic), so
+  // the oracle casts BEFORE ranking — the count-tie ordering is over the
+  // string form on both sides
+  private val r18Sql =
+    """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+      |  COUNT(*) AS cnt
+      | FROM events GROUP BY event_type, CAST(user_id AS VARCHAR)),
+      |r AS (SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
+      | FROM c)
+      |SELECT event_type, rk, user_id, cnt FROM r WHERE rk <= 10
+      |ORDER BY event_type, rk""".stripMargin
 }

@@ -315,6 +315,70 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("j13/r17/r18/s18 invariants hold on real data") {
+    val dir = sf("sf0.001")
+
+    // j13: shares are an exact partition of the purchase value — per
+    // purchase, Σ share_cents == round(value·100), ranks are 1..k dense,
+    // and no share differs from another by more than one cent
+    val attr = SparkEntry.queries("j13_attribution")(spark, dir)
+    val purchaseCents = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        round(col("value").cast("double") * 100).cast("long").as("true_cents"))
+    val offSum = attr.groupBy(col("p_id"))
+      .agg(sum(col("share_cents")).as("sum_c"))
+      .join(purchaseCents, "p_id")
+      .filter(col("sum_c") =!= col("true_cents"))
+    assert(offSum.count() == 0, "shares sum to the purchase value exactly")
+    val bad = attr.groupBy(col("p_id"), col("n_touches"))
+      .agg(sum(col("share_cents")).as("sum_c"), count(lit(1)).as("k"),
+        max(col("share_cents")).as("mx"), min(col("share_cents")).as("mn"),
+        max(col("touch_rank")).as("mxrk"))
+      .filter(col("k") =!= col("n_touches") || col("mxrk") =!= col("k") ||
+        col("mx") - col("mn") > 1)
+    assert(bad.count() == 0,
+      "every purchase: dense ranks, counts match, shares within one cent")
+    // Σ share_value · 100 == Σ share_cents exactly (display column honest)
+    val sv = attr.agg(sum(col("share_cents")).as("sc"),
+      sum(round(col("share_value") * 100).cast("long")).as("sv")).head()
+    assert(sv.getLong(0) == sv.getLong(1))
+
+    // r17: D ∈ [0, 1], halves partition each type's rows
+    val ks = SparkEntry.queries("r17_ks_drift")(spark, dir)
+    assert(ks.filter(col("ks_d") < 0 || col("ks_d") > 1).count() == 0)
+    val evByType = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val joined = ks.join(evByType, "event_type")
+      .filter(col("n_a") + col("n_b") =!= col("n"))
+    assert(joined.count() == 0, "a/b halves partition each type exactly")
+
+    // r18: ≤10 rows per type, counts non-increasing in rank
+    val hh = SparkEntry.queries("r18_heavy_hitters")(spark, dir)
+    assert(hh.filter(col("rk") > 10).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val lagW = Window.partitionBy(col("event_type")).orderBy(col("rk"))
+    assert(hh.withColumn("prev", lag(col("cnt"), 1).over(lagW))
+      .filter(col("prev").isNotNull && col("cnt") > col("prev"))
+      .count() == 0, "counts never increase down the ranking")
+
+    // s18: exactly 5 distinct picks; rank 1 is the relevance argmax; every
+    // later pick's mmr ≤ its own rel (a 0.3·max_sim penalty only subtracts
+    // when sims are positive — assert on the weaker always-true bound
+    // mmr == 0.7·rel − 0.3·max_sim ≤ 0.7·rel + 0.3)
+    val mmr = SparkEntry.queries("s18_mmr_diversity")(spark, dir).collect()
+    assert(mmr.length == 5)
+    assert(mmr.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    val byRank = mmr.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.head.getAs[Double]("rel") ==
+      mmr.map(_.getAs[Double]("rel")).max ||
+      byRank.head.getAs[Double]("mmr") == byRank.head.getAs[Double]("rel"),
+      "rank 1 is the pure-relevance pick")
+    byRank.tail.foreach { r =>
+      assert(r.getAs[Double]("mmr") <= 0.7 * r.getAs[Double]("rel") + 0.3)
+    }
+  }
+
   test("r14 bucketed-join EWMA and t27 Zipf fit match sequential references") {
     val dir = sf("sf0.001")
     // r14: the bucketed equi-join re-expression of the trailing window must
