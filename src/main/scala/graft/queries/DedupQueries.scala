@@ -653,7 +653,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d21_source_dup_matrix", d21, Some(d21Sql)),
     QueryDef("d22_semantic_decontaminate", d22, Some(d22Sql)),
     QueryDef("d23_band_sweep", d23, Some(d23Sql)),
-    QueryDef("d24_edit_verify", d24, Some(d24Sql)))
+    QueryDef("d24_edit_verify", d24, Some(d24Sql)),
+    QueryDef("d25_containment", d25, Some(d25Sql)))
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16
@@ -1205,5 +1206,68 @@ object DedupQueries extends QueryPack {
        |      >= $EditSimThreshold THEN 1 ELSE 0 END AS BIGINT) AS verified
        |FROM pr JOIN documents a ON a.doc_id = pr.i
        |  JOIN documents b ON b.doc_id = pr.j
+       |ORDER BY i, j""".stripMargin
+
+  /** Containment floor for d25: max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.7. */
+  private val ContainmentMin = 0.7
+
+  /** d25 — containment (near-subset) dedup pairs: for each shared-shingle
+    * candidate pair, the ASYMMETRIC containment scores |A∩B|/|A| and
+    * |A∩B|/|B|, keeping pairs where either side is ≥ [[ContainmentMin]].
+    * The subset-duplication detector Jaccard structurally misses: a short
+    * document quoted whole inside a much longer one has tiny Jaccard
+    * (union is dominated by the long side) but containment ≈ 1 on the
+    * short side — exactly the quote/aggregation/boilerplate-inclusion
+    * case (the Broder 1997 resemblance-vs-containment distinction).
+    *
+    * Scale shape: identical to d02 — df-capped group-pairs equi-join on
+    * the shingle hash, CollectCapped-bounded buffers, exact intersection
+    * counts from the join multiplicity; only the final scoring expression
+    * differs. No cartesian at any size.
+    */
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
+    val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
+    val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
+    val cl = graft.functions.CollectCapped(DefaultMaxDf)
+    val groups = ex.groupBy(col("sng"))
+      .agg(sort_array(cl(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) <= DefaultMaxDf)
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
+        y => struct(x.as("i"), y.as("j")))))
+    val pairs = groups.select(explode(pairExpr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.as("ca"), col("i") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"), col("c"),
+        col("ca.n").cast("long").as("n_i"),
+        col("cb.n").cast("long").as("n_j"),
+        (col("c").cast("double") / col("ca.n").cast("double")).as("cont_i"),
+        (col("c").cast("double") / col("cb.n").cast("double")).as("cont_j"))
+      .filter(greatest(col("cont_i"), col("cont_j")) >= ContainmentMin)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d25Sql = shingleCte +
+    s"""
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(len(list_intersect(a.s3, b.s3)) AS BIGINT) AS c,
+       |  CAST(len(a.s3) AS BIGINT) AS n_i, CAST(len(b.s3) AS BIGINT) AS n_j,
+       |  CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+       |    CAST(len(a.s3) AS DOUBLE) AS cont_i,
+       |  CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+       |    CAST(len(b.s3) AS DOUBLE) AS cont_j
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s3, b.s3)) > 0
+       |  AND greatest(
+       |    CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+       |      CAST(len(a.s3) AS DOUBLE),
+       |    CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
+       |      CAST(len(b.s3) AS DOUBLE)) >= $ContainmentMin
        |ORDER BY i, j""".stripMargin
 }

@@ -1088,7 +1088,8 @@ object TextQueries extends QueryPack {
     QueryDef("t26_token_yield", t26, Some(t26Sql)),
     QueryDef("t27_zipf_fit", t27, Some(t27Sql)),
     QueryDef("t28_readability", t28, Some(t28Sql)),
-    QueryDef("t29_rake_keywords", t29, Some(t29Sql)))
+    QueryDef("t29_rake_keywords", t29, Some(t29Sql)),
+    QueryDef("t30_oov_rate", t30, Some(t30Sql)))
 
   /** t26 — effective token yield: the budget number a training run reads
     * first — of all tokens in the raw corpus, how many survive exact
@@ -1223,4 +1224,62 @@ object TextQueries extends QueryPack {
       |FROM top WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
   }
+
+  /** t30 — out-of-vocabulary rate of the held-out splits: build the
+    * distinct token vocabulary of t19's TRAIN split, then measure what
+    * fraction of val/test tokens fall outside it — the leakage-free
+    * vocabulary-coverage check run before committing a tokenizer or
+    * estimating UNK rates (a val split whose OOV rate is near zero while
+    * test's is high also flags a bad split). Same content-stable split
+    * hash as t19, so the splits here ARE t19's splits.
+    *
+    * Scale shape: the vocabulary is a distinct over train tokens and the
+    * membership test a token-keyed left-anti equi-join — both shuffle on
+    * the token (vocabulary-cardinality keys, no corpus-wide hot key), and
+    * the result collapses to two rows. At production vocabulary sizes the
+    * join side stays a shuffle join on purpose (a 10M-type vocab is too
+    * big to broadcast but trivial to co-partition); d16's Bloom pattern is
+    * the drop-in when an approximate pre-filter pays.
+    */
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val frac = hv.cast("double") / lit(4503599627370496.0) // 2^52, exact
+    val split = when(frac < 0.8, "train").when(frac < 0.9, "val")
+      .otherwise(lit("test"))
+    val toks = Tables.documents(s, dir)
+      .select(split.as("split"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.filter(col("split") === "train")
+      .select(col("tok")).distinct()
+    val held = toks.filter(col("split") =!= "train")
+    val oov = held.join(vocab, Seq("tok"), "left_anti")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_oov"))
+    held.groupBy(col("split")).agg(count(lit(1)).as("n_tokens"))
+      .join(oov, Seq("split"), "left")
+      .select(col("split"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("split"))
+  }
+
+  private val t30Sql =
+    """WITH d AS (SELECT
+      |  CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+      |    ELSE 'test' END AS split, text FROM (
+      |  SELECT text,
+      |    CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS frac
+      |  FROM documents)),
+      |tok AS (SELECT split, unnest(string_split(text, ' ')) AS tok FROM d),
+      |vocab AS (SELECT DISTINCT tok FROM tok WHERE split = 'train'),
+      |held AS (SELECT split, tok FROM tok WHERE split <> 'train'),
+      |oov AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_oov FROM held
+      | WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY split),
+      |tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM held
+      | GROUP BY split)
+      |SELECT tot.split AS split, tot.n_tokens, COALESCE(oov.n_oov, 0) AS n_oov,
+      |  CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
+      |    AS oov_rate
+      |FROM tot LEFT JOIN oov ON oov.split = tot.split
+      |ORDER BY tot.split""".stripMargin
 }
