@@ -426,6 +426,58 @@ object MultimodalQueries extends QueryPack {
        |  <= $HammingMax
        |ORDER BY i, j""".stripMargin
 
+  /** m12 — silence-segment extraction: collapse m06's per-frame silence
+    * flags into maximal silent RUNS per audio clip (start/end frame, frame
+    * count, span in samples) — the voice-activity-detection shape every
+    * audio curation pipeline runs to drop dead air and split on pauses
+    * before transcription (frame flags alone can't say "a 3-second gap
+    * starts here").
+    *
+    * Scale shape: framing and energy are per-row codegen (m06); the only
+    * shuffle is the islands window (frame_idx − row_number per media) and
+    * it carries ONLY silent frames — output-bounded, keyed by media_id,
+    * the same trick as d20's contamination runs.
+    */
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.synthesize(s, Tables.documents(s, dir))
+    val frames = Multimodal.audioFrames(media, frameLen = 8, hop = 4,
+      silenceBelow = 131072L)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.filter(col("is_silent") === 1)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"))
+      .select(col("media_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"),
+        (col("n_frames") * 4 + lit(4)).cast("long").as("span_samples"))
+      .orderBy(col("media_id"), col("seg_start"))
+  }
+
+  private val m12Sql = mediaCte +
+    """,
+      |bytes AS (SELECT media_id,
+      |  list_transform(range(0, CAST(octet_length(unhex(content_hex)) AS INTEGER)),
+      |    i -> CAST(('0x' || substr(content_hex, 2*i + 1, 2)) AS BIGINT)) AS bs
+      | FROM media WHERE kind = 'audio'),
+      |fr AS (SELECT media_id, unnest(range(0, (len(bs) - 8) // 4 + 1)) AS f, bs
+      | FROM bytes WHERE len(bs) >= 8),
+      |e AS (SELECT media_id, CAST(f AS BIGINT) AS f,
+      |  CAST(list_sum(list_transform(list_slice(bs, f*4 + 1, f*4 + 8),
+      |    x -> x * x)) AS BIGINT) AS energy
+      | FROM fr),
+      |sil AS (SELECT media_id, f,
+      |  f - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY f) AS grp
+      | FROM e WHERE energy < 131072)
+      |SELECT media_id, CAST(MIN(f) AS BIGINT) AS seg_start,
+      |  CAST(MAX(f) AS BIGINT) AS seg_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(COUNT(*) * 4 + 4 AS BIGINT) AS span_samples
+      |FROM sil GROUP BY media_id, grp
+      |ORDER BY media_id, seg_start""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_media_metadata", m01, Some(m01Sql)),
     QueryDef("m02_decode_features", m02, Some(m02Sql)),
@@ -437,5 +489,6 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m08_bmp_gif_decode", m08, Some(m08Sql)),
     QueryDef("m09_shot_boundaries", m09, Some(m09Sql)),
     QueryDef("m10_perceptual_hash", m10, Some(m10Sql)),
-    QueryDef("m11_phash_pairs", m11, Some(m11Sql)))
+    QueryDef("m11_phash_pairs", m11, Some(m11Sql)),
+    QueryDef("m12_silence_segments", m12, Some(m12Sql)))
 }
