@@ -563,6 +563,82 @@ object JoinQueries extends QueryPack {
       |    AS DOUBLE) / 100.0 AS share_value
       |FROM r ORDER BY p_id, touch_rank""".stripMargin
 
+  /** j14 — SCD2 point-in-time lookup: build a slowly-changing dimension
+    * from each user's CLICK stream (value-band runs: band = cents DIV
+    * 2500, a new version whenever the band changes, half-open
+    * [valid_from, valid_to) intervals), then join every PURCHASE to the
+    * version that was current AT ITS TIMESTAMP — the standard warehouse
+    * fact-to-SCD2 join ("what was the customer's state when they
+    * bought"), which j08 builds the intervals for but nothing consumed.
+    * Half-open intervals make the lookup exact under timestamp ties;
+    * purchases before a user's first click have no version and are
+    * dropped (inner semantics, counted by the caller via row count).
+    *
+    * Scale shape: the dimension build is per-user windows (keyed, spread);
+    * the lookup is an EQUI-join on user_id with the interval predicate as
+    * a join filter — at 100 TB that's one shuffle on the user key, no
+    * range machinery needed because SCD2 lookups always carry the entity
+    * key (the keyless case is j10's range-join-rule territory).
+    */
+  private def j14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) DIV 2500")
+          .as("band"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = clicks
+      .withColumn("prev", lag(col("band"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("band"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(byUser))
+    val iv = runs.groupBy(col("user_id"), col("version"), col("band"))
+      .agg(min(col("ts")).as("valid_from"))
+    val nextRun = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val dim = iv.withColumn("valid_to", lead(col("valid_from"), 1).over(nextRun))
+    val facts = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"),
+        col("value").as("p_value"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("p_id"), facts("user_id").as("user_id"), col("p_value"),
+        col("version"), col("band"))
+      .orderBy(col("p_id"))
+  }
+
+  private val j14Sql =
+    """WITH c AS (SELECT user_id, ts, event_id,
+      |  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) // 2500 AS band
+      | FROM events WHERE event_type = 'click'),
+      |o AS (SELECT user_id, ts, event_id, band,
+      |  CASE WHEN LAG(band) OVER w IS NULL OR LAG(band) OVER w <> band
+      |       THEN 1 ELSE 0 END AS chg
+      | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (SELECT user_id, ts, band,
+      |  CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS version
+      | FROM o),
+      |iv AS (SELECT user_id, version, band, MIN(ts) AS valid_from
+      | FROM r GROUP BY user_id, version, band),
+      |dim AS (SELECT user_id, version, band, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to
+      | FROM iv)
+      |SELECT p.event_id AS p_id, p.user_id AS user_id, p.value AS p_value,
+      |  dim.version, dim.band
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN dim ON dim.user_id = p.user_id
+      | AND p.ts >= dim.valid_from
+      | AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+      |ORDER BY p_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j01_temporal_join", j01, Some(j01Sql)),
     QueryDef("j02_asof_join", j02, Some(j02Sql)),
@@ -576,5 +652,6 @@ object JoinQueries extends QueryPack {
     QueryDef("j10_concurrent_auto", j10, Some(j09Sql)),
     QueryDef("j11_event_transitions", j11, Some(j11Sql)),
     QueryDef("j12_session_paths", j12, Some(j12Sql)),
-    QueryDef("j13_attribution", j13, Some(j13Sql)))
+    QueryDef("j13_attribution", j13, Some(j13Sql)),
+    QueryDef("j14_pit_lookup", j14, Some(j14Sql)))
 }
