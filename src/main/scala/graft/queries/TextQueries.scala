@@ -1089,7 +1089,8 @@ object TextQueries extends QueryPack {
     QueryDef("t27_zipf_fit", t27, Some(t27Sql)),
     QueryDef("t28_readability", t28, Some(t28Sql)),
     QueryDef("t29_rake_keywords", t29, Some(t29Sql)),
-    QueryDef("t30_oov_rate", t30, Some(t30Sql)))
+    QueryDef("t30_oov_rate", t30, Some(t30Sql)),
+    QueryDef("t31_langid_confusion", t31, Some(t31Sql)))
 
   /** t26 — effective token yield: the budget number a training run reads
     * first — of all tokens in the raw corpus, how many survive exact
@@ -1262,6 +1263,48 @@ object TextQueries extends QueryPack {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
       .orderBy(col("split"))
   }
+
+  /** t31 — language-ID confusion matrix: cross-tabulate t02's predicted
+    * language against the labeled one, with per-cell recall (share of the
+    * true language's docs landing in this cell) and precision (share of
+    * the predicted language's docs) — the standard classifier eval
+    * artifact, here grading the engine's OWN t02 heuristic so a profile
+    * regression (a stopword list edit, a tie-break change) shows up as a
+    * moved matrix cell, not a silent drift.
+    *
+    * Scale shape: one per-row codegen prediction pass, one count
+    * aggregate over ≤ |langs|² keys, two window sums over that tiny
+    * matrix. Corpus-size-independent output.
+    */
+  private def t31(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val preds = Tables.documents(s, dir)
+      .select(col("lang").as("true_lang"), langId(col("text")).as("pred_lang"))
+    val cm = preds.groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("true_lang"))
+    val pw = Window.partitionBy(col("pred_lang"))
+    cm.withColumn("n_true", sum(col("n")).over(tw))
+      .withColumn("n_pred", sum(col("n")).over(pw))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        (col("n").cast("double") / col("n_true").cast("double")).as("recall"),
+        (col("n").cast("double") / col("n_pred").cast("double"))
+          .as("precision"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  private val t31Sql =
+    s"""WITH t02 AS ($t02Sql),
+       |cm AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM t02 GROUP BY true_lang, pred_lang),
+       |x AS (SELECT true_lang, pred_lang, n,
+       |  CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT) AS n_true,
+       |  CAST(SUM(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred
+       | FROM cm)
+       |SELECT true_lang, pred_lang, n,
+       |  CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall,
+       |  CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision
+       |FROM x ORDER BY true_lang, pred_lang""".stripMargin
 
   private val t30Sql =
     """WITH d AS (SELECT
