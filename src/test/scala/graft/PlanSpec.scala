@@ -103,7 +103,9 @@ class PlanSpec extends SparkSpecBase {
         "t13_bigram_fluency", "q13_label_quality", "d11_semantic_dedup",
         "d14_minhash_calibration", "d15_semdedup",
         "d24_edit_verify", "m11_phash_pairs", "g03_local_clustering",
-        "j13_attribution")) {
+        "j13_attribution", "d25_containment", "t30_oov_rate",
+        "j14_pit_lookup", "m12_silence_segments", "t31_langid_confusion",
+        "r18_heavy_hitters")) {
       val s = planString(run(name))
       assert(!s.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join, found cartesian")
