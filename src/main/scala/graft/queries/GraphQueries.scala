@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.MinHashLSH
+import graft.operators.{ConnectedComponents, MinHashLSH}
 
 /** Graph analytics over the document similarity graph — the layer a
   * curation pipeline runs AFTER near-dup pair generation: which documents
@@ -197,8 +197,61 @@ object GraphQueries extends QueryPack {
        |WHERE d.deg >= 2
        |ORDER BY doc_id""".stripMargin
 
+  /** g04 — per-component duplicate-cluster profile: for each connected
+    * component of the near-dup graph, its node count, internal edge count,
+    * and edge density 2e/(n(n−1)) — the structural summary a curation run
+    * reads before choosing an eviction policy (density ≈ 1: one template
+    * family, keep one representative; low density: a chain of partial
+    * overlaps that must be evicted pairwise, not collapsed). The component
+    * label is the minimum member doc_id (the ConnectedComponents contract),
+    * mirrored in the oracle's recursive min-label propagation.
+    *
+    * Scale shape: components come from the O(log n) label-propagation /
+    * star-contraction operator (d07's path); the profile itself is two
+    * map-side-combined aggregates (sizes from labels, edges from one
+    * equi-join of the pair list against labels on the i endpoint — both
+    * endpoints share a component by definition, so one join suffices) and
+    * a component-keyed join. No step widens beyond the edge list.
+    */
+  private def g04(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+      .select(col("i"), col("j")).localCheckpoint()
+    val comp = ConnectedComponents.components(pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val ec = pairs.join(comp, pairs("i") === comp("id"))
+      .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(ec, Seq("component"))
+      .select(col("component"), col("n_nodes"), col("n_edges"),
+        (lit(2.0) * col("n_edges").cast("double")
+          / (col("n_nodes") * (col("n_nodes") - 1)).cast("double"))
+          .as("density"))
+      .orderBy(col("component"))
+  }
+
+  private def g04Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (${DedupQueries.minhashPairsCore})),
+       |e2 AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+       |  UNION
+       |  SELECT e2.a, reach.lbl FROM e2 JOIN reach ON e2.b = reach.id
+       |),
+       |comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+       |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |       FROM comp GROUP BY component),
+       |ec AS (SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |       FROM pairs p JOIN comp c ON p.i = c.id GROUP BY c.component)
+       |SELECT sz.component, sz.n_nodes, ec.n_edges,
+       |  2.0 * CAST(ec.n_edges AS DOUBLE)
+       |    / CAST(sz.n_nodes * (sz.n_nodes - 1) AS DOUBLE) AS density
+       |FROM sz JOIN ec ON sz.component = ec.component
+       |ORDER BY sz.component""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(g01Sql)),
     QueryDef("g02_triangles", g02, Some(g02Sql)),
-    QueryDef("g03_local_clustering", g03, Some(g03Sql)))
+    QueryDef("g03_local_clustering", g03, Some(g03Sql)),
+    QueryDef("g04_component_profile", g04, Some(g04Sql)))
 }

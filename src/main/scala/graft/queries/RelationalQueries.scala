@@ -623,7 +623,161 @@ object RelationalQueries extends QueryPack {
     QueryDef("r15_zscore", r15, Some(r15Sql)),
     QueryDef("r16_chisq_drift", r16, Some(r16Sql)),
     QueryDef("r17_ks_drift", r17, Some(r17Sql)),
-    QueryDef("r18_heavy_hitters", r18, Some(r18Sql)))
+    QueryDef("r18_heavy_hitters", r18, Some(r18Sql)),
+    QueryDef("r19_countmin", r19, Some(r19Sql)),
+    QueryDef("r20_autocorr", r20, Some(r20Sql)))
+
+  /** Count-min sketch geometry for r19: depth 4 × width 64 cells, pairwise
+    * hashes h_r(k) = ((a_r·k + b_r) mod P) mod W with a fixed prime P —
+    * integer-exact and engine-independent. Constants are small enough that
+    * a_r·k + b_r stays far below 2⁶³ for any realistic key domain.
+    */
+  private val CmDepth = 4
+  private val CmWidth = 64L
+  private val CmPrime = 1000003L
+  private val CmA = Seq(31L, 37L, 41L, 43L)
+  private val CmB = Seq(7L, 11L, 13L, 17L)
+
+  /** Shared hash-constant VALUES table for the r19 oracle. */
+  private val cmRows = (0 until CmDepth)
+    .map(r => s"(${r}, ${CmA(r)}, ${CmB(r)})").mkString(",")
+
+  /** r19 — count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005), checked against exact counts: build the depth×width counter
+    * grid over `orders.o_custkey`, then for the top-20 true-frequency keys
+    * report the CMS estimate min_r(cell[r][h_r(k)]) and its overcount
+    * (CMS errors are one-sided: est ≥ true always — the oracle hash-match
+    * proves the sketch reproduces exactly, and the overcount column shows
+    * the collision inflation at this width). r13/r18's companion: KMV
+    * answers "how many distinct", CMS answers "how often is key k" in
+    * O(d·w) memory regardless of key cardinality.
+    *
+    * Scale shape: the sketch build is ONE map-side-combined aggregate into
+    * at most d·w = 256 cells — the classic mergeable-summary shape (each
+    * partition combines locally, the reduce moves ≤256 rows per
+    * partition). The probe side is 20 keys × 4 rows joined against the
+    * 256-cell sketch via broadcast. Nothing scales with key cardinality.
+    */
+  private def r19(s: SparkSession, dir: String): DataFrame = {
+    def buckets = array((0 until CmDepth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(pmod(lit(CmA(r)) * col("k") + lit(CmB(r)), lit(CmPrime)),
+          lit(CmWidth)).as("b"))
+    }: _*)
+    val keys = Tables.orders(s, dir)
+      .select(col("o_custkey").cast("long").as("k"))
+    val cells = keys.select(explode(buckets).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+    val truth = keys.groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("k")).limit(20)
+    val probes = truth.select(col("k"), col("true_cnt"), explode(buckets).as("c"))
+      .select(col("k"), col("true_cnt"),
+        col("c.r").as("r"), col("c.b").as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("k"), col("true_cnt"))
+      .agg(min(col("cell")).as("est_cnt"))
+      .select(col("k").as("custkey"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("custkey"))
+  }
+
+  private def r19Sql: String =
+    s"""WITH k AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+       |hh(r, a, b) AS (VALUES $cmRows),
+       |h AS (SELECT k.k, hh.r,
+       |        ((hh.a * k.k + hh.b) % $CmPrime) % $CmWidth AS bkt
+       |      FROM k, hh),
+       |cells AS (SELECT r, bkt, CAST(COUNT(*) AS BIGINT) AS cell
+       |          FROM h GROUP BY r, bkt),
+       |truth AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt
+       |          FROM k GROUP BY k ORDER BY true_cnt DESC, k LIMIT 20),
+       |probes AS (SELECT t.k, t.true_cnt, hh.r,
+       |             ((hh.a * t.k + hh.b) % $CmPrime) % $CmWidth AS bkt
+       |           FROM truth t, hh)
+       |SELECT p.k AS custkey, p.true_cnt, MIN(c.cell) AS est_cnt,
+       |  MIN(c.cell) - p.true_cnt AS overcount
+       |FROM probes p JOIN cells c ON c.r = p.r AND c.bkt = p.bkt
+       |GROUP BY p.k, p.true_cnt
+       |ORDER BY p.true_cnt DESC, custkey""".stripMargin
+
+  /** Autocorrelation lags reported by r20. */
+  private val AcLags = 3
+
+  /** r20 — lag-k autocorrelation of the daily order-count series (k =
+    * 1..[[AcLags]]): the drift/seasonality probe over ingest volume —
+    * near-zero lag-1 says day-to-day volume is independent; high lag-7
+    * would say weekly seasonality (worth knowing before time-based train
+    * splits like t19). Pearson correlation of the series against its
+    * k-shifted self, all moments as exact integer sums (r11's discipline)
+    * with doubles entering only in the final ratio.
+    *
+    * Scale shape: the raw scan reduces FIRST to one row per calendar day
+    * (map-side-combined count), so the windowed lag runs over a series of
+    * |days| rows — thousands, not billions, at any SF; the single-partition
+    * window over that reduced series is deliberate and bounded (same
+    * justification as r14's EWMA scan). Sums are long-exact below 2⁵³
+    * (daily counts ~10⁹ would need day-squared sums > 2⁶³ only past
+    * ~10 000× TPC-H SF100; the oracle routes HUGEINT through VARCHAR so
+    * only Spark's long width bounds it).
+    */
+  private def r20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("d"))
+    val laggy = daily.select(col("c") +: (1 to AcLags).map(kk =>
+      lead(col("c"), kk).over(w).as(s"y$kk")): _*)
+    val pairs = laggy.select(explode(array((1 to AcLags).map(kk =>
+        struct(lit(kk).as("lag"), col("c").as("x"),
+          col(s"y$kk").as("y"))): _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val agg = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    agg.select(col("lag").cast("long").as("lag"), col("n"),
+        ((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+            (d("n") * d("syy") - d("sy") * d("sy")))).as("autocorr"))
+      .orderBy(col("lag"))
+  }
+
+  private def r20Sql: String = {
+    val leads = (1 to AcLags)
+      .map(k => s"LEAD(c, $k) OVER (ORDER BY d) AS y$k").mkString(",\n|  ")
+    val arms = (1 to AcLags).map(k =>
+      s"SELECT $k AS lag, x, y$k AS y FROM l WHERE y$k IS NOT NULL")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY d),
+       |l AS (SELECT c AS x,
+       |  $leads
+       | FROM daily),
+       |p AS (
+       |  $arms),
+       |a AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |  SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+       |  SUM(y*y) AS syy, SUM(x*y) AS sxy FROM p GROUP BY lag),
+       |-- HUGEINT sums route through VARCHAR (see r11): correctly-rounded
+       |-- to DOUBLE, matching Spark's long->double cast
+       |f AS (SELECT lag, n, CAST(n AS DOUBLE) AS nd,
+       |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+       |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+       |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+       |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
+       |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+       | FROM a)
+       |SELECT CAST(lag AS BIGINT) AS lag, n,
+       |  (nd * dxy - dx * dy) /
+       |  sqrt((nd * dxx - dx * dx) * (nd * dyy - dy * dy)) AS autocorr
+       |FROM f ORDER BY lag""".stripMargin
+  }
 
   /** KMV sketch size for r13. */
   private val KmvK = 64
