@@ -654,7 +654,88 @@ object DedupQueries extends QueryPack {
     QueryDef("d22_semantic_decontaminate", d22, Some(d22Sql)),
     QueryDef("d23_band_sweep", d23, Some(d23Sql)),
     QueryDef("d24_edit_verify", d24, Some(d24Sql)),
-    QueryDef("d25_containment", d25, Some(d25Sql)))
+    QueryDef("d25_containment", d25, Some(d25Sql)),
+    QueryDef("d26_winnowing", d26, Some(d26Sql)))
+
+  /** Winnowing window (consecutive 3-gram positions per fingerprint pick)
+    * and the minimum shared-fingerprint count for a reported pair.
+    */
+  private val WinnowW = 4
+  private val WinnowMinShared = 2
+
+  /** d26 — winnowed-fingerprint overlap (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS local-similarity fingerprinting): instead of indexing EVERY
+    * shingle (d02's exact-but-heavy path) or a fixed-size random sample
+    * (d03's MinHash), slide a window of [[WinnowW]] consecutive positional
+    * 3-gram hashes over each document and keep each window's minimum — a
+    * deterministic ~2/(w+1) subsample with the winnowing guarantee that any
+    * shared run of w+2 consecutive tokens yields at least one shared
+    * fingerprint (local similarity, which global MinHash cannot promise).
+    * Pairs sharing ≥ [[WinnowMinShared]] fingerprints are reported with
+    * overlap = shared / min(|fpA|, |fpB|).
+    *
+    * Scale shape: fingerprint selection is a pure per-row array expression
+    * (no shuffle, stays in WholeStageCodegen); candidate pairing reuses the
+    * d02/d25 machinery — explode the (smaller) fingerprint sets, df-capped
+    * CollectCapped group-pairs equi-join on the fingerprint, exact shared
+    * counts from join multiplicity. The index is ~w/2× smaller than d02's
+    * full posting list at the same guarantee level for w-token runs.
+    */
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val m = size(ws)
+    val grams = transform(sequence(lit(1), m - 2), i =>
+      md5(concat_ws(" ", element_at(ws, i.cast("int")),
+        element_at(ws, (i + 1).cast("int")),
+        element_at(ws, (i + 2).cast("int")))))
+    val fps = array_distinct(transform(sequence(lit(1), m - lit(2 + WinnowW - 1)),
+      p => array_min(slice(grams, p.cast("int"), lit(WinnowW)))))
+    val sel = Tables.documents(s, dir).select(col("doc_id"),
+      when(m >= lit(WinnowW + 2), fps)
+        .otherwise(array().cast("array<string>")).as("fps"))
+    val ex = sel.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sizes = sel.select(col("doc_id"), size(col("fps")).as("nf"))
+    val cl = graft.functions.CollectCapped(DefaultMaxDf)
+    val groups = ex.groupBy(col("fp"))
+      .agg(sort_array(cl(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) <= DefaultMaxDf)
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
+        y => struct(x.as("i"), y.as("j")))))
+    groups.select(explode(pairExpr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .join(sizes.as("fa"), col("i") === col("fa.doc_id"))
+      .join(sizes.as("fb"), col("j") === col("fb.doc_id"))
+      .select(col("i"), col("j"), col("n_shared"),
+        col("fa.nf").cast("long").as("nf_i"),
+        col("fb.nf").cast("long").as("nf_j"),
+        (col("n_shared").cast("double") /
+          least(col("fa.nf"), col("fb.nf")).cast("double")).as("overlap"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d26Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+       |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gr
+       |  FROM w WHERE len(ws) >= ${WinnowW + 2}),
+       |f0 AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(gr) - ${WinnowW - 2}),
+       |    p -> list_min(gr[p:p+${WinnowW - 1}]))) AS fps FROM g),
+       |f AS (SELECT doc_id, fps FROM f0
+       |  UNION ALL
+       |  SELECT doc_id, CAST([] AS VARCHAR[]) FROM w WHERE len(ws) < ${WinnowW + 2})
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared,
+       |  CAST(len(a.fps) AS BIGINT) AS nf_i, CAST(len(b.fps) AS BIGINT) AS nf_j,
+       |  CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+       |    CAST(least(len(a.fps), len(b.fps)) AS DOUBLE) AS overlap
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.fps, b.fps)) >= $WinnowMinShared
+       |ORDER BY i, j""".stripMargin
 
   private val BloomBenchK = 100
   private val BloomBits = 1 << 16

@@ -1090,7 +1090,121 @@ object TextQueries extends QueryPack {
     QueryDef("t28_readability", t28, Some(t28Sql)),
     QueryDef("t29_rake_keywords", t29, Some(t29Sql)),
     QueryDef("t30_oov_rate", t30, Some(t30Sql)),
-    QueryDef("t31_langid_confusion", t31, Some(t31Sql)))
+    QueryDef("t31_langid_confusion", t31, Some(t31Sql)),
+    QueryDef("t32_pmi_collocations", t32, Some(t32Sql)),
+    QueryDef("t33_token_entropy", t33, Some(t33Sql)))
+
+  /** t32 minimum bigram count (PMI over rare bigrams is noise). */
+  private val PmiMinCount = 5
+
+  /** t32 — collocation mining by pointwise mutual information: the top-20
+    * adjacent-word bigrams whose corpus-wide co-occurrence most exceeds
+    * the independence expectation. Reported as the PMI RATIO
+    * p(x,y)/(p(x)p(y)) = (c_xy/T)·(N/c_x)·(N/c_y) rather than its log —
+    * the same ranking (log is monotone) without a transcendental in the
+    * cross-engine hash. The curation use: top collocations expose templated
+    * boilerplate ("click here", "all rights") that per-doc dedup misses.
+    *
+    * Scale shape: positional bigram extraction is a per-row array
+    * expression; both count tables are map-side-combined aggregates keyed
+    * by word; the bigram→unigram joins are keyed equi-joins (vocab-sized,
+    * not corpus-sized); totals are one-row broadcasts. Top-20 is
+    * TakeOrderedAndProject.
+    */
+  private def t32(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), i =>
+          struct(element_at(ws, i.cast("int")).as("w1"),
+            element_at(ws, (i + 1).cast("int")).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = docs.select(explode(bigrams).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    val ug = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = docs.select(
+      sum(size(ws)).cast("long").as("n_tok"),
+      sum(greatest(size(ws) - 1, lit(0))).cast("long").as("n_big"))
+    bg.join(ug.as("u1"), col("w1") === col("u1.w"))
+      .join(ug.as("u2"), col("w2") === col("u2.w"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        ((col("c_xy").cast("double") * col("n_tok").cast("double") *
+          col("n_tok").cast("double")) /
+          (col("n_big").cast("double") * col("u1.c").cast("double") *
+            col("u2.c").cast("double"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val t32Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |bg AS (SELECT b.w1, b.w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)),
+       |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+       |    FROM w WHERE len(ws) >= 2) GROUP BY b.w1, b.w2
+       |  HAVING COUNT(*) >= $PmiMinCount),
+       |ug AS (SELECT w AS tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(ws) AS w FROM w) GROUP BY w),
+       |t AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tok,
+       |  CAST(SUM(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_big FROM w)
+       |SELECT bg.w1, bg.w2, bg.c_xy,
+       |  (CAST(bg.c_xy AS DOUBLE) * CAST(t.n_tok AS DOUBLE) *
+       |    CAST(t.n_tok AS DOUBLE)) /
+       |  (CAST(t.n_big AS DOUBLE) * CAST(u1.c AS DOUBLE) *
+       |    CAST(u2.c AS DOUBLE)) AS pmi_ratio
+       |FROM bg JOIN ug u1 ON bg.w1 = u1.tok JOIN ug u2 ON bg.w2 = u2.tok, t
+       |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** t33 — per-document token-distribution entropy, 1e-6-quantized: the
+    * repetitiveness/gibberish signal expressed as Shannon entropy over the
+    * document's own token histogram. To keep the cross-engine hash exact
+    * despite transcendentals, each distinct token's c·ln(c) term is rounded
+    * to integer micro-nats BEFORE summation (float-sum order never matters;
+    * t27's discipline) and the reported score is
+    * ent_micronats = round(ln(n)·1e6) − (Σ round(c·ln(c)·1e6)) / n
+    * (integer division) — the exact entropy quantized at 1e-6 nat, far
+    * below any curation threshold's resolution. Single-token-type docs
+    * score 0; low scores flag template/repetition documents (the
+    * information-theoretic complement of t07's longest-run view).
+    *
+    * Scale shape: one corpus scan → per-(doc, token) map-side-combined
+    * count → per-doc aggregate; everything is keyed by doc_id, no window,
+    * no broadcast, linear in corpus tokens.
+    */
+  private def t33(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val cnt = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6)).cast("long")).as("sclnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round(log(col("n_tokens").cast("double")) * lit(1e6)).cast("long")
+          - expr("sclnc DIV n_tokens")).as("ent_micronats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t33Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY doc_id, w),
+      |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+      |    AS BIGINT)) AS BIGINT) AS sclnc
+      | FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+      |    - sclnc // n_tokens AS ent_micronats
+      |FROM a ORDER BY doc_id""".stripMargin
 
   /** t26 — effective token yield: the budget number a training run reads
     * first — of all tokens in the raw corpus, how many survive exact
