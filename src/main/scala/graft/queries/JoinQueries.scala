@@ -653,5 +653,88 @@ object JoinQueries extends QueryPack {
     QueryDef("j11_event_transitions", j11, Some(j11Sql)),
     QueryDef("j12_session_paths", j12, Some(j12Sql)),
     QueryDef("j13_attribution", j13, Some(j13Sql)),
-    QueryDef("j14_pit_lookup", j14, Some(j14Sql)))
+    QueryDef("j14_pit_lookup", j14, Some(j14Sql)),
+    QueryDef("j15_nearest_join", j15, Some(j15Sql)))
+
+  /** j15 — nearest-neighbor temporal join (pandas merge_asof
+    * direction='nearest'): each purchase matched to the CLOSEST click by
+    * the same user in either time direction — j02's as-of join only looks
+    * backward; attribution models that allow post-purchase confirmation
+    * clicks need both sides. Ties (equidistant before/after) resolve to the
+    * earlier click; a click at the exact purchase instant counts as
+    * 'before' with distance 0.
+    *
+    * Scale shape: ONE shuffle by user_id and one sorted window pass over
+    * the union-tagged event stream — prev-click via last(IGNORE NULLS)
+    * over the preceding frame, next-click via first(IGNORE NULLS) over the
+    * following frame, then a per-row min. The canonical distributed
+    * two-sided as-of: no self-join, no range explosion, per-user state is
+    * one struct in each direction.
+    */
+  private def j15(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+          .as("kind"),
+        when(col("event_type") === "click",
+          struct(col("ts").as("c_ts"), col("event_id").as("c_id")))
+          .as("cs"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("kind"),
+      last(col("cs"), ignoreNulls = true).over(wPrev).as("prev"),
+      first(col("cs"), ignoreNulls = true).over(wNext).as("next"))
+    val p = tagged.filter(col("kind") === 1)
+      .filter(col("prev").isNotNull || col("next").isNotNull)
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("prev.c_ts"))
+    val dNext = unix_micros(col("next.c_ts")) - unix_micros(col("ts"))
+    val usePrev = col("next").isNull ||
+      (col("prev").isNotNull && dPrev <= dNext)
+    p.select(col("event_id").as("p_id"), col("user_id"),
+        when(usePrev, col("prev.c_id")).otherwise(col("next.c_id")).as("c_id"),
+        when(usePrev, lit("before")).otherwise(lit("after")).as("direction"),
+        when(usePrev, dPrev).otherwise(dNext).as("diff_us"))
+      .orderBy(col("p_id"))
+  }
+
+  private val j15Sql =
+    """WITH ev AS (SELECT event_id, ts, user_id,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+      |    CASE WHEN event_type = 'click' THEN ts END AS c_ts,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |t AS (SELECT event_id, ts, user_id, kind,
+      |  LAST_VALUE(c_ts IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, kind, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+      |  LAST_VALUE(c_id IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, kind, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+      |  FIRST_VALUE(c_ts IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, kind, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts,
+      |  FIRST_VALUE(c_id IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, kind, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id
+      | FROM ev),
+      |p AS (SELECT * FROM t WHERE kind = 1
+      |  AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)),
+      |d AS (SELECT event_id AS p_id, user_id,
+      |  epoch_us(ts) - epoch_us(prev_ts) AS d_prev,
+      |  epoch_us(next_ts) - epoch_us(ts) AS d_next,
+      |  prev_id, next_id,
+      |  (next_ts IS NULL OR (prev_ts IS NOT NULL
+      |     AND epoch_us(ts) - epoch_us(prev_ts)
+      |         <= epoch_us(next_ts) - epoch_us(ts))) AS use_prev
+      | FROM p)
+      |SELECT p_id, user_id,
+      |  CASE WHEN use_prev THEN prev_id ELSE next_id END AS c_id,
+      |  CASE WHEN use_prev THEN 'before' ELSE 'after' END AS direction,
+      |  CASE WHEN use_prev THEN d_prev ELSE d_next END AS diff_us
+      |FROM d ORDER BY p_id""".stripMargin
 }

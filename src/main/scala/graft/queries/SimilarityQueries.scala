@@ -1316,5 +1316,68 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s15_mips_topk", s15, Some(s15Sql)),
     QueryDef("s16_jl_recall", s16, Some(s16Sql)),
     QueryDef("s17_knn_classify", s17, Some(s17Sql)),
-    QueryDef("s18_mmr_diversity", s18, Some(s18Sql)))
+    QueryDef("s18_mmr_diversity", s18, Some(s18Sql)),
+    QueryDef("s19_hamming_knn", s19, Some(s19Sql)))
+
+  /** s19 — binary-code nearest neighbors: 64-bit sign binarization
+    * (bit i = embedding[i] > 0 — the 1-bit quantizer of LSH/ITQ binary
+    * embedding schemes) packed into two 32-bit words, then exact top-5 by
+    * Hamming distance for the standard query sample. The cheapest ANN
+    * memory tier: 8 bytes/vector (32× smaller than float32) and distance
+    * is two XOR+popcount ops — the code layout a 100 TB store would keep
+    * in RAM as the first-pass filter before exact re-ranking (s13's ADC is
+    * the multi-bit refinement of the same idea).
+    *
+    * Scale shape: code packing is a per-row integer expression inside
+    * WholeStageCodegen; the fixed-k probe set broadcasts into one linear
+    * corpus scan (O(k·n) popcounts, no shuffle of the corpus); per-query
+    * top-5 rides the partial-combinable TopKByScore aggregator.
+    */
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    def word(off: Int): Column = aggregate(
+      transform(sequence(lit(0), lit(31)), i =>
+        when(element_at(col("embedding"), (i + lit(off + 1)).cast("int")) > 0,
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+    val probes = codes.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
+      .select(col("vec_id").as("query_id"),
+        col("w0").as("q0"), col("w1").as("q1"))
+    val scored = codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("q0").bitwiseXOR(col("w0"))) +
+          bit_count(col("q1").bitwiseXOR(col("w1")))).cast("long").as("ham"))
+    val topk = graft.functions.TopKByScore(5)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), -col("ham").cast("double")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("ham"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def s19Sql: String =
+    s"""WITH c AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(0, 32), i ->
+       |    CASE WHEN embedding[i + 1] > 0
+       |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS w0,
+       |  CAST(list_sum(list_transform(range(0, 32), i ->
+       |    CASE WHEN embedding[i + 33] > 0
+       |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS w1
+       | FROM embeddings),
+       |qs AS (${sampleSql(QueryK)}),
+       |p AS (SELECT q.vec_id AS query_id, q.w0 AS q0, q.w1 AS q1
+       |      FROM c q WHERE q.vec_id IN (SELECT vec_id FROM qs)),
+       |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  CAST(bit_count(xor(p.q0, c.w0)) + bit_count(xor(p.q1, c.w1))
+       |    AS BIGINT) AS ham
+       | FROM c, p WHERE c.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, ham,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY ham, neighbor_id) AS rk FROM sc)
+       |SELECT query_id, rk, neighbor_id, ham FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
 }
