@@ -221,6 +221,130 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic synthetic WAV payloads: a canonical 44-byte RIFF/WAVE
+    * header plus 8-bit PCM data, every field a closed-form function of
+    * media_id (sample rate 8000+(id%4)·4000, channels 1+(id%2), frames
+    * 64+(id%16)·16, data byte j = (7j+id) mod 256) — so a SQL oracle can
+    * recompute what a correct encode→parse round trip must report without
+    * ever touching bytes. The audio analog of [[synthesizeImage]].
+    */
+  def synthesizeWav(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val idIdx = ids.schema.fieldIndex("media_id")
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        val sampleRate = (8000 + (mid % 4) * 4000).toInt
+        val channels = (1 + (mid % 2)).toInt
+        val frames = (64 + (mid % 16) * 16).toInt
+        val blockAlign = channels // 8-bit PCM: 1 byte per sample
+        val dataLen = frames * blockAlign
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort) // PCM
+          .putShort(channels.toShort).putInt(sampleRate)
+          .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+          .putShort(8.toShort)
+        bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var j = 0
+        while (j < dataLen) {
+          bb.put(((7L * j + mid) % 256).toByte)
+          j += 1
+        }
+        Row(mid, "audio", bb.array())
+      }
+    }(enc)
+  }
+
+  /** RIFF/WAVE header parser — a REAL chunk-walking binary parser (verifies
+    * the RIFF/WAVE magics, then scans chunks by id+size, tolerating any
+    * chunk order and unknown chunks) over the opaque content column. Emits
+    * the fmt fields, the data-chunk length and its byte sum (proof the
+    * payload round-tripped, not just the header), and the derived duration.
+    * Runs as batched partition processing like [[decodeFeatures]]; malformed
+    * payloads yield null fields rather than failing the scan (the 100 TB
+    * posture: a corrupt object must not kill the job).
+    */
+  def parseWavHeader(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", LongType, nullable = true),
+      StructField("n_channels", LongType, nullable = true),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("byte_rate", LongType, nullable = true),
+      StructField("block_align", LongType, nullable = true),
+      StructField("bits_per_sample", LongType, nullable = true),
+      StructField("data_len", LongType, nullable = true),
+      StructField("data_sum", LongType, nullable = true),
+      StructField("duration_us", LongType, nullable = true)))
+    val enc = Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        parseWav(bytes) match {
+          case Some(w) =>
+            Row(mid, w.fmt, w.channels, w.sampleRate, w.byteRate,
+              w.blockAlign, w.bits, w.dataLen, w.dataSum,
+              if (w.byteRate > 0) w.dataLen * 1000000L / w.byteRate else null)
+          case None =>
+            Row(mid, null, null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  private final case class WavInfo(fmt: Long, channels: Long,
+      sampleRate: Long, byteRate: Long, blockAlign: Long, bits: Long,
+      dataLen: Long, dataSum: Long)
+
+  private def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var off = 12
+    var fmtOpt: Option[(Long, Long, Long, Long, Long, Long)] = None
+    var dataOpt: Option[(Long, Long)] = None
+    while (off + 8 <= bytes.length) {
+      val id = tag4(off)
+      val size = bb.getInt(off + 4).toLong & 0xffffffffL
+      val body = off + 8
+      if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
+        fmtOpt = Some((
+          (bb.getShort(body).toLong & 0xffff),
+          (bb.getShort(body + 2).toLong & 0xffff),
+          bb.getInt(body + 4).toLong & 0xffffffffL,
+          bb.getInt(body + 8).toLong & 0xffffffffL,
+          (bb.getShort(body + 12).toLong & 0xffff),
+          (bb.getShort(body + 14).toLong & 0xffff)))
+      } else if (id == "data" && body + size <= bytes.length) {
+        var sum = 0L
+        var j = 0
+        while (j < size) {
+          sum += bytes(body + j).toLong & 0xff
+          j += 1
+        }
+        dataOpt = Some((size, sum))
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off = body + size.toInt + (size.toInt & 1)
+    }
+    for ((f, ch, sr, br, ba, bits) <- fmtOpt; (dl, ds) <- dataOpt)
+      yield WavInfo(f, ch, sr, br, ba, bits, dl, ds)
+  }
+
   /** Aspect-preserving resize metadata: fit (width, height) into a
     * maxDim bounding box, never upscaling — pure column expressions, no
     * decode needed (the real resize kernel would run in the decode pass).

@@ -490,5 +490,43 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m09_shot_boundaries", m09, Some(m09Sql)),
     QueryDef("m10_perceptual_hash", m10, Some(m10Sql)),
     QueryDef("m11_phash_pairs", m11, Some(m11Sql)),
-    QueryDef("m12_silence_segments", m12, Some(m12Sql)))
+    QueryDef("m12_silence_segments", m12, Some(m12Sql)),
+    QueryDef("m13_wav_header", m13, Some(m13Sql)))
+
+  /** m13 — the audio codec seam, oracle-checked end to end (m07's WAV
+    * counterpart): synthesize a genuine RIFF/WAVE file per selected doc
+    * (canonical 44-byte header + 8-bit PCM, every field closed-form in
+    * media_id — `Multimodal.synthesizeWav`), then parse it back through the
+    * real chunk-walking header parser (`Multimodal.parseWavHeader`) and
+    * report fmt fields, data length, data byte-sum, and derived duration.
+    * The oracle recomputes all of it arithmetically with no RIFF code: a
+    * wrong encode, a wrong parse, a mis-read little-endian field, or a
+    * dropped/duplicated data byte all hash-mismatch.
+    */
+  private def m13(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(29)) === 1)
+    Multimodal.parseWavHeader(Multimodal.synthesizeWav(ids))
+      .orderBy(col("media_id"))
+  }
+
+  private val m13Sql =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+      |  WHERE doc_id % 29 = 1),
+      |p AS (SELECT media_id,
+      |  CAST(8000 + (media_id % 4) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + (media_id % 2) AS BIGINT) AS n_channels,
+      |  CAST(64 + (media_id % 16) * 16 AS BIGINT) AS n_frames FROM ids),
+      |d AS (SELECT media_id, sample_rate, n_channels,
+      |  n_channels AS block_align,
+      |  sample_rate * n_channels AS byte_rate,
+      |  n_frames * n_channels AS data_len FROM p)
+      |SELECT media_id, CAST(1 AS BIGINT) AS fmt, n_channels, sample_rate,
+      |  byte_rate, block_align, CAST(8 AS BIGINT) AS bits_per_sample,
+      |  data_len,
+      |  CAST(list_sum(list_transform(range(0, data_len),
+      |    j -> (7 * j + media_id) % 256)) AS BIGINT) AS data_sum,
+      |  data_len * 1000000 // byte_rate AS duration_us
+      |FROM d ORDER BY media_id""".stripMargin
 }
