@@ -200,4 +200,58 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.toSeq.contains((320, 240, 320, 240)), "small images untouched")
     assert(got.toSeq.contains((960, 720, 512, 384)), "aspect preserved")
   }
+
+  test("WAV parser: round trip, chunk-order tolerance, malformed payloads") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 1. synthesize → parse reproduces every closed-form field
+    val ids = spark.range(1, 4).select(col("id").as("media_id"))
+    val parsed = Multimodal.parseWavHeader(Multimodal.synthesizeWav(ids))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (mid <- 1L to 3L) {
+      val r = parsed(mid)
+      val sr = 8000 + (mid % 4) * 4000
+      val ch = 1 + (mid % 2)
+      val frames = 64 + (mid % 16) * 16
+      val dl = frames * ch
+      assert(r.getLong(1) == 1L, "fmt = PCM")
+      assert(r.getLong(2) == ch && r.getLong(3) == sr)
+      assert(r.getLong(4) == sr * ch && r.getLong(5) == ch)
+      assert(r.getLong(6) == 8L && r.getLong(7) == dl)
+      val expSum = (0L until dl).map(j => (7L * j + mid) % 256).sum
+      assert(r.getLong(8) == expSum, "data bytes round-trip exactly")
+      assert(r.getLong(9) == dl * 1000000L / (sr * ch))
+    }
+    // 2. an unknown odd-sized chunk BEFORE fmt/data must be skipped with
+    // word-alignment padding, and fields still extracted
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 3 + 1) + (8 + 16) + (8 + 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + 16 + 12 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3)).put(0.toByte) // odd size → pad byte
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(8000)
+      .putShort(1.toShort).putShort(8.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+      .put(Array[Byte](10, 20, 30, 40))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val weird = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7L, bb.array()),
+        Row(8L, Array.fill[Byte](30)(42)), // garbage: no RIFF magic
+        Row(9L, "RIFF1234WAVE".getBytes("US-ASCII"))), // header, no chunks
+      schema)
+    val out = Multimodal.parseWavHeader(weird)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = out(7L)
+    assert(ok.getLong(3) == 8000L && ok.getLong(7) == 4L &&
+      ok.getLong(8) == 100L, "chunk walker skips unknown odd chunk")
+    // 3. malformed payloads yield null fields, never an exception
+    assert(ok.getLong(9) == 4L * 1000000L / 8000L)
+    assert(out(8L).isNullAt(1) && out(8L).isNullAt(7), "garbage → nulls")
+    assert(out(9L).isNullAt(1), "chunkless RIFF → nulls")
+  }
 }

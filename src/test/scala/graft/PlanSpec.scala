@@ -105,7 +105,8 @@ class PlanSpec extends SparkSpecBase {
         "d24_edit_verify", "m11_phash_pairs", "g03_local_clustering",
         "j13_attribution", "d25_containment", "t30_oov_rate",
         "j14_pit_lookup", "m12_silence_segments", "t31_langid_confusion",
-        "r18_heavy_hitters")) {
+        "r18_heavy_hitters", "g04_component_profile", "d26_winnowing",
+        "t32_pmi_collocations", "j15_nearest_join")) {
       val s = planString(run(name))
       assert(!s.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join, found cartesian")
@@ -644,6 +645,47 @@ class PlanSpec extends SparkSpecBase {
     assert(!g02.contains("CartesianProduct"),
       "triangle join must be keyed on shared endpoints")
     assert("HashAggregate".r.findAllIn(g02).size >= 2)
+  }
+
+  test("round-9 additions keep scale shapes (r19/r20/t32/t33/s19/j15)") {
+    // r19 CMS: the sketch build is a partial-combined aggregate into ≤256
+    // cells; the 20-key probe joins the sketch via broadcast, never a
+    // shuffle of the key space
+    val r19 = planString(run("r19_countmin"))
+    assert("HashAggregate".r.findAllIn(r19).size >= 2,
+      "sketch cells partial-combine map-side")
+    assert(r19.contains("BroadcastHashJoin"),
+      "probe rows join the 256-cell sketch as a broadcast")
+    assert(!r19.contains("CartesianProduct"))
+    // r20 autocorr: the raw scan reduces to one row per day BEFORE the
+    // single-partition series window — the window input is the reduced
+    // aggregate, never the orders scan
+    val r20 = planString(run("r20_autocorr"))
+    assert("HashAggregate".r.findAllIn(r20).size >= 2,
+      "daily counts partial-combine before the series window")
+    assert(!r20.contains("Join"), "the series never joins back to the scan")
+    // t32 PMI: bigram→unigram lookups are keyed hash joins; only the 1-row
+    // totals frame broadcasts; top-20 is TakeOrdered
+    val t32 = planString(run("t32_pmi_collocations"))
+    assert(!t32.contains("CartesianProduct"))
+    assert(t32.contains("TakeOrderedAndProject"),
+      "top-20 collocations ship ≤20 rows per partition")
+    // t33 token entropy: keyed aggregates only — no join, no window
+    val t33 = planString(run("t33_token_entropy"))
+    assert(!t33.contains("Join") && !t33.contains("Window"),
+      "entropy is two keyed aggregates over one scan")
+    // s19 Hamming kNN: fixed-k probes broadcast into one linear corpus
+    // scan; ranking is the partial TopK aggregator, not a window sort
+    val s19 = planString(run("s19_hamming_knn"))
+    assert(s19.contains("BroadcastNestedLoopJoin") ||
+      s19.contains("BroadcastHashJoin"),
+      "the probe set must broadcast")
+    assert(!s19.contains("SortMergeJoin") && !s19.contains("CartesianProduct"))
+    assert(!s19.contains("Window"), "top-5 rides TopKByScore, not row_number")
+    // j15 nearest join: ONE user-keyed window pass, no self-join at all
+    val j15 = planString(run("j15_nearest_join"))
+    assert(!j15.contains("Join"), "two-sided as-of must not self-join")
+    assert(j15.contains("Window"), "prev/next ride one sorted window pass")
   }
 
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
