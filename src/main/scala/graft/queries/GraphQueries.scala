@@ -249,9 +249,63 @@ object GraphQueries extends QueryPack {
        |FROM sz JOIN ec ON sz.component = ec.component
        |ORDER BY sz.component""".stripMargin
 
+  /** g05 — degree assortativity of the near-dup graph: the Pearson
+    * correlation of endpoint degrees over the (both-direction) edge list
+    * (Newman 2002). Positive r: high-degree documents link to each other
+    * (duplication concentrates in template families — cluster-level
+    * eviction is safe); negative r: hubs link to leaves (star-shaped
+    * boilerplate inclusion — evict around the hub instead). Complements
+    * g02's clustering view with the mixing view.
+    *
+    * Determinism: degree sums are exact integers (r11's discipline);
+    * doubles enter only in the final ratio, identically shaped in both
+    * engines.
+    *
+    * Scale shape: degrees are one map-side-combined aggregate; attaching
+    * them to edges is two keyed equi-joins; the moment sums are one
+    * partial-combined single-group aggregate. Nothing widens beyond the
+    * edge list.
+    */
+  private def g05(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ends = e.join(deg.select(col("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+    val agg = ends.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    agg.select(col("m").as("n_directed_edges"),
+      ((d("m") * d("sxy") - d("sx") * d("sy")) /
+        sqrt((d("m") * d("sxx") - d("sx") * d("sx")) *
+          (d("m") * d("syy") - d("sy") * d("sy")))).as("assortativity"))
+  }
+
+  private def g05Sql: String =
+    s"""$graphCtes,
+       |ends AS (SELECT da.deg AS dx, db.deg AS dy
+       |  FROM e JOIN d da ON e.u = da.u JOIN d db ON e.v = db.u),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |  SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx*dx) AS sxx,
+       |  SUM(dy*dy) AS syy, SUM(dx*dy) AS sxy FROM ends),
+       |-- HUGEINT sums route through VARCHAR (r11's rule)
+       |f AS (SELECT m, CAST(m AS DOUBLE) AS md,
+       |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+       |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+       |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+       |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
+       |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy FROM a)
+       |SELECT m AS n_directed_edges,
+       |  (md * dxy - dx * dy) /
+       |  sqrt((md * dxx - dx * dx) * (md * dyy - dy * dy)) AS assortativity
+       |FROM f""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(g01Sql)),
     QueryDef("g02_triangles", g02, Some(g02Sql)),
     QueryDef("g03_local_clustering", g03, Some(g03Sql)),
-    QueryDef("g04_component_profile", g04, Some(g04Sql)))
+    QueryDef("g04_component_profile", g04, Some(g04Sql)),
+    QueryDef("g05_assortativity", g05, Some(g05Sql)))
 }

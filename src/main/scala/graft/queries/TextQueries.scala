@@ -1092,7 +1092,60 @@ object TextQueries extends QueryPack {
     QueryDef("t30_oov_rate", t30, Some(t30Sql)),
     QueryDef("t31_langid_confusion", t31, Some(t31Sql)),
     QueryDef("t32_pmi_collocations", t32, Some(t32Sql)),
-    QueryDef("t33_token_entropy", t33, Some(t33Sql)))
+    QueryDef("t33_token_entropy", t33, Some(t33Sql)),
+    QueryDef("t34_chunk_dedup", t34, Some(t34Sql)))
+
+  /** t34 chunk width in tokens (non-overlapping). */
+  private val ChunkC = 8
+
+  /** t34 — INTRA-document span dedup: split each document into
+    * non-overlapping [[ChunkC]]-token chunks, drop exact repeats of an
+    * earlier chunk, and report the token yield. The sub-document
+    * granularity the d-family's whole-doc operators never touch: a page
+    * whose body repeats a navigation block survives whole-doc dedup
+    * (unique overall) but still feeds the trainer the same span dozens of
+    * times — this measures exactly that redundancy (the within-doc
+    * companion of t07's character-run repetition view).
+    *
+    * Scale shape: pure per-row array expressions (chunking, distinct,
+    * token re-count) inside whole-stage codegen — no shuffle, no explode;
+    * the corpus streams through at parquet-read speed.
+    */
+  private def t34(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val m = size(ws)
+    val nc = expr(s"CAST(ceil(size(split(text, ' ')) / ${ChunkC}.0) AS INT)")
+    val chunks = transform(sequence(lit(0), nc - 1),
+      k => concat_ws(" ", slice(ws, (k * ChunkC + 1).cast("int"), lit(ChunkC))))
+    val uniq = array_distinct(chunks)
+    val tokensOut = aggregate(uniq, lit(0L),
+      (acc, c) => acc + size(split(c, " ")))
+    Tables.documents(s, dir).select(
+      col("doc_id"), m.cast("long").as("n_tokens"),
+      size(chunks).cast("long").as("n_chunks"),
+      size(uniq).cast("long").as("n_unique"),
+      tokensOut.as("tokens_out"),
+      (tokensOut.cast("double") / m.cast("double")).as("yield_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t34Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id, len(ws) AS m,
+       |  list_transform(range(0, CAST(ceil(len(ws) / ${ChunkC}.0) AS BIGINT)),
+       |    k -> array_to_string(ws[(k * $ChunkC + 1):(k * $ChunkC + $ChunkC)],
+       |      ' ')) AS chunks
+       | FROM w),
+       |u AS (SELECT doc_id, m, chunks, list_distinct(chunks) AS uniq FROM c),
+       |t AS (SELECT doc_id, m, chunks, uniq,
+       |  CAST(list_sum(list_transform(uniq,
+       |    x -> len(string_split(x, ' ')))) AS BIGINT) AS tokens_out
+       | FROM u)
+       |SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+       |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+       |  CAST(len(uniq) AS BIGINT) AS n_unique, tokens_out,
+       |  CAST(tokens_out AS DOUBLE) / CAST(m AS DOUBLE) AS yield_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** t32 minimum bigram count (PMI over rare bigrams is noise). */
   private val PmiMinCount = 5
