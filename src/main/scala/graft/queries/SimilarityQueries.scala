@@ -1317,7 +1317,210 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s16_jl_recall", s16, Some(s16Sql)),
     QueryDef("s17_knn_classify", s17, Some(s17Sql)),
     QueryDef("s18_mmr_diversity", s18, Some(s18Sql)),
-    QueryDef("s19_hamming_knn", s19, Some(s19Sql)))
+    QueryDef("s19_hamming_knn", s19, Some(s19Sql)),
+    QueryDef("s20_ivfpq", s20, Some(s20Sql)))
+
+  /** Probed cells per query for s20 (of [[IvfK]] IVF cells). */
+  private val IvfPqProbe = 4
+
+  /** s20 — IVF-PQ (IVFADC, Jégou et al. 2011): the composition the
+    * separate stages rehearse — s04's inverted-file coarse quantizer picks
+    * WHICH vectors to score, s13's product-quantization ADC decides HOW to
+    * score them, and the PQ codes encode the RESIDUAL v − centroid(cell)
+    * (residuals concentrate near 0, so the same [[CodeK]] sub-centroids
+    * quantize far finer than they would raw vectors). This is the
+    * architecture a 100 TB vector store actually deploys: 8 bytes of codes
+    * + 1 cell id per vector in RAM, exact vectors cold.
+    *
+    * Scale shape: both codebooks are FIXED-size (IvfK cells, CodeK
+    * sub-centroids) — collected once, shipped as expression literals, so
+    * cell assignment and code encoding are per-row NearestCell codegen
+    * folds: the corpus never shuffles and nothing driver-side grows with
+    * n. The search never scans the corpus either: candidates come from an
+    * EQUI-JOIN on the cell id against the broadcast (query × probed-cell)
+    * LUT table — the inverted-file contract — and per-query top-5 rides
+    * the partial-combinable TopKByScore.
+    *
+    * Determinism: every distance is exact integer L2² (quantized ints;
+    * residual subtraction exact); every argmin breaks ties toward the
+    * smaller id (NearestCell's strict-less rule = the oracle's
+    * ROW_NUMBER(ORDER BY d2, c_id); the driver-side sample assignment
+    * replicates the same rule in plain Scala).
+    */
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    val vq = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    // IVF codebook: fixed-IvfK salted sample, collected once (O(IvfK·64))
+    val centIds = vq.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#ivf"))),
+        col("vec_id"))
+      .limit(IvfK)
+    val cents: Array[(Long, Array[Long])] =
+      vq.join(broadcast(centIds), "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1)
+    val cIds = cents.map(_._1)
+    val cVecs = cents.map(_._2)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // driver-side nearest cell, same strict-less / smaller-id rule
+    def nearestCell(v: Array[Long]): Int = {
+      var best = 0; var bd = l2(v, cVecs(0)); var i = 1
+      while (i < cVecs.length) {
+        val d = l2(v, cVecs(i)); if (d < bd) { bd = d; best = i }; i += 1
+      }
+      best
+    }
+    // PQ codebook over RESIDUALS of the '#pq'-salted CodeK sample
+    val pqIds = vq.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#pq"))),
+        col("vec_id"))
+      .limit(CodeK)
+    val pqSample: Array[(Long, Array[Long])] =
+      vq.join(broadcast(pqIds), "vec_id").collect()
+        .map { r =>
+          val v = r.getSeq[Long](1).toArray
+          val cv = cVecs(nearestCell(v))
+          r.getLong(0) -> v.indices.map(i => v(i) - cv(i)).toArray
+        }
+        .sortBy(_._1)
+    val subBooks: IndexedSeq[(Array[Long], Array[Array[Long]])] =
+      (0 until SubSpaces).map { i =>
+        (pqSample.map(_._1),
+          pqSample.map(_._2.slice(i * SubDim, (i + 1) * SubDim)))
+      }
+    // centroid lookup map literal: cell id → centroid vector
+    val centMap = map_from_arrays(
+      array(cIds.map(lit): _*),
+      array(cVecs.map(cv => array(cv.map(lit): _*)): _*))
+    // corpus hot pass: one cell NearestCell + residual + 4 code NearestCells,
+    // all inside whole-stage codegen, zero shuffle
+    val assigned = vq
+      .withColumn("cell", graft.functions.NearestCell(col("v"), cIds, cVecs))
+      .withColumn("r",
+        zip_with(col("v"), element_at(centMap, col("cell")), (a, b) => a - b))
+    val coded = assigned.select(col("vec_id"), col("cell"),
+      array((0 until SubSpaces).map { i =>
+        graft.functions.NearestCell(
+          slice(col("r"), i * SubDim + 1, SubDim),
+          subBooks(i)._1, subBooks(i)._2)
+      }: _*).as("codes"))
+    // query side: probe the IvfPqProbe nearest cells, build one LUT per
+    // (query, probed cell) from the query's residual AGAINST THAT CELL
+    val centArr = array(cents.map { case (id, cv) =>
+      struct(lit(id).as("c_id"), array(cv.map(lit): _*).as("c_v"))
+    }: _*)
+    val topc = TopKByScore(IvfPqProbe)
+    val qv = vq.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v"))
+    val probes = qv.select(col("query_id"), col("v"),
+        explode(centArr).as("c"))
+      .select(col("query_id"), col("v"), col("c.c_id").as("cell"),
+        (dotLong(col("v"), col("v"))
+          - lit(2L) * dotLong(col("v"), col("c.c_v"))
+          + dotLong(col("c.c_v"), col("c.c_v"))).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(topc(col("cell"), -col("d2").cast("double")).as("pc"))
+      .select(col("query_id"), explode(col("pc.id")).as("cell"))
+    def d2sub(sv: Column, csv: Column): Column =
+      dotLong(sv, sv) - lit(2L) * dotLong(sv, csv) + dotLong(csv, csv)
+    val luts = probes.join(qv, "query_id")
+      .withColumn("qr",
+        zip_with(col("v"), element_at(centMap, col("cell")), (a, b) => a - b))
+      .withColumn("luts", array((0 until SubSpaces).map { i =>
+        val sv = slice(col("qr"), i * SubDim + 1, SubDim)
+        map_from_entries(array(subBooks(i)._1.indices.map { j =>
+          struct(lit(subBooks(i)._1(j)),
+            d2sub(sv, array(subBooks(i)._2(j).map(lit): _*)))
+        }: _*))
+      }: _*))
+      .select(col("query_id"), col("cell"), col("luts"))
+    // the IVF payoff: candidates via EQUI-JOIN on the cell id
+    val pairs = coded.join(broadcast(luts), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-aggregate(
+          zip_with(col("codes"), col("luts"), (code, m) => element_at(m, code)),
+          lit(0L), (a, x) => a + x)).cast("double").as("cos"))
+    topkRank(pairs, 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        (-col("cos")).cast("long").as("adc_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def s20Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |cid AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#ivf'), vec_id LIMIT $IvfK),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM q
+       |  WHERE vec_id IN (SELECT vec_id FROM cid)),
+       |ad AS (SELECT q.vec_id, cent.cell, cent.cv,
+       |  CAST(list_dot_product(q.v::DOUBLE[], q.v::DOUBLE[])
+       |     - 2 * list_dot_product(q.v::DOUBLE[], cent.cv::DOUBLE[])
+       |     + list_dot_product(cent.cv::DOUBLE[], cent.cv::DOUBLE[]) AS BIGINT)
+       |    AS d2
+       | FROM q, cent),
+       |asg AS (SELECT vec_id, cell, cv FROM (
+       |    SELECT vec_id, cell, cv,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |res AS (SELECT q.vec_id, asg.cell,
+       |  list_transform(range(1, 65), i -> q.v[i] - asg.cv[i]) AS r
+       | FROM q JOIN asg ON q.vec_id = asg.vec_id),
+       |pqid AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#pq'), vec_id LIMIT $CodeK),
+       |ss AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+       |pcb AS (SELECT sub, res.vec_id AS c_id,
+       |  list_slice(r, sub * $SubDim + 1, sub * $SubDim + $SubDim) AS c_sv
+       | FROM res, ss WHERE res.vec_id IN (SELECT vec_id FROM pqid)),
+       |rsl AS (SELECT vec_id, cell, sub,
+       |  list_slice(r, sub * $SubDim + 1, sub * $SubDim + $SubDim) AS sv
+       | FROM res, ss),
+       |cd AS (SELECT rsl.vec_id, rsl.cell, rsl.sub, pcb.c_id,
+       |  CAST(list_dot_product(rsl.sv::DOUBLE[], rsl.sv::DOUBLE[])
+       |     - 2 * list_dot_product(rsl.sv::DOUBLE[], pcb.c_sv::DOUBLE[])
+       |     + list_dot_product(pcb.c_sv::DOUBLE[], pcb.c_sv::DOUBLE[])
+       |    AS BIGINT) AS d2
+       | FROM rsl JOIN pcb ON rsl.sub = pcb.sub),
+       |codes AS (SELECT vec_id, cell, sub, c_id FROM (
+       |    SELECT vec_id, cell, sub, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_id)
+       |        AS rn FROM cd) WHERE rn = 1),
+       |qs AS (${sampleSql(QueryK)}),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ad WHERE vec_id IN (SELECT vec_id FROM qs))
+       |  WHERE rn <= $IvfPqProbe),
+       |qres AS (SELECT p.query_id, p.cell,
+       |  list_transform(range(1, 65), i -> q.v[i] - cent.cv[i]) AS qr
+       | FROM probes p JOIN q ON q.vec_id = p.query_id
+       |   JOIN cent ON cent.cell = p.cell),
+       |qsl AS (SELECT query_id, cell, sub,
+       |  list_slice(qr, sub * $SubDim + 1, sub * $SubDim + $SubDim) AS sv
+       | FROM qres, ss),
+       |lut AS (SELECT qsl.query_id, qsl.cell, qsl.sub, pcb.c_id,
+       |  CAST(list_dot_product(qsl.sv::DOUBLE[], qsl.sv::DOUBLE[])
+       |     - 2 * list_dot_product(qsl.sv::DOUBLE[], pcb.c_sv::DOUBLE[])
+       |     + list_dot_product(pcb.c_sv::DOUBLE[], pcb.c_sv::DOUBLE[])
+       |    AS BIGINT) AS d2
+       | FROM qsl JOIN pcb ON qsl.sub = pcb.sub),
+       |adc AS (SELECT l.query_id, n.vec_id AS neighbor_id,
+       |  CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+       | FROM codes n JOIN lut l
+       |   ON n.cell = l.cell AND n.sub = l.sub AND n.c_id = l.c_id
+       | WHERE n.vec_id <> l.query_id
+       | GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_d2,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2, neighbor_id) AS rk FROM adc)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_d2
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** s19 — binary-code nearest neighbors: 64-bit sign binarization
     * (bit i = embedding[i] > 0 — the 1-bit quantizer of LSH/ITQ binary
