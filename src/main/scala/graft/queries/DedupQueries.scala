@@ -629,6 +629,150 @@ object DedupQueries extends QueryPack {
          |FROM a ORDER BY r""".stripMargin
   }
 
+  /** d27 Jaccard threshold for the prefix-filtered all-pairs join. */
+  private val ApssTau = 0.3
+
+  /** d27 — all-pairs similarity self-join with PREFIX FILTERING (Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007):
+    * d02's exact shingle-set Jaccard join, made exact-AND-scalable by the
+    * canonical-order prefix bound instead of d02's df-cap heuristic. Every
+    * doc's distinct 3-gram shingle hashes are ranked by ascending global
+    * document frequency (rarest first, ties by hash); a pair with
+    * Jaccard ≥ τ must share ≥ ⌈τ·|d|⌉ shingles with any partner, so its
+    * first |d| − ⌈τ·|d|⌉ + 1 ranked shingles (the PREFIX) must intersect
+    * the partner's prefix — candidates are generated by an equi-join on
+    * prefix shingles only, the length bound τ·|a| ≤ |b| ≤ |a|/τ prunes
+    * again, and an exact intersection count verifies. Sound (prefix length
+    * is the conservative per-doc bound), so unlike d02's `Scale.maxDf` cut
+    * this provably never drops a true pair.
+    *
+    * Scale shape: candidate volume collapses because prefixes hold each
+    * doc's RAREST shingles — the df-ascending canonical order is itself
+    * the skew defense (a boilerplate shingle shared by half the corpus
+    * never lands in a prefix unless the doc is mostly boilerplate). All
+    * joins are keyed equi-joins on 8-byte hashes; the rank window is
+    * doc-keyed; the verify join touches candidate pairs only.
+    */
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(ShingleHashes(tokens(col("text")), 3)).as("w"))
+    val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val ranked = tok.join(dfw, Seq("w")).join(lens, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+    val prefix = ranked.filter(
+      col("rn") <= col("len") - ceil(lit(ApssTau) * col("len")) + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          lit(ApssTau) * col("a.len") <= col("b.len") &&
+          lit(ApssTau) * col("b.len") <= col("a.len"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .distinct()
+    cand.join(tok.as("ta"), col("da") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("db") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+      .groupBy(col("da"), col("db"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("da"), col("db"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("la") + col("lb") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= ApssTau)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val d27Sql =
+    s"""WITH ww AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT)))) AS w
+       | FROM ww),
+       |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY w),
+       |l AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM tok GROUP BY doc_id),
+       |r AS (SELECT t.doc_id, t.w, l.len,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rn
+       |  FROM tok t JOIN dfw d ON t.w = d.w JOIN l ON t.doc_id = l.doc_id),
+       |p AS (SELECT * FROM r WHERE rn <= len - ceil($ApssTau * len) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.len AS la, b.len AS lb
+       |  FROM p a JOIN p b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE $ApssTau * a.len <= b.len AND $ApssTau * b.len <= a.len),
+       |i AS (SELECT c.da, c.db, c.la, c.lb, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM cand c JOIN tok ta ON ta.doc_id = c.da
+       |  JOIN tok tb ON tb.doc_id = c.db AND tb.w = ta.w
+       |  GROUP BY c.da, c.db, c.la, c.lb)
+       |SELECT da, db, n_inter,
+       |  CAST(n_inter AS DOUBLE) / CAST(la + lb - n_inter AS DOUBLE) AS jaccard
+       |FROM i
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(la + lb - n_inter AS DOUBLE)
+       |  >= $ApssTau
+       |ORDER BY da, db""".stripMargin
+
+  /** d28 — content-defined chunking (CDC) cross-document dedup: the
+    * storage-dedup shape (LBFS/rsync lineage) at token granularity. Chunk
+    * boundaries are declared by CONTENT, not position — a boundary falls
+    * after any token whose md5 starts with '0' or '1' (P = 1/8, mean chunk
+    * ≈ 8 tokens) — so an insertion early in a copied passage shifts every
+    * fixed-width chunk (t34's failure mode) but leaves all CDC chunks
+    * after the next boundary untouched. Chunks are fingerprinted and
+    * counted across the corpus; the top-20 most-replicated chunks surface
+    * shared boilerplate (headers, navigation, license blocks) that
+    * whole-doc dedup structurally cannot see.
+    *
+    * Scale shape: positional explode is linear; the boundary prefix-sum is
+    * a doc-keyed window; chunk assembly buffers are chunk-bounded
+    * (geometric, mean 8 tokens); the fingerprint count is one map-side-
+    * combined agg; top-20 plans as TakeOrderedAndProject. No joins at all.
+    */
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val flagged = tok.withColumn("b",
+      when(substring(md5(col("w")), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk", coalesce(sum(col("b")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          c => c.getField("w"))).as("chunk_text"))
+      .groupBy(md5(col("chunk_text")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_text")).as("chunk_text"))
+      .filter(col("n_copies") >= 2)
+      .select(col("fp"), col("n_copies"), col("n_docs"), col("chunk_text"))
+      .orderBy(col("n_copies").desc, col("fp"))
+      .limit(20)
+  }
+
+  private val d28Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+      |    i -> {'pos': i, 'w': ws[i + 1]})) AS t FROM d),
+      |tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM tok),
+      |f AS (SELECT doc_id, pos, w,
+      |  CASE WHEN substr(md5(w), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+      | FROM tw),
+      |c AS (SELECT doc_id, pos, w,
+      |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      | FROM f),
+      |ch AS (SELECT doc_id, chunk, string_agg(w, ' ' ORDER BY pos) AS chunk_text
+      |  FROM c GROUP BY doc_id, chunk),
+      |g AS (SELECT md5(chunk_text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    MIN(chunk_text) AS chunk_text
+      |  FROM ch GROUP BY md5(chunk_text) HAVING COUNT(*) >= 2)
+      |SELECT fp, n_copies, n_docs, chunk_text FROM g
+      |ORDER BY n_copies DESC, fp LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -655,7 +799,9 @@ object DedupQueries extends QueryPack {
     QueryDef("d23_band_sweep", d23, Some(d23Sql)),
     QueryDef("d24_edit_verify", d24, Some(d24Sql)),
     QueryDef("d25_containment", d25, Some(d25Sql)),
-    QueryDef("d26_winnowing", d26, Some(d26Sql)))
+    QueryDef("d26_winnowing", d26, Some(d26Sql)),
+    QueryDef("d27_prefix_filter_join", d27, Some(d27Sql)),
+    QueryDef("d28_cdc_chunk_dedup", d28, Some(d28Sql)))
 
   /** Winnowing window (consecutive 3-gram positions per fingerprint pick)
     * and the minimum shared-fingerprint count for a reported pair.

@@ -1093,7 +1093,8 @@ object TextQueries extends QueryPack {
     QueryDef("t31_langid_confusion", t31, Some(t31Sql)),
     QueryDef("t32_pmi_collocations", t32, Some(t32Sql)),
     QueryDef("t33_token_entropy", t33, Some(t33Sql)),
-    QueryDef("t34_chunk_dedup", t34, Some(t34Sql)))
+    QueryDef("t34_chunk_dedup", t34, Some(t34Sql)),
+    QueryDef("t35_bigram_xent", t35, Some(t35Sql)))
 
   /** t34 chunk width in tokens (non-overlapping). */
   private val ChunkC = 8
@@ -1146,6 +1147,91 @@ object TextQueries extends QueryPack {
        |  CAST(len(uniq) AS BIGINT) AS n_unique, tokens_out,
        |  CAST(tokens_out AS DOUBLE) / CAST(m AS DOUBLE) AS yield_ratio
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** t35 — bigram language-model cross-entropy scoring: the perplexity
+    * filter (CCNet / Gopher lineage — score text under a small LM trained
+    * on trusted data; high cross-entropy flags gibberish, boilerplate, and
+    * out-of-domain text). The model is an add-one-smoothed token bigram LM
+    * trained on t19's content-stable train split (hash-fraction < 0.8);
+    * every held-out doc is scored by its mean negative log-probability.
+    * Each bigram's ln p(w2|w1) = ln((c(w1,w2)+1)/(c(w1·)+V)) is quantized
+    * to integer micro-nats BEFORE summation (t33's discipline: float-sum
+    * order never matters), so the cross-engine hash is exact; the headline
+    * xent_nats derives from two exact integers. All lp terms are strictly
+    * negative (numerator < denominator always), so no −0.0 hazard.
+    *
+    * Scale shape: model tables are vocabulary-sized map-side-combined aggs
+    * over the train corpus (context counts derive from the bigram table —
+    * one explode, not two); scoring is two keyed equi-joins against those
+    * tables (build sides grow with vocabulary, not corpus) plus one
+    * doc-keyed agg. The broadcast is a single 1-row vocab count.
+    */
+  private def t35(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hv = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val frac = hv.cast("double") / lit(4503599627370496.0) // 2^52, exact
+    val ws = tokens(col("text"))
+    // sequence(1, size-1) counts DOWN for single-token docs (the
+    // wordShingles guard's lesson) — only ever build bigrams after the
+    // size >= 2 filter, mirroring the oracle's len(ws) >= 2
+    def bigramsOf(c: Column): Column =
+      transform(sequence(lit(1), size(c) - 1), i =>
+        struct(element_at(c, i.cast("int")).as("w1"),
+          element_at(c, (i + 1).cast("int")).as("w2")))
+    val base = docs.select(col("doc_id"), frac.as("frac"), ws.as("ws"))
+    val train = base.filter(col("frac") < 0.8)
+    val bg = train.filter(size(col("ws")) >= 2)
+      .select(explode(bigramsOf(col("ws"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("cxy")).as("cw"))
+    val vocab = train.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    base.filter(col("frac") >= 0.8 && size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("ws"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("cxy"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cw"), lit(0L)) + col("v")).cast("double")) * 1e6)
+          .cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("total_micronats"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_micronats"),
+        (-col("total_micronats").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6)).as("xent_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t35Sql =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS frac,
+      |  string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cxy
+      |  FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+      |    FROM d WHERE frac < 0.8 AND len(ws) >= 2)
+      |  GROUP BY b.w1, b.w2),
+      |ctx AS (SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cw FROM bg GROUP BY w1),
+      |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+      |    SELECT unnest(ws) AS w FROM d WHERE frac < 0.8)),
+      |sc AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+      |    FROM d WHERE frac >= 0.8 AND len(ws) >= 2)),
+      |lp AS (SELECT sc.doc_id,
+      |    CAST(round(ln(CAST(COALESCE(bg.cxy, 0) + 1 AS DOUBLE) /
+      |      CAST(COALESCE(ctx.cw, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+      |  FROM sc LEFT JOIN bg ON sc.w1 = bg.w1 AND sc.w2 = bg.w2
+      |  LEFT JOIN ctx ON sc.w1 = ctx.w1, v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp) AS BIGINT) AS total_micronats,
+      |  -CAST(SUM(lp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6)
+      |    AS xent_nats
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** t32 minimum bigram count (PMI over rare bigrams is noise). */
   private val PmiMinCount = 5

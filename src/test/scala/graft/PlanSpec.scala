@@ -688,6 +688,30 @@ class PlanSpec extends SparkSpecBase {
     assert(j15.contains("Window"), "prev/next ride one sorted window pass")
   }
 
+  test("round-9 batch 2 keeps scale shapes (d27/d28/t35)") {
+    // d27 prefix-filtered APSS: every join is a keyed equi-join (prefix
+    // shingle, then candidate doc ids) — never a nested loop; the rank
+    // window partitions by doc
+    val d27 = planString(run("d27_prefix_filter_join"))
+    assert(!d27.contains("CartesianProduct") &&
+      !d27.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must generate candidates by equi-join only")
+    assert(d27.contains("Window"), "canonical ranks ride a doc-keyed window")
+    // d28 CDC chunking: no joins at all — one scan, a doc-keyed window,
+    // chunk-keyed then fingerprint-keyed aggs, top-20 as TakeOrdered
+    val d28 = planString(run("d28_cdc_chunk_dedup"))
+    assert(!d28.contains("Join"), "CDC dedup never joins")
+    assert(d28.contains("TakeOrderedAndProject"),
+      "top-20 boilerplate chunks ship <=20 rows per partition")
+    // t35 bigram-LM scoring: model lookups are keyed hash joins (vocab-
+    // sized build sides); only the 1-row vocab count broadcasts; the
+    // per-doc score is a partial-combined aggregate
+    val t35 = planString(run("t35_bigram_xent"))
+    assert(!t35.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(t35).size >= 2,
+      "doc scores partial-combine map-side")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
