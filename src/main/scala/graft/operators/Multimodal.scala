@@ -345,6 +345,87 @@ object Multimodal {
       yield WavInfo(f, ch, sr, br, ba, bits, dl, ds)
   }
 
+  /** PNG container chunk-walker — the image-side sibling of
+    * [[parseWavHeader]]: verify the 8-byte PNG signature, then walk the
+    * chunk stream ([len:4 BE][type:4][data][crc:4 BE]), tolerating unknown
+    * chunks and any chunk order after IHDR. Emits the IHDR geometry and
+    * encoding fields, whether the IHDR CRC-32 validates (computed over
+    * type+data per the PNG spec, via `java.util.zip.CRC32`), and whether an
+    * IEND terminator was reached. Container-level only — no inflate, no
+    * pixel decode (that is m07's seam) — which is exactly the cheap
+    * pre-decode triage a 100 TB media pipeline runs first: reject
+    * truncated/corrupt objects and read geometry without paying for
+    * decompression. Malformed payloads yield null fields, never a thrown
+    * error (a corrupt object must not kill the scan).
+    */
+  def parsePngContainer(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sig_ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("bit_depth", LongType, nullable = true),
+      StructField("color_type", LongType, nullable = true),
+      StructField("compression", LongType, nullable = true),
+      StructField("filter_method", LongType, nullable = true),
+      StructField("interlace", LongType, nullable = true),
+      StructField("ihdr_crc_ok", BooleanType, nullable = true),
+      StructField("has_iend", BooleanType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](cIdx)
+        val sigOk = b.length >= 8 &&
+          (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+        if (!sigOk) {
+          Row(mid, false, null, null, null, null, null, null, null, null, false)
+        } else {
+          val bb = java.nio.ByteBuffer.wrap(b) // PNG is big-endian
+          var off = 8
+          var width: java.lang.Long = null
+          var height: java.lang.Long = null
+          var depth: java.lang.Long = null
+          var colorType: java.lang.Long = null
+          var compression: java.lang.Long = null
+          var filterMethod: java.lang.Long = null
+          var interlace: java.lang.Long = null
+          var crcOk: java.lang.Boolean = null
+          var hasIend = false
+          var halt = false
+          while (!halt && !hasIend && off + 8 <= b.length) {
+            val len = bb.getInt(off)
+            if (len < 0 || off.toLong + 12 + len > b.length) halt = true
+            else {
+              val typ = new String(b, off + 4, 4, "US-ASCII")
+              if (typ == "IHDR" && len == 13) {
+                width = bb.getInt(off + 8).toLong & 0xffffffffL
+                height = bb.getInt(off + 12).toLong & 0xffffffffL
+                depth = (b(off + 16) & 0xff).toLong
+                colorType = (b(off + 17) & 0xff).toLong
+                compression = (b(off + 18) & 0xff).toLong
+                filterMethod = (b(off + 19) & 0xff).toLong
+                interlace = (b(off + 20) & 0xff).toLong
+                val crc = new java.util.zip.CRC32()
+                crc.update(b, off + 4, 4 + len)
+                crcOk = java.lang.Boolean.valueOf(
+                  crc.getValue == (bb.getInt(off + 8 + len).toLong & 0xffffffffL))
+              } else if (typ == "IEND") {
+                hasIend = true
+              }
+              off += 12 + len
+            }
+          }
+          Row(mid, true, width, height, depth, colorType, compression,
+            filterMethod, interlace, crcOk, hasIend)
+        }
+      }
+    }(enc)
+  }
+
   /** Aspect-preserving resize metadata: fit (width, height) into a
     * maxDim bounding box, never upscaling — pure column expressions, no
     * decode needed (the real resize kernel would run in the decode pass).

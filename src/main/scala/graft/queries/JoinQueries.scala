@@ -654,7 +654,8 @@ object JoinQueries extends QueryPack {
     QueryDef("j12_session_paths", j12, Some(j12Sql)),
     QueryDef("j13_attribution", j13, Some(j13Sql)),
     QueryDef("j14_pit_lookup", j14, Some(j14Sql)),
-    QueryDef("j15_nearest_join", j15, Some(j15Sql)))
+    QueryDef("j15_nearest_join", j15, Some(j15Sql)),
+    QueryDef("j16_interval_islands", j16, Some(j16Sql)))
 
   /** j15 — nearest-neighbor temporal join (pandas merge_asof
     * direction='nearest'): each purchase matched to the CLOSEST click by
@@ -737,4 +738,68 @@ object JoinQueries extends QueryPack {
       |  CASE WHEN use_prev THEN 'before' ELSE 'after' END AS direction,
       |  CASE WHEN use_prev THEN d_prev ELSE d_next END AS diff_us
       |FROM d ORDER BY p_id""".stripMargin
+
+  /** j16 activity-interval half-width: each event opens a 10-minute
+    * presence window.
+    */
+  private val IslandSpanUs = 600000000L
+
+  /** j16 — gaps-and-islands interval coverage: merge each user's
+    * overlapping activity intervals (event ts .. ts+10min) into maximal
+    * islands and report per-user presence — island count, total covered
+    * time, longest island — the sessionize-by-overlap warehouse classic
+    * (and j04's session_window computed the relational way: an island IS
+    * a session with a 10-minute gap timeout). New-island detection is the
+    * running-max trick: an event starts an island iff its start exceeds
+    * the max end among all earlier events of that user.
+    *
+    * Scale shape: two user-keyed window passes (running max-end, then
+    * island prefix-sum) and two keyed aggs — partitions by user_id, no
+    * join, no global sort; exactly the shape Spark distributes by hash on
+    * the window key. All arithmetic in exact epoch-µs longs.
+    */
+  private def j16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .withColumn("end_us", col("ts_us") + IslandSpanUs)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val prevMaxEnd = max(col("end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ev
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("ts_us") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("end_us"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_us") - col("start_us")).as("covered_us"),
+        max(col("end_us") - col("start_us")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val j16Sql =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |  epoch_us(ts) + $IslandSpanUs AS end_us FROM events),
+       |f AS (SELECT user_id, ts_us, end_us, event_id,
+       |  MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+       | FROM e),
+       |g AS (SELECT user_id, ts_us, end_us, event_id,
+       |  CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end
+       |    THEN 1 ELSE 0 END AS new_island FROM f),
+       |h AS (SELECT user_id, ts_us, end_us,
+       |  SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       | FROM g),
+       |i AS (SELECT user_id, island, MIN(ts_us) AS start_us,
+       |  MAX(end_us) AS end_us FROM h GROUP BY user_id, island)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       |  CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us,
+       |  CAST(MAX(end_us - start_us) AS BIGINT) AS longest_us
+       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
 }

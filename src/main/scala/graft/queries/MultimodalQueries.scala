@@ -491,7 +491,42 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m10_perceptual_hash", m10, Some(m10Sql)),
     QueryDef("m11_phash_pairs", m11, Some(m11Sql)),
     QueryDef("m12_silence_segments", m12, Some(m12Sql)),
-    QueryDef("m13_wav_header", m13, Some(m13Sql)))
+    QueryDef("m13_wav_header", m13, Some(m13Sql)),
+    QueryDef("m14_png_container", m14, Some(m14Sql)))
+
+  /** m14 — PNG container triage, oracle-checked end to end (m13's image
+    * counterpart): synthesize a genuine PNG per selected doc through the
+    * real JDK encoder (`Multimodal.synthesizePng`, closed-form dims), then
+    * walk the chunk stream with the hand-written container parser
+    * (`Multimodal.parsePngContainer`) — signature, IHDR geometry/encoding
+    * fields, IHDR CRC-32 validation, IEND presence — with NO pixel decode.
+    * The oracle recomputes everything arithmetically: a wrong encode, a
+    * mis-read big-endian length, a CRC over the wrong span, or a missed
+    * terminator all hash-mismatch. This is the cheap pre-decode triage a
+    * media pipeline runs before spending decompress cycles (m07 covers the
+    * decode seam itself).
+    */
+  private def m14(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(31)) === 2)
+      .withColumn("width",
+        (lit(16) + pmod(col("media_id"), lit(5)) * 8).cast("int"))
+      .withColumn("height",
+        (lit(12) + pmod(col("media_id"), lit(4)) * 6).cast("int"))
+    Multimodal.parsePngContainer(Multimodal.synthesizePng(dims))
+      .orderBy(col("media_id"))
+  }
+
+  private val m14Sql =
+    """SELECT doc_id AS media_id, true AS sig_ok,
+      |  CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS width,
+      |  CAST(12 + (doc_id % 4) * 6 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+      |  CAST(0 AS BIGINT) AS compression, CAST(0 AS BIGINT) AS filter_method,
+      |  CAST(0 AS BIGINT) AS interlace, true AS ihdr_crc_ok,
+      |  true AS has_iend
+      |FROM documents WHERE doc_id % 31 = 2 ORDER BY media_id""".stripMargin
 
   /** m13 — the audio codec seam, oracle-checked end to end (m07's WAV
     * counterpart): synthesize a genuine RIFF/WAVE file per selected doc

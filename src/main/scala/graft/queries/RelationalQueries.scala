@@ -625,7 +625,56 @@ object RelationalQueries extends QueryPack {
     QueryDef("r17_ks_drift", r17, Some(r17Sql)),
     QueryDef("r18_heavy_hitters", r18, Some(r18Sql)),
     QueryDef("r19_countmin", r19, Some(r19Sql)),
-    QueryDef("r20_autocorr", r20, Some(r20Sql)))
+    QueryDef("r20_autocorr", r20, Some(r20Sql)),
+    QueryDef("r21_equidepth_hist", r21, Some(r21Sql)))
+
+  /** r21 buckets per group (equi-depth). */
+  private val HistB = 8
+
+  /** r21 — per-group equi-depth histogram construction: the ANALYZE
+    * TABLE / optimizer-statistics artifact — for every nation, split its
+    * customers' account balances into [[HistB]] equal-population buckets
+    * and report each bucket's population, value bounds, and NDV. Equi-depth
+    * (not equi-width) is what engines actually keep: bounds adapt to the
+    * distribution so selectivity estimates stay uniform per bucket.
+    * Balances are quantized to exact integer cents; NTILE's tie order is
+    * total (cents, custkey), so bucket assignment is bit-identical across
+    * engines.
+    *
+    * Scale shape: ONE nation-keyed window pass (NTILE partitions by the
+    * group key — hash-distributed, never a global sort) feeding one
+    * (nation, bucket)-keyed agg. The un-keyed variant of this query is the
+    * one to refuse at 100 TB; the per-group form is exactly how a
+    * distributed ANALYZE shards its histogram builds.
+    */
+  private def r21(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      round(col("c_acctbal").cast("double") * 100).cast("long").as("cents"))
+    c.withColumn("bucket", ntile(HistB).over(
+        Window.partitionBy(col("nation"))
+          .orderBy(col("cents"), col("c_custkey"))).cast("long"))
+      .groupBy(col("nation"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cents")).as("ndv"),
+        (min(col("cents")).cast("double") / 100.0).as("lo"),
+        (max(col("cents")).cast("double") / 100.0).as("hi"))
+      .orderBy(col("nation"), col("bucket"))
+  }
+
+  private val r21Sql =
+    s"""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+       |  CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS cents
+       | FROM customer),
+       |b AS (SELECT nation, cents,
+       |  CAST(NTILE($HistB) OVER (PARTITION BY nation
+       |    ORDER BY cents, c_custkey) AS BIGINT) AS bucket FROM c)
+       |SELECT nation, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv,
+       |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo,
+       |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi
+       |FROM b GROUP BY nation, bucket ORDER BY nation, bucket""".stripMargin
 
   /** Count-min sketch geometry for r19: depth 4 × width 64 cells, pairwise
     * hashes h_r(k) = ((a_r·k + b_r) mod P) mod W with a fixed prime P —

@@ -254,4 +254,47 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(8L).isNullAt(1) && out(8L).isNullAt(7), "garbage → nulls")
     assert(out(9L).isNullAt(1), "chunkless RIFF → nulls")
   }
+
+  test("PNG container walker: real encode, corrupt CRC, truncation, garbage") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 1. a real JDK-encoded PNG parses with validated IHDR CRC and IEND
+    val dims = spark.range(5, 7).select(col("id").as("media_id"),
+      lit(24).cast("int").as("width"), lit(18).cast("int").as("height"))
+    val realPng = Multimodal.synthesizePng(dims)
+    val good = Multimodal.parsePngContainer(realPng)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (mid <- 5L to 6L) {
+      val r = good(mid)
+      assert(r.getBoolean(1), "signature")
+      assert(r.getLong(2) == 24L && r.getLong(3) == 18L, "IHDR geometry")
+      assert(r.getLong(4) == 8L && r.getLong(5) == 2L, "8-bit truecolor")
+      assert(r.getLong(6) == 0L && r.getLong(7) == 0L && r.getLong(8) == 0L)
+      assert(r.getBoolean(9), "IHDR CRC-32 validates")
+      assert(r.getBoolean(10), "IEND reached")
+    }
+
+    // 2. flip a byte inside IHDR data: CRC must fail, fields still read;
+    // 3. truncate mid-chunk: no IEND, no exception; 4. garbage: sig_ok=false
+    val pngBytes = realPng.collect().head.getAs[Array[Byte]]("content")
+    val corrupted = pngBytes.clone()
+    corrupted(16) = (corrupted(16) ^ 0x01).toByte // width low byte in IHDR
+    val truncated = pngBytes.take(pngBytes.length - 6)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val bad = Multimodal.parsePngContainer(spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, corrupted),
+        Row(2L, truncated),
+        Row(3L, Array.fill[Byte](40)(7))),
+      schema)).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!bad(1L).getBoolean(9), "flipped IHDR byte must fail the CRC")
+    assert(bad(1L).getBoolean(1) && !bad(1L).isNullAt(2),
+      "fields still extracted from the corrupt chunk")
+    assert(bad(2L).getBoolean(1) && !bad(2L).getBoolean(10),
+      "truncation: signature ok, IEND never reached, no exception")
+    assert(!bad(3L).getBoolean(1) && bad(3L).isNullAt(2),
+      "garbage: bad signature, null fields")
+  }
 }

@@ -712,6 +712,23 @@ class PlanSpec extends SparkSpecBase {
       "doc scores partial-combine map-side")
   }
 
+  test("round-9 batch 3 keeps scale shapes (j16/r21)") {
+    // j16 islands: two user-keyed window passes + keyed aggs — no join,
+    // and the window exchange hash-partitions by user_id (never a single
+    // global sort partition)
+    val j16 = planString(run("j16_interval_islands"))
+    assert(!j16.contains("Join"), "gaps-and-islands never joins")
+    assert(j16.contains("Window"))
+    assert(j16.contains("hashpartitioning(user_id"),
+      "window must distribute by the user key")
+    // r21 histogram: NTILE partitions by nation — keyed, not global; one
+    // keyed agg after
+    val r21 = planString(run("r21_equidepth_hist"))
+    assert(!r21.contains("Join"))
+    assert(r21.contains("hashpartitioning(nation"),
+      "per-group NTILE must distribute by the group key")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
