@@ -302,10 +302,56 @@ object GraphQueries extends QueryPack {
        |  sqrt((md * dxx - dx * dx) * (md * dyy - dy * dy)) AS assortativity
        |FROM f""".stripMargin
 
+  /** g06 — 2-hop reach (ego-network expansion): for every node of the
+    * near-dup graph, how many distinct documents are within two hops —
+    * |N₁ ∪ N₂ \ {u}| — and the amplification ratio reach/deg. The
+    * transitive-exposure signal: a doc whose 2-hop ball is much larger
+    * than its neighbor list sits on a BRIDGE between duplicate families
+    * (amplification ≫ 1), while amplification ≈ 1 marks a closed clique —
+    * the complement of g03's local clustering (which sees triangles but
+    * not bridges).
+    *
+    * Scale shape: one self equi-join of the directed edge list on the
+    * middle vertex (the standard distributed 2-hop expansion — candidate
+    * volume is Σ deg(m)², bounded here because near-dup components are
+    * cluster-sized, never corpus-sized), a distinct on (u, w), and one
+    * keyed count. No windows; the deg join is component-local.
+    */
+  private def g06(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    val twoHop = e.as("a").join(e.as("b"), col("a.v") === col("b.u"))
+      .filter(col("b.v") =!= col("a.u"))
+      .select(col("a.u").as("u"), col("b.v").as("w"))
+    val reach = e.select(col("u"), col("v").as("w"))
+      .unionAll(twoHop)
+      .distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("n_reach2"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    deg.join(reach, Seq("u"))
+      .select(col("u").as("doc_id"), col("deg"), col("n_reach2"),
+        (col("n_reach2").cast("double") / col("deg").cast("double"))
+          .as("amplification"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def g06Sql: String =
+    s"""$graphCtes,
+       |th AS (SELECT a.u AS u, b.v AS w FROM e a JOIN e b ON a.v = b.u
+       |  WHERE b.v <> a.u),
+       |r AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_reach2 FROM (
+       |    SELECT DISTINCT u, w FROM (
+       |      SELECT u, v AS w FROM e UNION ALL SELECT u, w FROM th))
+       |  GROUP BY u)
+       |SELECT d.u AS doc_id, d.deg, r.n_reach2,
+       |  CAST(r.n_reach2 AS DOUBLE) / CAST(d.deg AS DOUBLE) AS amplification
+       |FROM d JOIN r ON r.u = d.u
+       |ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(g01Sql)),
     QueryDef("g02_triangles", g02, Some(g02Sql)),
     QueryDef("g03_local_clustering", g03, Some(g03Sql)),
     QueryDef("g04_component_profile", g04, Some(g04Sql)),
-    QueryDef("g05_assortativity", g05, Some(g05Sql)))
+    QueryDef("g05_assortativity", g05, Some(g05Sql)),
+    QueryDef("g06_two_hop_reach", g06, Some(g06Sql)))
 }

@@ -626,7 +626,66 @@ object RelationalQueries extends QueryPack {
     QueryDef("r18_heavy_hitters", r18, Some(r18Sql)),
     QueryDef("r19_countmin", r19, Some(r19Sql)),
     QueryDef("r20_autocorr", r20, Some(r20Sql)),
-    QueryDef("r21_equidepth_hist", r21, Some(r21Sql)))
+    QueryDef("r21_equidepth_hist", r21, Some(r21Sql)),
+    QueryDef("r22_spearman_drift", r22, Some(r22Sql)))
+
+  /** r22 — Spearman rank correlation between event VALUE and event TIME,
+    * per type: the nonparametric monotone-trend drift detector (robust to
+    * outliers and any monotone rescaling — the rank-based complement of
+    * r11's Pearson and r17's KS). Ties take midranks; the midrank of a row
+    * is (2·RANK + ties − 1)/2, so DOUBLED midranks are exact integers and
+    * Σd² stays in integer arithmetic end to end:
+    * ρ = 1 − 6·Σd²/(n(n²−1)) = 1 − 1.5·S4/(n(n²−1)) where
+    * S4 = Σ(2rₐ−2r_b)² = 4·Σd². Reported without the tie-correction
+    * factor (documented: midrank ρ, the common production form). The
+    * float division happens once, from two exact integers.
+    *
+    * Scale shape: two type-keyed rank windows (value order, time order —
+    * both hash-partition by event_type) + tie counts via composite-keyed
+    * windows, then one map-side-combined agg per type. 5 output rows.
+    */
+  private def r22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      round(col("value").cast("double") * 1000000).cast("long").as("vq"),
+      unix_micros(col("ts")).as("us"))
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("vq"))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("us"))
+    val ranked = e
+      .withColumn("ra2", lit(2) * rank().over(byV)
+        + count(lit(1)).over(Window.partitionBy(col("event_type"), col("vq")))
+        - 1)
+      .withColumn("rb2", lit(2) * rank().over(byT)
+        + count(lit(1)).over(Window.partitionBy(col("event_type"), col("us")))
+        - 1)
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("ra2") - col("rb2")) * (col("ra2") - col("rb2")))
+          .cast("long").as("s4"))
+      .select(col("event_type"), col("n"), col("s4"),
+        (lit(1.0) - lit(1.5) * col("s4").cast("double") /
+          (col("n") * (col("n") * col("n") - 1)).cast("double"))
+          .as("rho"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r22Sql =
+    """WITH e AS (SELECT event_type,
+      |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vq,
+      |  epoch_us(ts) AS us FROM events),
+      |r AS (SELECT event_type,
+      |  2 * RANK() OVER (PARTITION BY event_type ORDER BY vq)
+      |    + COUNT(*) OVER (PARTITION BY event_type, vq) - 1 AS ra2,
+      |  2 * RANK() OVER (PARTITION BY event_type ORDER BY us)
+      |    + COUNT(*) OVER (PARTITION BY event_type, us) - 1 AS rb2
+      | FROM e),
+      |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM((ra2 - rb2) * (ra2 - rb2)) AS BIGINT) AS s4
+      | FROM r GROUP BY event_type)
+      |SELECT event_type, n, s4,
+      |  1.0 - 1.5 * CAST(s4 AS DOUBLE)
+      |    / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+      |FROM a ORDER BY event_type""".stripMargin
 
   /** r21 buckets per group (equi-depth). */
   private val HistB = 8

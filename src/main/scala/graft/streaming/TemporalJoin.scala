@@ -46,6 +46,34 @@ object TemporalJoin {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $ms MILLISECONDS"))
   }
 
+  /** Streaming LEFT OUTER temporal join: like [[stream]], but left rows
+    * that find no partner within the tolerance are still emitted (with
+    * null right columns) once the watermark passes `left.ts + tolerance` —
+    * i.e. once it is provable no matching right row can still arrive. The
+    * enrichment-join shape (events × maybe-present context) where losing
+    * unmatched facts is wrong. Spark requires BOTH watermarks plus the
+    * time-range conjunct for outer stream-stream joins — exactly what this
+    * builds — so join state stays watermark-bounded like the inner form.
+    *
+    * Note the delivery caveat inherited from micro-batching: null-padded
+    * rows for expired left state flush on the NEXT micro-batch after the
+    * watermark advances (a trailing empty batch in tests; a heartbeat in
+    * production).
+    */
+  def streamOuter(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  tolerance: Duration): DataFrame = {
+    val l = left.withWatermark(leftTs, tolerance.asSparkInterval)
+    val r = right.withWatermark(rightTs, tolerance.asSparkInterval)
+    val ms = tolerance.millis
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $ms MILLISECONDS") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $ms MILLISECONDS"),
+      "left_outer")
+  }
+
   /** Batch analog with identical match semantics (used for oracle checks and
     * the batch path). Same plan shape: shuffle on key, range filter in the
     * joined partition. Timestamp interval arithmetic (µs-exact) — never

@@ -729,6 +729,21 @@ class PlanSpec extends SparkSpecBase {
       "per-group NTILE must distribute by the group key")
   }
 
+  test("round-9 batch 4 keeps scale shapes (g06/r22)") {
+    // g06 2-hop reach: the expansion is a keyed self equi-join on the
+    // middle vertex — never a nested loop over the node set
+    val g06 = planString(run("g06_two_hop_reach"))
+    assert(!g06.contains("CartesianProduct") &&
+      !g06.contains("BroadcastNestedLoopJoin"),
+      "2-hop expansion must be a keyed equi-join")
+    // r22 Spearman: all four rank/tie windows hash-partition by
+    // event_type; no join anywhere
+    val r22 = planString(run("r22_spearman_drift"))
+    assert(!r22.contains("Join"))
+    assert(r22.contains("hashpartitioning(event_type"),
+      "rank windows must distribute by the type key")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),

@@ -126,6 +126,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("outer temporal join emits unmatched left rows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val left = l.toDF().select(col("event_id").as("l_key"),
+      col("ts").as("l_ts"), col("payload").as("l_val"))
+    val right = r.toDF().select(col("event_id").as("r_key"),
+      col("ts").as("r_ts"), col("payload").as("r_val"))
+    val joined = TemporalJoin.streamOuter(left, right,
+      "l_key", "r_key", "l_ts", "r_ts", Duration.parse("10s"))
+    val q = joined.writeStream.format("memory").queryName("tjo1")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      // x matches within tolerance; z has no partner at all
+      l.addData(Ev("x", t(100), "L-match"), Ev("z", t(101), "L-alone"))
+      r.addData(Ev("x", t(105), "near"), Ev("y", t(103), "wrong-key"))
+      q.processAllAvailable()
+      // watermark sentinels far past 101+10s on BOTH sides, then one more
+      // batch: expired left state null-pads on the batch AFTER the
+      // watermark advances (the documented micro-batch caveat)
+      l.addData(Ev("wm", t(1000), "sentinel"))
+      r.addData(Ev("wm2", t(1000), "sentinel"))
+      q.processAllAvailable()
+      l.addData(Ev("wm3", t(1001), "sentinel"))
+      q.processAllAvailable()
+      val rows = spark.table("tjo1").collect()
+        .filter(x => !x.getAs[String]("l_val").contains("sentinel"))
+      val matched = rows.filter(_.getAs[String]("l_val") == "L-match")
+      assert(matched.length == 1 && matched.head.getAs[String]("r_val") == "near",
+        "matching rows join exactly as the inner form")
+      val alone = rows.filter(_.getAs[String]("l_val") == "L-alone")
+      assert(alone.length == 1 && alone.head.isNullAt(
+        alone.head.fieldIndex("r_val")),
+        "unmatched left row must surface null-padded after expiry")
+    } finally q.stop()
+  }
+
   test("asOf join picks the latest right row at-or-before left.ts") {
     val trades = Seq(("A", t(100), 10.0), ("A", t(200), 20.0)).toDF("sym", "tts", "px")
     val quotes = Seq(
