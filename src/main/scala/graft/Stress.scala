@@ -75,7 +75,11 @@ object Stress {
     // the O(len²)-per-pair Levenshtein verify: cost scales with CANDIDATE
     // PAIRS × text length² — the arm that proves the banded candidate set
     // (not the corpus) is what the verify stage pays for
-    "d24_edit_verify" -> "documents")
+    "d24_edit_verify" -> "documents",
+    // the lossless prefix-filtered all-pairs join: candidate volume is the
+    // quantity under test (prefixes hold each doc's rarest shingles, so
+    // the prefix-token join must NOT go quadratic as duplicates multiply)
+    "d27_prefix_filter_join" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

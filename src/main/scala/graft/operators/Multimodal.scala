@@ -305,7 +305,7 @@ object Multimodal {
 
   private final case class WavInfo(fmt: Long, channels: Long,
       sampleRate: Long, byteRate: Long, blockAlign: Long, bits: Long,
-      dataLen: Long, dataSum: Long)
+      dataLen: Long, dataSum: Long, peak: Long, sumSq: Long)
 
   private def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes.length < 12) return None
@@ -316,7 +316,7 @@ object Multimodal {
     if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
     var off = 12
     var fmtOpt: Option[(Long, Long, Long, Long, Long, Long)] = None
-    var dataOpt: Option[(Long, Long)] = None
+    var dataOpt: Option[(Long, Long, Long, Long)] = None
     while (off + 8 <= bytes.length) {
       val id = tag4(off)
       val size = bb.getInt(off + 4).toLong & 0xffffffffL
@@ -330,19 +330,57 @@ object Multimodal {
           (bb.getShort(body + 12).toLong & 0xffff),
           (bb.getShort(body + 14).toLong & 0xffff)))
       } else if (id == "data" && body + size <= bytes.length) {
+        // one pass computes the byte sum (round-trip proof), the peak
+        // deviation from the 8-bit PCM midpoint, and the squared-deviation
+        // sum (the RMS loudness numerator) — all exact integers
         var sum = 0L
+        var peak = 0L
+        var sumSq = 0L
         var j = 0
         while (j < size) {
-          sum += bytes(body + j).toLong & 0xff
+          val v = bytes(body + j).toLong & 0xff
+          sum += v
+          val dev = v - 128L
+          val ad = math.abs(dev)
+          if (ad > peak) peak = ad
+          sumSq += dev * dev
           j += 1
         }
-        dataOpt = Some((size, sum))
+        dataOpt = Some((size, sum, peak, sumSq))
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       off = body + size.toInt + (size.toInt & 1)
     }
-    for ((f, ch, sr, br, ba, bits) <- fmtOpt; (dl, ds) <- dataOpt)
-      yield WavInfo(f, ch, sr, br, ba, bits, dl, ds)
+    for ((f, ch, sr, br, ba, bits) <- fmtOpt; (dl, ds, pk, sq) <- dataOpt)
+      yield WavInfo(f, ch, sr, br, ba, bits, dl, ds, pk, sq)
+  }
+
+  /** Per-clip loudness statistics off the same RIFF walk as
+    * [[parseWavHeader]]: sample count, peak deviation from the 8-bit PCM
+    * midpoint, and the exact integer squared-deviation sum — the inputs of
+    * the normalize-gain step an audio pipeline runs before transcription
+    * (RMS/peak themselves derive from these two integers; the float math
+    * lives in the caller so the parser stays integer-exact end to end).
+    * Malformed payloads yield null fields, like every codec-seam parser.
+    */
+  def wavLoudness(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("peak", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true)))
+    val enc = Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(idIdx)
+        parseWav(r.getAs[Array[Byte]](cIdx)) match {
+          case Some(w) => Row(mid, w.dataLen, w.peak, w.sumSq)
+          case None => Row(mid, null, null, null)
+        }
+      }
+    }(enc)
   }
 
   /** PNG container chunk-walker — the image-side sibling of

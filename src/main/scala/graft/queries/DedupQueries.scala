@@ -629,8 +629,16 @@ object DedupQueries extends QueryPack {
          |FROM a ORDER BY r""".stripMargin
   }
 
-  /** d27 Jaccard threshold for the prefix-filtered all-pairs join. */
-  private val ApssTau = 0.3
+  /** d27 Jaccard threshold. Prefix filtering's selectivity is 1 − τ of
+    * each doc (prefix length |d| − ⌈τ|d|⌉ + 1), so LOW τ is its
+    * structurally degenerate regime — at τ=0.3 the prefix is 70% of the
+    * doc and the candidate join approaches all-pairs on a shared-template
+    * vocabulary (measured: ×20 stress ratio 1.89, superlinear). τ=0.7 is
+    * the algorithm's intended operating point AND the realistic eviction
+    * threshold: d27 is the exact high-τ eviction join; low-τ discovery
+    * belongs to d02's df-capped candidates and d03's LSH S-curve.
+    */
+  private[graft] val ApssTau = 0.7
 
   /** d27 — all-pairs similarity self-join with PREFIX FILTERING (Bayardo,
     * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007):
@@ -773,6 +781,173 @@ object DedupQueries extends QueryPack {
       |SELECT fp, n_copies, n_docs, chunk_text FROM g
       |ORDER BY n_copies DESC, fp LIMIT 20""".stripMargin
 
+  /** d29 signature width (source-level MinHash slots). */
+  private val OvK = 16
+
+  /** d29 — sketch-only source-overlap estimation: how much does each pair
+    * of SOURCES overlap, estimated WITHOUT any pairwise document work?
+    * Each source's MinHash signature is the slot-wise min of its documents'
+    * per-row signatures (min is mergeable, so the source signature is one
+    * map-side-combined agg over per-row codegen signatures — the union
+    * sketch of the source's shingle set). Estimated Jaccard = fraction of
+    * agreeing slots; the exact source-level shingle Jaccard rides along
+    * (shingle-keyed equi-join) so the artifact reports the estimator's
+    * error. This is the triage a 100 TB pipeline runs FIRST: rank source
+    * pairs by estimated overlap from k·|sources| longs of state, and only
+    * send the hot pairs (d21's matrix) into pairwise candidate generation.
+    *
+    * Scale shape: signatures are per-row codegen + one tiny agg keyed by
+    * source; the pair grid is a self-join of the |sources|-row aggregate
+    * (20 rows here — post-aggregation, deliberately not a corpus join);
+    * the exact-Jaccard check is a shingle-keyed equi-join whose build side
+    * is |distinct (source, shingle)| — vocabulary-scaled, not doc-scaled.
+    */
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = ShingleHashes(tokens(col("text")), 3)
+    val sigs = docs.filter(size(sh) > 0)
+      .select(col("source"), graft.functions.MinHashSig(sh, OvK).as("sig"))
+    val srcSig = sigs.groupBy(col("source"))
+      .agg(min(col("sig").getItem(0)).as("m0"),
+        (1 until OvK).map(j => min(col("sig").getItem(j)).as(s"m$j")): _*)
+    val ds = docs.select(col("source"), explode(sh).as("s")).distinct()
+    val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ds.as("x").join(ds.as("y"),
+        col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val estMatch = (0 until OvK)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    srcSig.as("a").join(srcSig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        estMatch.as("est_match"))
+      .join(sizes.as("za"), col("sa") === col("za.source"))
+      .join(sizes.as("zb"), col("sb") === col("zb.source"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"), col("est_match"),
+        (col("est_match").cast("double") / OvK.toDouble).as("est_jaccard"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("exact_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private val d29Sql = {
+    val mins = (0 until OvK).map(j =>
+      if (j == 0) "min(h1 % 4294967296) AS m0"
+      else s"min((h1 + $j*h2) % 4294967296) AS m$j").mkString(", ")
+    val matches = (0 until OvK).map(j =>
+      s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT))) AS s3
+       | FROM w),
+       |ds AS (SELECT DISTINCT source, s FROM (
+       |    SELECT source, unnest(s3) AS s FROM sh)),
+       |hh AS (SELECT source, s % 4294967296 AS h1, (s >> 28) | 1 AS h2
+       |  FROM ds),
+       |sig AS (SELECT source, $mins FROM hh GROUP BY source),
+       |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ds
+       |  GROUP BY source),
+       |iv AS (SELECT x.source AS sa, y.source AS sb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ds x JOIN ds y ON x.s = y.s AND x.source < y.source
+       |  GROUP BY x.source, y.source),
+       |p AS (SELECT a.source AS sa, b.source AS sb,
+       |    CAST($matches AS BIGINT) AS est_match
+       |  FROM sig a JOIN sig b ON a.source < b.source)
+       |SELECT p.sa, p.sb, p.est_match,
+       |  CAST(p.est_match AS DOUBLE) / $OvK.0 AS est_jaccard,
+       |  COALESCE(iv.n_inter, 0) AS n_inter,
+       |  CAST(COALESCE(iv.n_inter, 0) AS DOUBLE)
+       |    / CAST(za.n + zb.n - COALESCE(iv.n_inter, 0) AS DOUBLE)
+       |    AS exact_jaccard,
+       |  abs(CAST(p.est_match AS DOUBLE) / $OvK.0
+       |    - CAST(COALESCE(iv.n_inter, 0) AS DOUBLE)
+       |      / CAST(za.n + zb.n - COALESCE(iv.n_inter, 0) AS DOUBLE))
+       |    AS abs_err
+       |FROM p JOIN sz za ON za.source = p.sa JOIN sz zb ON zb.source = p.sb
+       |LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb
+       |ORDER BY p.sa, p.sb""".stripMargin
+  }
+
+  /** d30 — CDC chunk-dedup yield: the ACTION to d28's report. Every
+    * document is cut into content-defined chunks (d28's boundary rule);
+    * each distinct chunk fingerprint keeps only its first occurrence
+    * corpus-wide (smallest (doc_id, chunk index) — the RefinedWeb/CCNet
+    * line-dedup policy at chunk granularity), and the per-document token
+    * yield after sub-document dedup is reported. This is what whole-doc
+    * dedup (d01/t26) cannot give: a doc that is 40% shared boilerplate
+    * survives d01 untouched but pays its true token price here.
+    *
+    * Scale shape: d28's shapes (linear explode, doc-keyed windows,
+    * chunk-bounded buffers) plus ONE fingerprint-keyed keeper window
+    * (partitions by fp — hash-distributed) and a doc-keyed final agg.
+    * Still no joins.
+    */
+  private def d30(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val flagged = tok.withColumn("b",
+      when(substring(md5(col("w")), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = flagged
+      .withColumn("chunk", coalesce(sum(col("b")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          c => c.getField("w"))).as("chunk_text"))
+    val keepWin = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk"))
+    chunks
+      .withColumn("kept", when(row_number().over(keepWin) === 1, 1L)
+        .otherwise(0L))
+      .withColumn("toks", size(split(col("chunk_text"), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"),
+        sum(col("toks")).as("toks_total"),
+        sum(col("kept") * col("toks")).as("toks_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("toks_total"), col("toks_kept"),
+        (col("toks_kept").cast("double") / col("toks_total").cast("double"))
+          .as("yield_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d30Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+      |    i -> {'pos': i, 'w': ws[i + 1]})) AS t FROM d),
+      |tw AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM tok),
+      |f AS (SELECT doc_id, pos, w,
+      |  CASE WHEN substr(md5(w), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+      | FROM tw),
+      |c AS (SELECT doc_id, pos, w,
+      |  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      | FROM f),
+      |ch AS (SELECT doc_id, chunk, string_agg(w, ' ' ORDER BY pos) AS chunk_text
+      |  FROM c GROUP BY doc_id, chunk),
+      |k AS (SELECT doc_id, chunk, chunk_text,
+      |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+      |    ORDER BY doc_id, chunk) = 1 THEN 1 ELSE 0 END AS kept,
+      |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS toks
+      | FROM ch)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(toks) AS BIGINT) AS toks_total,
+      |  CAST(SUM(kept * toks) AS BIGINT) AS toks_kept,
+      |  CAST(SUM(kept * toks) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE)
+      |    AS yield_ratio
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", d01, Some(d01Sql)),
     QueryDef("d02_ngram_jaccard", d02, Some(d02Sql)),
@@ -801,7 +976,9 @@ object DedupQueries extends QueryPack {
     QueryDef("d25_containment", d25, Some(d25Sql)),
     QueryDef("d26_winnowing", d26, Some(d26Sql)),
     QueryDef("d27_prefix_filter_join", d27, Some(d27Sql)),
-    QueryDef("d28_cdc_chunk_dedup", d28, Some(d28Sql)))
+    QueryDef("d28_cdc_chunk_dedup", d28, Some(d28Sql)),
+    QueryDef("d29_source_overlap", d29, Some(d29Sql)),
+    QueryDef("d30_cdc_yield", d30, Some(d30Sql)))
 
   /** Winnowing window (consecutive 3-gram positions per fingerprint pick)
     * and the minimum shared-fingerprint count for a reported pair.

@@ -655,7 +655,116 @@ object JoinQueries extends QueryPack {
     QueryDef("j13_attribution", j13, Some(j13Sql)),
     QueryDef("j14_pit_lookup", j14, Some(j14Sql)),
     QueryDef("j15_nearest_join", j15, Some(j15Sql)),
-    QueryDef("j16_interval_islands", j16, Some(j16Sql)))
+    QueryDef("j16_interval_islands", j16, Some(j16Sql)),
+    QueryDef("j17_event_trigrams", j17, Some(j17Sql)),
+    QueryDef("j18_event_cadence", j18, Some(j18Sql)))
+
+  /** j18 — per-user cadence profile: bucket each user's consecutive
+    * inter-event gaps into fixed bands (sub-second, <10 s, <1 min,
+    * <10 min, <1 h, ≥1 h) and report the modal band with its share — the
+    * automation screen (humans have heavy-tailed mixed cadences; bots
+    * cluster their entire gap mass in one narrow band, modal share → 1).
+    * Bands are integer µs threshold comparisons — no float, no log — and
+    * the modal pick breaks count ties toward the smaller band index.
+    *
+    * Scale shape: one user-keyed LAG window, a (user, band)-keyed count,
+    * one user-keyed modal window (rank by count desc). All three stages
+    * hash-partition by user.
+    */
+  private def j18(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("band",
+        when(col("gap_us") < 1000000L, 0L)
+          .when(col("gap_us") < 10000000L, 1L)
+          .when(col("gap_us") < 60000000L, 2L)
+          .when(col("gap_us") < 600000000L, 3L)
+          .when(col("gap_us") < 3600000000L, 4L)
+          .otherwise(5L))
+    val perBand = gaps.groupBy(col("user_id"), col("band"))
+      .agg(count(lit(1)).as("band_n"))
+    val modal = Window.partitionBy(col("user_id"))
+      .orderBy(col("band_n").desc, col("band"))
+    perBand
+      .withColumn("rk", row_number().over(modal))
+      .withColumn("n_gaps",
+        sum(col("band_n")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_gaps"), col("band").as("modal_band"),
+        col("band_n").as("modal_n"),
+        (col("band_n").cast("double") / col("n_gaps").cast("double"))
+          .as("modal_share"))
+      .orderBy(col("user_id"))
+  }
+
+  private val j18Sql =
+    """WITH g AS (SELECT user_id,
+      |  epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id)) AS gap_us
+      | FROM events),
+      |b AS (SELECT user_id,
+      |  CASE WHEN gap_us < 1000000 THEN 0 WHEN gap_us < 10000000 THEN 1
+      |    WHEN gap_us < 60000000 THEN 2 WHEN gap_us < 600000000 THEN 3
+      |    WHEN gap_us < 3600000000 THEN 4 ELSE 5 END AS band
+      | FROM g WHERE gap_us IS NOT NULL),
+      |c AS (SELECT user_id, band, CAST(COUNT(*) AS BIGINT) AS band_n
+      |  FROM b GROUP BY user_id, band),
+      |r AS (SELECT user_id, band, band_n,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY band_n DESC, band) AS rk,
+      |  CAST(SUM(band_n) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps
+      | FROM c)
+      |SELECT user_id, n_gaps, CAST(band AS BIGINT) AS modal_band,
+      |  band_n AS modal_n,
+      |  CAST(band_n AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS modal_share
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  /** j17 — frequent behavioral trigrams: the top-20 most common
+    * consecutive event-type triples across all user timelines — sequential
+    * pattern mining at fixed length, the corpus-level complement of j11's
+    * per-user transition matrix (j11 normalizes per user and stops at
+    * bigrams; this ranks raw length-3 motifs globally — the "view → click
+    * → purchase" discovery query). Consecutiveness is per-user event
+    * order with a total (ts, event_id) tiebreak.
+    *
+    * Scale shape: one user-keyed window pass (two LEADs over the same
+    * sort — Spark collapses them into a single Window operator), a
+    * map-side-combined count keyed by the triple, and a top-20
+    * TakeOrderedAndProject. No joins, no explode.
+    */
+  private def j17(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  private val j17Sql =
+    """WITH s AS (SELECT user_id, event_type AS t1,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS t2,
+      |  LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS t3
+      | FROM events)
+      |SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY t1, t2, t3
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
 
   /** j15 — nearest-neighbor temporal join (pandas merge_asof
     * direction='nearest'): each purchase matched to the CLOSEST click by

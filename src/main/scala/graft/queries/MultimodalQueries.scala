@@ -492,7 +492,54 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m11_phash_pairs", m11, Some(m11Sql)),
     QueryDef("m12_silence_segments", m12, Some(m12Sql)),
     QueryDef("m13_wav_header", m13, Some(m13Sql)),
-    QueryDef("m14_png_container", m14, Some(m14Sql)))
+    QueryDef("m14_png_container", m14, Some(m14Sql)),
+    QueryDef("m15_loudness", m15, Some(m15Sql)))
+
+  /** m15 — loudness / normalization-gain analysis: synthesize real WAVs
+    * (m13's closed-form payloads), extract per-clip peak deviation and the
+    * exact integer squared-deviation sum through the RIFF walker
+    * (`Multimodal.wavLoudness`), then derive RMS and the peak-normalization
+    * gain 20·log10(127/peak) in micro-dB. The pre-transcription normalize
+    * step: clips whose gain is far from 0 dB get rescaled, near-silent
+    * clips (huge gain) get dropped. IEEE sqrt and one float division are
+    * correctly rounded from exact integers; the log lands in micro-dB
+    * quantization (t33's discipline).
+    *
+    * Scale shape: synthesize and parse are both mapPartitions over the id
+    * stream — zero shuffle before the final sort; every statistic is one
+    * pass over the clip's own bytes.
+    */
+  private def m15(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(23)) === 3)
+    Multimodal.wavLoudness(Multimodal.synthesizeWav(ids))
+      .select(col("media_id"), col("n_samples"), col("peak"), col("sum_sq"),
+        sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double"))
+          .as("rms"),
+        round(lit(20.0) * log10(lit(127.0) / col("peak").cast("double"))
+          * 1e6).cast("long").as("gain_udb"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m15Sql =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+      |  WHERE doc_id % 23 = 3),
+      |p AS (SELECT media_id,
+      |  CAST((64 + (media_id % 16) * 16) * (1 + (media_id % 2)) AS BIGINT)
+      |    AS data_len FROM ids),
+      |v AS (SELECT media_id, data_len,
+      |  list_transform(range(0, data_len),
+      |    j -> ((7 * j + media_id) % 256) - 128) AS devs FROM p),
+      |a AS (SELECT media_id, data_len AS n_samples,
+      |  CAST(list_max(list_transform(devs, d -> abs(d))) AS BIGINT) AS peak,
+      |  CAST(list_sum(list_transform(devs, d -> d * d)) AS BIGINT) AS sum_sq
+      | FROM v)
+      |SELECT media_id, n_samples, peak, sum_sq,
+      |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+      |  CAST(round(20.0 * log10(127.0 / CAST(peak AS DOUBLE)) * 1000000)
+      |    AS BIGINT) AS gain_udb
+      |FROM a ORDER BY media_id""".stripMargin
 
   /** m14 — PNG container triage, oracle-checked end to end (m13's image
     * counterpart): synthesize a genuine PNG per selected doc through the

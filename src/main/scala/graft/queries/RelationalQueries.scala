@@ -627,7 +627,53 @@ object RelationalQueries extends QueryPack {
     QueryDef("r19_countmin", r19, Some(r19Sql)),
     QueryDef("r20_autocorr", r20, Some(r20Sql)),
     QueryDef("r21_equidepth_hist", r21, Some(r21Sql)),
-    QueryDef("r22_spearman_drift", r22, Some(r22Sql)))
+    QueryDef("r22_spearman_drift", r22, Some(r22Sql)),
+    QueryDef("r23_gini_concentration", r23, Some(r23Sql)))
+
+  /** r23 — per-type Gini concentration of user activity: how unevenly is
+    * each event type's volume spread across users? Gini from the exact
+    * rank formula over ascending per-user counts,
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), every term a BIGINT — the one
+    * float division happens last. G ≈ 0: volume spread evenly; G → 1: a
+    * few users own the type — which is simultaneously the bot-traffic
+    * screen and the SHUFFLE-SKEW audit (x_i is exactly the per-key row
+    * count a groupBy(user) would shuffle; a type with G near 1 is the one
+    * that needs the salted path the skew arm measures).
+    *
+    * Scale shape: a (type, user)-keyed count, ONE type-keyed rank window
+    * (hash-partitions by type), one type-keyed agg. 5 output rows.
+    */
+  private def r23(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    cnt.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
+        sum(col("i") * col("x")).as("s2"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        ((lit(2) * col("s2") - (col("n_users") + 1) * col("n_events"))
+          .cast("double") /
+          (col("n_users") * col("n_events")).cast("double")).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r23Sql =
+    """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, user_id),
+      |r AS (SELECT event_type, x,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id)
+      |    AS BIGINT) AS i FROM c),
+      |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(x) AS BIGINT) AS n_events, CAST(SUM(i * x) AS BIGINT) AS s2
+      | FROM r GROUP BY event_type)
+      |SELECT event_type, n_users, n_events,
+      |  CAST(2 * s2 - (n_users + 1) * n_events AS DOUBLE)
+      |    / CAST(n_users * n_events AS DOUBLE) AS gini
+      |FROM a ORDER BY event_type""".stripMargin
 
   /** r22 — Spearman rank correlation between event VALUE and event TIME,
     * per type: the nonparametric monotone-trend drift detector (robust to

@@ -744,6 +744,27 @@ class PlanSpec extends SparkSpecBase {
       "rank windows must distribute by the type key")
   }
 
+  test("round-9 batch 5 keeps scale shapes (d29/j17)") {
+    // d29 source overlap: signatures partial-combine into a |sources|-row
+    // aggregate BEFORE any pairing; the non-equi pair grid is over that
+    // tiny frame (broadcast), never the corpus
+    val d29 = planString(run("d29_source_overlap"))
+    assert("HashAggregate".r.findAllIn(d29).size >= 2,
+      "source signatures must partial-combine map-side")
+    assert(!d29.contains("CartesianProduct"),
+      "the pair grid must broadcast the aggregated frame")
+    // j17 trigrams: one user-keyed window (both LEADs share the sort),
+    // no join, top-20 as TakeOrdered
+    // (both LEADs share one Window operator — same partition/order spec —
+    // but AQE stage wrapping makes the node count unassertable; the keyed
+    // exchange and join-freedom below are the scale-relevant pins)
+    val j17 = planString(run("j17_event_trigrams"))
+    assert(!j17.contains("Join"))
+    assert(j17.contains("hashpartitioning(user_id"),
+      "the LEAD window must distribute by user")
+    assert(j17.contains("TakeOrderedAndProject"))
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),

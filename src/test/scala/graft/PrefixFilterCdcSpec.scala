@@ -32,7 +32,7 @@ class PrefixFilterCdcSpec extends SparkSpecBase {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
       .sortBy(_._1)
-    val tau = 0.3
+    val tau = graft.queries.DedupQueries.ApssTau
     val want = (for {
       i <- sets.indices.iterator
       j <- (i + 1) until sets.length
