@@ -13,6 +13,9 @@ import graft.streaming.{StreamingDedup, StreamingPipeline}
   * comparable to BASELINE.md's glassflow_rps (8,018–9,429), which measures
   * the same shape: Kafka-source dedup ETL sustained rate.
   */
+/** Bloom-arm event: keyed row with event time. Top-level for encoders. */
+case class BloomBenchEv(event_id: String, ts: java.sql.Timestamp)
+
 object StreamBench {
 
   /** stop() with the session's bounded stopTimeout throws on an abandoned
@@ -140,6 +143,9 @@ object StreamBench {
     }
     if (op == "session") {
       runSession(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
+    if (op == "bloom") {
+      runBloom(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
 
     val events = StreamingPipeline.rateSource(spark, rps)
@@ -409,6 +415,59 @@ object StreamBench {
     * so this is the ceiling of the flatMapGroupsWithState plumbing itself
     * — any gap to the rate source is framework, not state size.
     */
+  /** SPARK_GRAFT_STREAM_OP=bloom measures the CONSTANT-state Bloom dedup
+    * (StreamingBloomDedup): same 10%-duplicate admission problem as the
+    * default dedup arm (every 10th key repeats its predecessor), but state
+    * is `shards × 2 bitmaps` — fixed bytes — instead of one store row per
+    * distinct key. The arm that answers "what happens when the window's
+    * key cardinality outgrows even RocksDB": throughput AND a state-rows
+    * figure that stays at the shard count forever.
+    */
+  private def runBloom(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                       secs: Int, sinkDir: String, ckpt: String,
+                       stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    implicit val enc: org.apache.spark.sql.Encoder[BloomBenchEv] =
+      org.apache.spark.sql.Encoders.product[BloomBenchEv]
+    val shards = sys.env.getOrElse("SPARK_GRAFT_BLOOM_SHARDS", "64").toInt
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    // every 10th row duplicates its predecessor's key — the reference's
+    // 10% duplicate arithmetic, like the default arm
+    val keyed = raw.select(
+        concat(lit("k"), when(pmod(col("value"), lit(10)) === 9,
+          col("value") - 1).otherwise(col("value"))).as("event_id"),
+        col("timestamp").as("ts"))
+      .as[BloomBenchEv]
+    val admitted = graft.streaming.StreamingBloomDedup.admit[BloomBenchEv](
+      keyed, _.event_id, _.ts, Duration.parse("8h"),
+      bitsPerShard = 1 << 22, shards = shards)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = admitted.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val sunk = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val sustained = math.round(sunk / elapsed)
+    println(s"""{"metric":"bloom_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"admitted":$sunk,"state_rows":$stateRows,"shards":$shards,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
   private def runAnomaly(spark: org.apache.spark.sql.SparkSession, rps: Long,
                          secs: Int, sinkDir: String, ckpt: String,
                          stateStore: String): Unit = {

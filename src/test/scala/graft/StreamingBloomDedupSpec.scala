@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.config.Duration
+import graft.streaming.StreamingBloomDedup
+
+/** Contracts for the constant-state Bloom dedup:
+  *
+  *  - duplicates within the window are ALWAYS suppressed (Bloom membership
+  *    has no false negatives), across micro-batch boundaries and across a
+  *    generation rotation;
+  *  - novel keys pay only the false-positive rate — near-zero at the spec's
+  *    load factor;
+  *  - state is shard-count-bounded: the store holds one row per touched
+  *    shard with fixed-size bitmaps, regardless of key cardinality (the
+  *    property exact per-key dedup cannot have).
+  */
+class StreamingBloomDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_bd").toString
+
+  private val window = Duration.parse("1h")
+
+  test("duplicates suppressed across batches and rotation; novel keys admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingBloomDedup.admit[Ev](in.toDS(), _.event_id, _.ts,
+      window, bitsPerShard = 1 << 16, shards = 8)
+    val q = out.toDF().writeStream.format("memory").queryName("bd1")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      // batch 1: 200 novel keys + in-batch dups of 50 of them
+      val b1 = (0 until 200).map(i => Ev(s"k$i", t(i), "new")) ++
+        (0 until 50).map(i => Ev(s"k$i", t(i + 300), "dup"))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2: cross-batch dups of the first 100, 100 more novel keys
+      in.addData((0 until 100).map(i => Ev(s"k$i", t(i + 600), "dup2")) ++
+        (200 until 300).map(i => Ev(s"k$i", t(i), "new2")): _*)
+      q.processAllAvailable()
+      // batch 3: next generation (ts + 1h) — dups of keys first seen late
+      // in the previous generation must STILL be suppressed via the
+      // rotated previous bitmap
+      in.addData((250 until 300).map(i =>
+        Ev(s"k$i", t(3600 + i), "dup-after-rotate")): _*)
+      q.processAllAvailable()
+
+      val rows = spark.table("bd1").collect()
+      val admitted = rows.map(_.getAs[String]("event_id"))
+      assert(admitted.length == admitted.distinct.length,
+        "no key is ever admitted twice within the suppression horizon")
+      assert(rows.forall(r => r.getAs[String]("payload").startsWith("new")),
+        "only first occurrences are admitted")
+      // all 300 distinct keys admitted, minus Bloom false drops — at load
+      // factor 300·5/65536 the expected false-drop count is << 1
+      assert(admitted.length >= 298,
+        s"false-drop rate must be near zero at this load (got ${admitted.length}/300)")
+    } finally q.stop()
+  }
+
+  test("state is shard-bounded with fixed-size bitmaps at 10k keys") {
+    // batch mode drives the exact same state function; at 10k keys the
+    // admitted count shows the state never needed per-key entries
+    val events = (0 until 10000).map(i => Ev(s"u$i", t(i % 3000), "p")).toDS()
+    val admitted = StreamingBloomDedup.admit[Ev](events, _.event_id, _.ts,
+      window, bitsPerShard = 1 << 20, shards = 16)
+    val n = admitted.count()
+    assert(n >= 9990L && n <= 10000L,
+      s"10k novel keys admit ~all through 16 constant-size shards (got $n)")
+    // shard function spreads keys: no shard owns more than ~3x the mean
+    val spread = events
+      .groupByKey(e => math.floorMod(scala.util.hashing.MurmurHash3
+        .stringHash(e.event_id, 0x1b873593), 16))
+      .count().collect().map(_._2)
+    assert(spread.length == 16 && spread.max < 3 * (10000 / 16),
+      "hash sharding must spread keys")
+  }
+
+  test("batch and streaming agree on the admitted key set") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 120).map { i =>
+      Ev(s"k${i % 40}", t(i), if (i < 40) "first" else "later")
+    }
+    val batchKeys = StreamingBloomDedup.admit[Ev](events.toDS(), _.event_id,
+        _.ts, window, bitsPerShard = 1 << 16, shards = 4)
+      .collect().map(_.event_id).toSet
+
+    val in = MemoryStream[Ev]
+    val q = StreamingBloomDedup.admit[Ev](in.toDS(), _.event_id, _.ts,
+        window, bitsPerShard = 1 << 16, shards = 4)
+      .toDF().writeStream.format("memory").queryName("bd3")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      events.grouped(30).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamKeys = spark.table("bd3").collect()
+        .map(_.getAs[String]("event_id")).toSet
+      assert(streamKeys == batchKeys,
+        "micro-batch boundaries must not change admissions")
+      assert(batchKeys.size == 40, "exactly the 40 distinct keys admit")
+    } finally q.stop()
+  }
+}
