@@ -1318,7 +1318,118 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s17_knn_classify", s17, Some(s17Sql)),
     QueryDef("s18_mmr_diversity", s18, Some(s18Sql)),
     QueryDef("s19_hamming_knn", s19, Some(s19Sql)),
-    QueryDef("s20_ivfpq", s20, Some(s20Sql)))
+    QueryDef("s20_ivfpq", s20, Some(s20Sql)),
+    QueryDef("s21_nprobe_sweep", s21, Some(s21Sql)))
+
+  /** s21 — nprobe tuning curve for the IVF index (the ANN analogue of
+    * d23's LSH banding sweep): for each exact top-3 neighbor of each query,
+    * in which PROBE-RANKED cell does it live? cov_p = fraction of true
+    * neighbors whose cell is among the query's first p probes — the exact
+    * recall CEILING of s04's search at nprobe = p (IVF can never return a
+    * neighbor it didn't probe), i.e. the curve nprobe is actually tuned
+    * against before paying for a full search per setting.
+    *
+    * Scale shape: corpus assignment is the s04 broadcast-codebook fold
+    * (map-side, no shuffle); probe ranks are a fixed k×IvfK frame with a
+    * query-keyed window; the ground truth is the fixed-k broadcast brute
+    * pass; the final join touches 3·k rows. One output row.
+    */
+  private def s21(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = baseVecs(s, dir).localCheckpoint()
+    val ids = sampleIds(s, dir, QueryK)
+    val centIds = q.select(col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#ivf"))),
+        col("vec_id"))
+      .limit(IvfK)
+    val cents = q.join(broadcast(centIds), "vec_id")
+      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
+        col("v").as("c_v"), col("nrm").as("c_nrm")))).as("cands"))
+    val withCell = q.crossJoin(broadcast(cents))
+      .withColumn("best", aggregate(col("cands"),
+        named_struct(lit("ccos"), lit(-2.0), lit("cell"), lit(-1L)),
+        (acc, c) => {
+          val ccos = dotLong(col("v"), c.getField("c_v")).cast("double") /
+            (col("nrm") * c.getField("c_nrm"))
+          when(ccos > acc.getField("ccos"),
+            named_struct(lit("ccos"), ccos, lit("cell"), c.getField("c_id")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id").as("neighbor_id"), col("best.cell").as("cell"))
+    val probeRank = q.join(broadcast(ids), "vec_id")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"),
+        explode(col("cands")).as("c"))
+      .select(col("query_id"), col("c.c_id").as("cell"),
+        (dotLong(col("v"), col("c.c_v")).cast("double") /
+          (col("nrm") * col("c.c_nrm"))).as("ccos"))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cell"))).cast("long"))
+    val truth = topkRank(bruteScoredPairs(q, ids), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def cov(p: Int) =
+      sum(when(col("probe_rank") <= p, 1L).otherwise(0L)).as(s"cov_$p")
+    // truth (3·k rows) and probe ranks (k·IvfK rows) are both fixed-size:
+    // broadcast them so the corpus-sized assignment frame never shuffles
+    withCell.join(broadcast(truth), Seq("neighbor_id"))
+      .join(broadcast(probeRank
+          .select(col("query_id"), col("cell"), col("probe_rank"))),
+        Seq("query_id", "cell"))
+      .agg(count(lit(1)).as("n_true"), cov(1), cov(2), cov(4))
+      .select(col("n_true"), col("cov_1"), col("cov_2"), col("cov_4"),
+        (col("cov_1").cast("double") / col("n_true")).as("rate_1"),
+        (col("cov_2").cast("double") / col("n_true")).as("rate_2"),
+        (col("cov_4").cast("double") / col("n_true")).as("rate_4"))
+  }
+
+  private def s21Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |cid AS (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#ivf'), vec_id LIMIT $IvfK),
+      |c AS (SELECT q.vec_id AS c_id, q.v AS c_v FROM q
+      |  WHERE q.vec_id IN (SELECT vec_id FROM cid)),
+      |qs AS (${sampleSql(QueryK)}),
+      |score AS (SELECT q.vec_id, c.c_id,
+      |  list_dot_product(q.v::DOUBLE[], c.c_v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(q.v::DOUBLE[], q.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(c.c_v::DOUBLE[], c.c_v::DOUBLE[]))) AS ccos
+      | FROM q CROSS JOIN c),
+      |assign AS (SELECT vec_id AS neighbor_id, c_id AS cell FROM (
+      |  SELECT vec_id, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+      |  FROM score) WHERE rn = 1),
+      |pr AS (SELECT vec_id AS query_id, c_id AS cell,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, c_id) AS BIGINT) AS probe_rank
+      |  FROM score WHERE vec_id IN (SELECT vec_id FROM qs)),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      | WHERE a.vec_id IN (SELECT vec_id FROM qs)),
+      |truth AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM p) WHERE rk <= 3),
+      |j AS (SELECT t.query_id, t.neighbor_id, pr.probe_rank
+      |  FROM truth t JOIN assign a ON a.neighbor_id = t.neighbor_id
+      |  JOIN pr ON pr.query_id = t.query_id AND pr.cell = a.cell)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN probe_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS cov_1,
+      |  CAST(SUM(CASE WHEN probe_rank <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cov_2,
+      |  CAST(SUM(CASE WHEN probe_rank <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS cov_4,
+      |  CAST(SUM(CASE WHEN probe_rank <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS rate_1,
+      |  CAST(SUM(CASE WHEN probe_rank <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS rate_2,
+      |  CAST(SUM(CASE WHEN probe_rank <= 4 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS rate_4
+      |FROM j""".stripMargin
 
   /** Probed cells per query for s20 (of [[IvfK]] IVF cells). */
   private val IvfPqProbe = 4

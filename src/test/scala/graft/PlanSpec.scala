@@ -765,6 +765,14 @@ class PlanSpec extends SparkSpecBase {
     assert(j17.contains("TakeOrderedAndProject"))
   }
 
+  test("s21 nprobe sweep: broadcast codebook assignment, no corpus shuffle join") {
+    val s = planString(run("s21_nprobe_sweep"))
+    assert(!s.contains("CartesianProduct"),
+      "codebook and query sample must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join anywhere in the sweep")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
