@@ -493,7 +493,59 @@ object MultimodalQueries extends QueryPack {
     QueryDef("m12_silence_segments", m12, Some(m12Sql)),
     QueryDef("m13_wav_header", m13, Some(m13Sql)),
     QueryDef("m14_png_container", m14, Some(m14Sql)),
-    QueryDef("m15_loudness", m15, Some(m15Sql)))
+    QueryDef("m15_loudness", m15, Some(m15Sql)),
+    QueryDef("m16_corruption_triage", m16, Some(m16Sql)))
+
+  /** m16 — corpus corruption triage: synthesize a mixed media corpus
+    * (WAVs and PNGs through the real encoders), DETERMINISTICALLY corrupt
+    * a third of it (truncate the last 6 bytes — a torn upload), push
+    * everything through the container parsers, and roll up parse health
+    * per kind. The 100 TB ingest gate: a corrupted object yields a null
+    * triage row, never a thrown task — and the corruption RATE per kind is
+    * the dashboard number that pages someone. The oracle knows exactly
+    * which ids were truncated, so a parser that crashes, a truncation the
+    * walker misses (WAV: torn data chunk; PNG: IEND unreachable), or a
+    * miscounted rollup all hash-mismatch.
+    *
+    * Scale shape: synthesize/corrupt/parse are per-row mapPartitions +
+    * codegen byte ops; the rollup is one 4-row map-side-combined agg.
+    */
+  private def m16(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wavIds = docs.select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(13)) === 4)
+    val pngIds = docs.select(col("doc_id").as("media_id"))
+      .where(pmod(col("media_id"), lit(13)) === 7)
+      .withColumn("width",
+        (lit(16) + pmod(col("media_id"), lit(5)) * 8).cast("int"))
+      .withColumn("height",
+        (lit(12) + pmod(col("media_id"), lit(4)) * 6).cast("int"))
+    def torn(df: DataFrame): DataFrame =
+      df.withColumn("content",
+        when(pmod(col("media_id"), lit(3)) === 0,
+          expr("substring(content, 1, length(content) - 6)"))
+          .otherwise(col("content")))
+    val wav = Multimodal.parseWavHeader(torn(Multimodal.synthesizeWav(wavIds)))
+      .select(lit("audio").as("kind"), col("data_len").isNotNull.as("parse_ok"))
+    val png = Multimodal.parsePngContainer(torn(Multimodal.synthesizePng(pngIds)))
+      .select(lit("image").as("kind"),
+        (col("sig_ok") && col("has_iend") &&
+          coalesce(col("ihdr_crc_ok"), lit(false))).as("parse_ok"))
+    wav.unionAll(png)
+      .groupBy(col("kind"), col("parse_ok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"), col("parse_ok"))
+  }
+
+  private val m16Sql =
+    """WITH u AS (
+      |  SELECT 'audio' AS kind, (doc_id % 3 <> 0) AS parse_ok
+      |  FROM documents WHERE doc_id % 13 = 4
+      |  UNION ALL
+      |  SELECT 'image', (doc_id % 3 <> 0)
+      |  FROM documents WHERE doc_id % 13 = 7)
+      |SELECT kind, parse_ok, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM u GROUP BY kind, parse_ok ORDER BY kind, parse_ok""".stripMargin
 
   /** m15 — loudness / normalization-gain analysis: synthesize real WAVs
     * (m13's closed-form payloads), extract per-clip peak deviation and the

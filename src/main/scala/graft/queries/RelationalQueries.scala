@@ -628,7 +628,69 @@ object RelationalQueries extends QueryPack {
     QueryDef("r20_autocorr", r20, Some(r20Sql)),
     QueryDef("r21_equidepth_hist", r21, Some(r21Sql)),
     QueryDef("r22_spearman_drift", r22, Some(r22Sql)),
-    QueryDef("r23_gini_concentration", r23, Some(r23Sql)))
+    QueryDef("r23_gini_concentration", r23, Some(r23Sql)),
+    QueryDef("r24_mad_spread", r24, Some(r24Sql)))
+
+  /** r24 — median absolute deviation per event type: the robust spread
+    * statistic (r05 gives robust location; stddev-based spread is ruined
+    * by the same outliers MAD ignores — the pair is the screen that
+    * separates "value drifted" from "a few rows exploded"). Exact rank
+    * selection twice: the per-type median of the 1e6-quantized values,
+    * then the median of |x − med| — both ceil(n/2)-th order statistics
+    * under a total order, integer end to end until the final /1e6.
+    *
+    * Scale shape: two type-keyed rank windows (hash-partitioned by the
+    * 5-value type key) and two keyed aggs; the deviation pass re-derives
+    * from the first via a broadcast 5-row median frame — the corpus never
+    * shuffles except by its window key. 5 output rows.
+    */
+  private def r24(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.events(s, dir).select(col("event_type"),
+      round(col("value").cast("double") * 1000000).cast("long").as("vq"))
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      val n = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5), col(valueCol)))
+          .as(out))
+    }
+    val med = medianOf(q, "vq", "med_q")
+    val dev = q.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("vq") - col("med_q")).as("dq"))
+    medianOf(dev, "dq", "mad_q")
+      .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        (col("med_q").cast("double") / 1e6).as("median"),
+        (col("mad_q").cast("double") / 1e6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  private val r24Sql =
+    """WITH q AS (SELECT event_type,
+      |  CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vq
+      | FROM events),
+      |r1 AS (SELECT event_type, vq,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM q),
+      |med AS (SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN vq END) AS med_q
+      | FROM r1 GROUP BY event_type),
+      |d AS (SELECT q.event_type, abs(q.vq - med.med_q) AS dq
+      |  FROM q JOIN med ON med.event_type = q.event_type),
+      |r2 AS (SELECT event_type, dq,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dq) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+      |mad AS (SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dq END) AS mad_q
+      | FROM r2 GROUP BY event_type)
+      |SELECT med.event_type,
+      |  CAST(med.med_q AS DOUBLE) / 1e6 AS median,
+      |  CAST(mad.mad_q AS DOUBLE) / 1e6 AS mad
+      |FROM med JOIN mad ON mad.event_type = med.event_type
+      |ORDER BY med.event_type""".stripMargin
 
   /** r23 — per-type Gini concentration of user activity: how unevenly is
     * each event type's volume spread across users? Gini from the exact

@@ -1094,7 +1094,63 @@ object TextQueries extends QueryPack {
     QueryDef("t32_pmi_collocations", t32, Some(t32Sql)),
     QueryDef("t33_token_entropy", t33, Some(t33Sql)),
     QueryDef("t34_chunk_dedup", t34, Some(t34Sql)),
-    QueryDef("t35_bigram_xent", t35, Some(t35Sql)))
+    QueryDef("t35_bigram_xent", t35, Some(t35Sql)),
+    QueryDef("t36_code_switch", t36, Some(t36Sql)))
+
+  /** t36 — code-switch / mixed-language detection: run t02's language ID
+    * on the whole doc AND on each half independently; halves that disagree
+    * flag a document whose language changes mid-stream (concatenated
+    * scrapes, boilerplate in a second language, template + content
+    * mismatch). Whole-doc argmax language ID structurally CANNOT see this
+    * — the majority half always wins — which is why curation pipelines
+    * run segment-level language ID before routing documents to
+    * language-specific filters.
+    *
+    * Scale shape: pure per-row column expressions (slice, intersect
+    * against 5-token literal profiles) — one scan, zero shuffle before
+    * the output sort.
+    */
+  private def t36(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val h = (size(ws).cast("double") / 2).cast("int")
+    val head = concat_ws(" ", slice(ws, lit(1), h))
+    val tail = concat_ws(" ", slice(ws, h + 1, size(ws) - h))
+    docs.select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_all"),
+        langId(head).as("lang_head"),
+        langId(tail).as("lang_tail"))
+      .withColumn("code_switched", col("lang_head") =!= col("lang_tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB rendering of langId over an arbitrary SQL string expression —
+    * the same first-listed-wins argmax as TextFunctions.langId.
+    */
+  private def langPredSql(e: String): String = {
+    val scores = LangProfiles.map { case (lang, prof) =>
+      lang -> (s"len(list_intersect(list_distinct(string_split($e, ' ')), " +
+        s"[${prof.map("'" + _ + "'").mkString(",")}]))")
+    }
+    val g = s"greatest(${scores.map(_._2).mkString(", ")})"
+    "CASE " + scores.map { case (l, sc) =>
+      s"WHEN $sc > 0 AND $sc = $g THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+  }
+
+  private def t36Sql: String =
+    s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, text,
+       |  array_to_string(ws[1:(len(ws) // 2)], ' ') AS head,
+       |  array_to_string(ws[(len(ws) // 2 + 1):len(ws)], ' ') AS tail
+       | FROM w)
+       |SELECT doc_id, lang,
+       |  ${langPredSql("text")} AS lang_all,
+       |  ${langPredSql("head")} AS lang_head,
+       |  ${langPredSql("tail")} AS lang_tail,
+       |  ${langPredSql("head")} <> ${langPredSql("tail")} AS code_switched
+       |FROM h ORDER BY doc_id""".stripMargin
 
   /** t34 chunk width in tokens (non-overlapping). */
   private val ChunkC = 8

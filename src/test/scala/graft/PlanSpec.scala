@@ -773,6 +773,25 @@ class PlanSpec extends SparkSpecBase {
       "no corpus-sized shuffle join anywhere in the sweep")
   }
 
+  test("round-9 batch 6 keeps scale shapes (r24/t36/m16)") {
+    // r24 MAD: both rank windows hash-partition by event_type; the median
+    // frame re-enters as a broadcast (5 rows), never a shuffle join
+    val r24 = planString(run("r24_mad_spread"))
+    assert(r24.contains("hashpartitioning(event_type"))
+    assert(r24.contains("BroadcastHashJoin"),
+      "the 5-row median frame must broadcast into the deviation pass")
+    assert(!r24.contains("SortMergeJoin") && !r24.contains("CartesianProduct"))
+    // t36 code-switch: pure per-row expressions — no exchange before the
+    // output sort, no join, no window
+    val t36 = planString(run("t36_code_switch"))
+    assert(!t36.contains("Join") && !t36.contains("Window"))
+    // m16 triage: two parser pipelines union into one tiny agg — no join
+    val m16 = planString(run("m16_corruption_triage"))
+    assert(!m16.contains("Join"))
+    assert("HashAggregate".r.findAllIn(m16).size >= 2,
+      "the rollup partial-combines map-side")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
