@@ -657,7 +657,120 @@ object JoinQueries extends QueryPack {
     QueryDef("j15_nearest_join", j15, Some(j15Sql)),
     QueryDef("j16_interval_islands", j16, Some(j16Sql)),
     QueryDef("j17_event_trigrams", j17, Some(j17Sql)),
-    QueryDef("j18_event_cadence", j18, Some(j18Sql)))
+    QueryDef("j18_event_cadence", j18, Some(j18Sql)),
+    QueryDef("j19_attribution_policies", j19, Some(j19Sql)))
+
+  /** j19 — attribution-policy comparison: the purchase→preceding-24h
+    * click candidates (j13's machinery, wider lookback so multi-touch
+    * paths actually occur), credited under FOUR policies — first-touch,
+    * last-touch, linear (j13's largest-remainder split), and time-decay
+    * (weight doubling toward the purchase, integer shares by weighted
+    * floor + largest remainder) — rolled up by touch position (single /
+    * first / middle / last). The marketing-warehouse shape where the
+    * POLICY is the analysis: every policy's column sums to the same total
+    * purchase cents (exact integer conservation — the oracle enforces it
+    * value-for-value), and the position rollup shows precisely how much
+    * credit each policy moves from early to late touches.
+    *
+    * Scale shape: j13's purchase-keyed windows (all partitions by p_id)
+    * plus one unpivot; the rollup is a ≤16-row agg. Decay weights are
+    * capped shifts (2^min(rk−1,30)) — pure integer, no float until the
+    * display column.
+    */
+  private def j19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    val cand = TemporalJoin.batch(p, c, "p_user", "c_user",
+        col("p_ts"), col("c_ts"), Duration.parse("24h"))
+      .filter(col("c_ts") <= col("p_ts"))
+    val rw = Window.partitionBy(col("p_id")).orderBy(col("c_ts"), col("c_id"))
+    val kw = Window.partitionBy(col("p_id"))
+    val base = cand
+      .withColumn("rk", row_number().over(rw).cast("long"))
+      .withColumn("n", count(lit(1)).over(kw))
+      .withColumn("cents",
+        round(col("p_value").cast("double") * 100).cast("long"))
+      .withColumn("w",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(least(rk - 1, 30) AS INT))"))
+      .withColumn("ww", sum(col("w")).over(kw))
+      .withColumn("dfloor", expr("(cents * w) DIV ww"))
+      .withColumn("sfloor", sum(col("dfloor")).over(kw))
+      .withColumn("rem_rank", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(col("rk").desc)).cast("long"))
+      .withColumn("lin_share", expr("cents DIV n") +
+        when(col("rk") <= expr("cents % n"), 1L).otherwise(0L))
+      .withColumn("first_share",
+        when(col("rk") === 1, col("cents")).otherwise(0L))
+      .withColumn("last_share",
+        when(col("rk") === col("n"), col("cents")).otherwise(0L))
+      .withColumn("decay_share", col("dfloor") +
+        when(col("rem_rank") <= col("cents") - col("sfloor"), 1L)
+          .otherwise(0L))
+      .withColumn("pos",
+        when(col("n") === 1, "single").when(col("rk") === 1, "first")
+          .when(col("rk") === col("n"), "last").otherwise(lit("middle")))
+    base.select(col("pos"), expr(
+        "stack(4, 'first_touch', first_share, 'last_touch', last_share, " +
+          "'linear', lin_share, 'time_decay', decay_share) " +
+          "AS (policy, share_cents)"))
+      .groupBy(col("policy"), col("pos"))
+      .agg(sum(col("share_cents")).as("cents"),
+        count(lit(1)).as("n_touches"))
+      .select(col("policy"), col("pos"), col("cents"), col("n_touches"),
+        (col("cents").cast("double") / 100.0).as("value"))
+      .orderBy(col("policy"), col("pos"))
+  }
+
+  private val j19Sql =
+    """WITH cand AS (
+      |  SELECT p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+      |         CAST(round(CAST(p.value AS DOUBLE) * 100) AS BIGINT) AS cents
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR),
+      |r AS (SELECT p_id, cents,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id)
+      |    AS BIGINT) AS rk,
+      |  CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+      | FROM cand),
+      |wts AS (SELECT p_id, cents, rk, n,
+      |  (CAST(1 AS BIGINT) << CAST(LEAST(rk - 1, 30) AS INT)) AS w
+      | FROM r),
+      |agg AS (SELECT p_id, cents, rk, n, w,
+      |  CAST(SUM(w) OVER (PARTITION BY p_id) AS BIGINT) AS ww,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY rk DESC)
+      |    AS BIGINT) AS rem_rank
+      | FROM wts),
+      |sh AS (SELECT p_id, cents, rk, n, rem_rank,
+      |  (cents * w) // ww AS dfloor,
+      |  CAST(SUM((cents * w) // ww) OVER (PARTITION BY p_id) AS BIGINT)
+      |    AS sfloor
+      | FROM agg),
+      |b AS (SELECT *,
+      |  cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END AS lin_share,
+      |  CASE WHEN rk = 1 THEN cents ELSE 0 END AS first_share,
+      |  CASE WHEN rk = n THEN cents ELSE 0 END AS last_share,
+      |  dfloor + CASE WHEN rem_rank <= cents - sfloor THEN 1 ELSE 0 END
+      |    AS decay_share,
+      |  CASE WHEN n = 1 THEN 'single' WHEN rk = 1 THEN 'first'
+      |       WHEN rk = n THEN 'last' ELSE 'middle' END AS pos
+      | FROM sh),
+      |u AS (
+      |  SELECT 'first_touch' AS policy, pos, first_share AS share FROM b
+      |  UNION ALL SELECT 'last_touch', pos, last_share FROM b
+      |  UNION ALL SELECT 'linear', pos, lin_share FROM b
+      |  UNION ALL SELECT 'time_decay', pos, decay_share FROM b)
+      |SELECT policy, pos, CAST(SUM(share) AS BIGINT) AS cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(share) AS DOUBLE) / 100.0 AS value
+      |FROM u GROUP BY policy, pos ORDER BY policy, pos""".stripMargin
 
   /** j18 — per-user cadence profile: bucket each user's consecutive
     * inter-event gaps into fixed bands (sub-second, <10 s, <1 min,

@@ -629,7 +629,103 @@ object RelationalQueries extends QueryPack {
     QueryDef("r21_equidepth_hist", r21, Some(r21Sql)),
     QueryDef("r22_spearman_drift", r22, Some(r22Sql)),
     QueryDef("r23_gini_concentration", r23, Some(r23Sql)),
-    QueryDef("r24_mad_spread", r24, Some(r24Sql)))
+    QueryDef("r24_mad_spread", r24, Some(r24Sql)),
+    QueryDef("r25_dq_audit", r25, Some(r25Sql)))
+
+  /** r25 — referential-integrity / data-quality audit: the dbt-test shape
+    * as one long-format report — primary-key uniqueness per table,
+    * foreign-key orphan counts along the lineitem→orders→customer→nation
+    * chain, and null-key counts. On healthy synthetic data every n_bad is
+    * 0 — which is the content: the audit PASSING is the gate a 100 TB
+    * ingest promotes a snapshot on, and any nonzero row names exactly
+    * which contract broke.
+    *
+    * Scale shape: each PK check is one map-side-combined count-distinct
+    * agg; each FK check is ONE keyed left join counting null probes (the
+    * dim sides broadcast; the lineitem→orders join is the only
+    * fact-to-fact shuffle and carries just the two key columns); the
+    * report is a union of 1-row frames.
+    */
+  private def r25(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    def pk(dfName: String, df: DataFrame, cols: Seq[String]): DataFrame =
+      df.agg((count(lit(1)) - countDistinct(col(cols.head),
+          cols.tail.map(col): _*)).as("n_bad"),
+        count(lit(1)).as("n_total"))
+        .select(lit(dfName + "_pk_dup").as("check_name"), col("n_bad"),
+          col("n_total"))
+    def fk(name: String, fact: DataFrame, factKey: String,
+           dim: DataFrame, dimKey: String, bcast: Boolean): DataFrame = {
+      val d = dim.select(col(dimKey)).distinct()
+      fact.select(col(factKey))
+        .join(if (bcast) broadcast(d) else d,
+          col(factKey) === col(dimKey), "left")
+        .agg(sum(when(col(dimKey).isNull, 1L).otherwise(0L)).as("n_bad"),
+          count(lit(1)).as("n_total"))
+        .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
+    }
+    val nulls = o.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_bad"),
+      count(lit(1)).as("n_total"))
+      .select(lit("orders_null_custkey").as("check_name"), col("n_bad"),
+        col("n_total"))
+    Seq(
+      pk("lineitem", li, Seq("l_orderkey", "l_linenumber")),
+      pk("orders", o, Seq("o_orderkey")),
+      pk("customer", c, Seq("c_custkey")),
+      fk("lineitem_fk_orphan", li, "l_orderkey", o, "o_orderkey",
+        bcast = false),
+      fk("orders_fk_orphan", o, "o_custkey", c, "c_custkey", bcast = true),
+      fk("customer_fk_orphan", c, "c_nationkey", n, "n_nationkey",
+        bcast = true),
+      nulls)
+      .reduce(_ unionAll _)
+      .withColumn("bad_rate",
+        col("n_bad").cast("double") / col("n_total").cast("double"))
+      .orderBy(col("check_name"))
+  }
+
+  private val r25Sql =
+    """WITH u AS (
+      |  SELECT 'lineitem_pk_dup' AS check_name,
+      |    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_bad,
+      |    CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_pk_dup',
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'customer_pk_dup',
+      |    CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orphan',
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders_fk_orphan',
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o2.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'customer_fk_orphan',
+      |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM customer c2 LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      |    ON c2.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'orders_null_custkey',
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders)
+      |SELECT check_name, n_bad, n_total,
+      |  CAST(n_bad AS DOUBLE) / CAST(n_total AS DOUBLE) AS bad_rate
+      |FROM u ORDER BY check_name""".stripMargin
 
   /** r24 — median absolute deviation per event type: the robust spread
     * statistic (r05 gives robust location; stddev-based spread is ruined

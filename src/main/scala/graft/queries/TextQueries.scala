@@ -1095,7 +1095,45 @@ object TextQueries extends QueryPack {
     QueryDef("t33_token_entropy", t33, Some(t33Sql)),
     QueryDef("t34_chunk_dedup", t34, Some(t34Sql)),
     QueryDef("t35_bigram_xent", t35, Some(t35Sql)),
-    QueryDef("t36_code_switch", t36, Some(t36Sql)))
+    QueryDef("t36_code_switch", t36, Some(t36Sql)),
+    QueryDef("t37_tokenizer_fertility", t37, Some(t37Sql)))
+
+  /** t37 — tokenizer fertility per language: encoded units per word
+    * through the real rank-ordered BPE (t08's BpeApply), aggregated by
+    * language. THE tokenizer-equity number: a language with 2× fertility
+    * pays 2× the sequence length (and compute, and context budget) per
+    * word, which is exactly what multilingual data mixes (t15/t17) are
+    * balanced against. Per-doc encoding is the native codegen expression;
+    * the rollup is one 5-row keyed agg.
+    */
+  private def t37(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BpeApply
+    Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("w"),
+        BpeApply(col("text")).getItem(0).as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("u")).as("n_units"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private val t37Sql: String = {
+    import graft.functions.BpeApply
+    val enc = BpeApply.Vocab.zipWithIndex.foldLeft("text") {
+      case (acc, (tok, i)) => s"replace($acc, '$tok', chr(${0xE000 + i}))"
+    }
+    s"""WITH m AS (SELECT lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |  CAST(length($enc) AS BIGINT) AS u FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(u) AS BIGINT) AS n_units,
+       |  CAST(SUM(u) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** t36 — code-switch / mixed-language detection: run t02's language ID
     * on the whole doc AND on each half independently; halves that disagree

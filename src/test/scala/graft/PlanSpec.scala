@@ -792,6 +792,25 @@ class PlanSpec extends SparkSpecBase {
       "the rollup partial-combines map-side")
   }
 
+  test("round-9 batch 7 keeps scale shapes (t37/r25/j19)") {
+    // t37 fertility: per-row codegen encode + one keyed agg — no join
+    val t37 = planString(run("t37_tokenizer_fertility"))
+    assert(!t37.contains("Join") && !t37.contains("Window"))
+    assert("HashAggregate".r.findAllIn(t37).size >= 2,
+      "the language rollup partial-combines")
+    // r25 DQ audit: dim-side FK probes broadcast; no cartesian anywhere
+    val r25 = planString(run("r25_dq_audit"))
+    assert(r25.contains("BroadcastHashJoin"),
+      "dim-side FK checks must broadcast")
+    assert(!r25.contains("CartesianProduct"))
+    // j19 attribution: all windows partition by the purchase key; the
+    // candidate join is the keyed temporal join, then a 16-row rollup
+    val j19 = planString(run("j19_attribution_policies"))
+    assert(j19.contains("hashpartitioning(p_id"),
+      "share windows must distribute by purchase")
+    assert(!j19.contains("CartesianProduct"))
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
