@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TopKByScore
+import graft.functions.TextFunctions.distinctTokens
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the embeddings table (64-dim float vectors).
@@ -1319,7 +1320,102 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s18_mmr_diversity", s18, Some(s18Sql)),
     QueryDef("s19_hamming_knn", s19, Some(s19Sql)),
     QueryDef("s20_ivfpq", s20, Some(s20Sql)),
-    QueryDef("s21_nprobe_sweep", s21, Some(s21Sql)))
+    QueryDef("s21_nprobe_sweep", s21, Some(s21Sql)),
+    QueryDef("s22_hybrid_rrf", s22, Some(s22Sql)))
+
+  /** s22 — hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
+    * Clarke's 1/(60+rank)): the modern RAG retrieval shape — a LEXICAL arm
+    * (idf-weighted token overlap, integer weights 1e6 DIV df) and a
+    * SEMANTIC arm (exact quantized cosine, s01's machinery) each produce a
+    * per-query top-10; fusion sums each arm's reciprocal rank and keeps
+    * the fused top-5. Lexical-only hits (exact keywords the embedding
+    * smears) and semantic-only hits (paraphrases sharing no tokens) both
+    * survive — the reason production retrieval runs both arms. Queries are
+    * the fixed sample; vec_id ≡ doc_id is the fixture convention (q13).
+    *
+    * Scale shape: both arms are fixed-k probes (semantic: broadcast
+    * queries × corpus map pass; lexical: broadcast query token sets,
+    * token-keyed equi-join weighted so stopword mass contributes ~nothing);
+    * ranks ride query-keyed windows over ≤10·k rows; fusion is a keyed
+    * full-outer join of two top-10 lists.
+    */
+  private def s22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = sampleIds(s, dir, QueryK)
+    val sem = topkRank(bruteScoredPairs(baseVecs(s, dir), ids), 10)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rk").as("sem_rank"))
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(distinctTokens(col("text"))).as("w"))
+    val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qtok = tok
+      .join(broadcast(ids.select(col("vec_id").as("doc_id"))), "doc_id")
+      .select(col("doc_id").as("query_id"), col("w"))
+    val lw = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_score").desc, col("cand_id"))
+    val lex = qtok.join(tok, Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfw, Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("1000000 DIV df")).as("lex_score"))
+      .withColumnRenamed("doc_id", "cand_id")
+      .withColumn("lex_rank", row_number().over(lw).cast("long"))
+      .filter(col("lex_rank") <= 10)
+      .select(col("query_id"), col("cand_id"), col("lex_rank"))
+    val fw = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("cand_id"))
+    sem.join(lex, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (col("sem_rank") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0)))
+      .withColumn("rk", row_number().over(fw).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("fused"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def s22Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |qs AS (${sampleSql(QueryK)}),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+      | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      | WHERE a.vec_id IN (SELECT vec_id FROM qs)),
+      |sem AS (SELECT query_id, cand_id,
+      |  CAST(rk AS BIGINT) AS sem_rank FROM (
+      |    SELECT query_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, cand_id) AS rk FROM p) WHERE rk <= 10),
+      |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+      |  AS w FROM documents),
+      |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY w),
+      |qt AS (SELECT doc_id AS query_id, w FROM tok
+      |  WHERE doc_id IN (SELECT vec_id FROM qs)),
+      |sc AS (SELECT qt.query_id, t.doc_id AS cand_id,
+      |    CAST(SUM(1000000 // d.df) AS BIGINT) AS lex_score
+      |  FROM qt JOIN tok t ON t.w = qt.w AND t.doc_id <> qt.query_id
+      |  JOIN dfw d ON d.w = qt.w
+      |  GROUP BY qt.query_id, t.doc_id),
+      |lex AS (SELECT query_id, cand_id,
+      |  CAST(rk AS BIGINT) AS lex_rank FROM (
+      |    SELECT query_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY lex_score DESC, cand_id) AS rk FROM sc) WHERE rk <= 10),
+      |f AS (SELECT COALESCE(sem.query_id, lex.query_id) AS query_id,
+      |    COALESCE(sem.cand_id, lex.cand_id) AS cand_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (sem.sem_rank + 60), 0)
+      |      + COALESCE(CAST(1 AS DOUBLE) / (lex.lex_rank + 60), 0) AS fused
+      |  FROM sem FULL OUTER JOIN lex
+      |    ON sem.query_id = lex.query_id AND sem.cand_id = lex.cand_id),
+      |r AS (SELECT query_id, cand_id, fused,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY fused DESC, cand_id) AS BIGINT) AS rk FROM f)
+      |SELECT query_id, rk, cand_id, fused FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
 
   /** s21 — nprobe tuning curve for the IVF index (the ANN analogue of
     * d23's LSH banding sweep): for each exact top-3 neighbor of each query,

@@ -811,6 +811,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!j19.contains("CartesianProduct"))
   }
 
+  test("s22 hybrid RRF: fixed-k arms, keyed joins, no cartesian") {
+    val s = planString(run("s22_hybrid_rrf"))
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("BroadcastHashJoin"),
+      "the query sample must broadcast into both arms")
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
