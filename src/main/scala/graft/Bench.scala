@@ -173,8 +173,17 @@ object Bench {
     val (sentinelRuns, degraded) = sentinelGate(spark, sfDir, cooldownSec)
 
     // per-query sweep (after the pipeline headline)
+    var sweepN = 0
+    val sweepTotal = SparkEntry.queries.size
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // progress + per-query wall time on stderr: with a ~190-query
+      // registry a wedged or slow-regime sweep is otherwise a silent
+      // half-hour — this line is what makes it diagnosable from the log
+      sweepN += 1
+      val t0 = System.nanoTime()
       val r = name -> timed(0.5) { fn(spark, sfDir).count() }
+      System.err.println(f"[bench] $sweepN%3d/$sweepTotal $name%-28s " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs (median ${r._2._1}%.2fs)")
       // drop localCheckpoint blocks (s05/d07/d11 materialize frames eagerly)
       // so earlier queries' dead blocks don't build GC pressure that skews
       // later measurements

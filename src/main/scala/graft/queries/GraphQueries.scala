@@ -347,11 +347,79 @@ object GraphQueries extends QueryPack {
        |FROM d JOIN r ON r.u = d.u
        |ORDER BY doc_id""".stripMargin
 
+  /** g07 — modularity of the near-dup graph under the SOURCE partition
+    * (Newman's Q with communities = the documents' source attribute): per
+    * source, the intra-source edge fraction minus the expected fraction
+    * under degree-preserving rewiring. High total Q: duplication is
+    * INTRA-source (each crawl duplicates itself — dedup can shard by
+    * source); Q ≈ 0 or negative: duplication flows ACROSS sources (mirror
+    * sites, syndication — the provenance alarm d21/d29 quantify pairwise,
+    * graded here as one partition-quality number). Per-source contribution
+    * is the exact integer (4m·Lₛ − Dₛ²) over 4m² — one float division at
+    * the end, r11's discipline.
+    *
+    * Scale shape: two keyed joins of the banded pair list against the
+    * (doc_id, source) projection, then source-keyed counts — no recursion,
+    * no windows; output = |sources| rows.
+    */
+  private def g07(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2,
+        threshold = 0.3)
+      .select(col("i"), col("j")).localCheckpoint()
+    val m = pairs.count() // one scalar: total undirected edges
+    val withSrc = pairs
+      .join(src.withColumnRenamed("doc_id", "i")
+        .withColumnRenamed("source", "src_i"), Seq("i"))
+      .join(src.withColumnRenamed("doc_id", "j")
+        .withColumnRenamed("source", "src_j"), Seq("j"))
+    val intra = withSrc.filter(col("src_i") === col("src_j"))
+      .groupBy(col("src_i").as("source"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degs = pairs.select(col("i").as("u"))
+      .unionAll(pairs.select(col("j").as("u")))
+      .join(src.withColumnRenamed("doc_id", "u"), Seq("u"))
+      .groupBy(col("source")).agg(count(lit(1)).as("deg_sum"))
+    degs.join(intra, Seq("source"), "left")
+      .select(col("source"), col("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .withColumn("contrib_num",
+        lit(4L) * lit(m) * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+      .withColumn("contribution",
+        col("contrib_num").cast("double") / (4.0 * m * m))
+      .orderBy(col("source"))
+  }
+
+  private def g07Sql: String =
+    s"""WITH pp AS (SELECT i, j FROM (${DedupQueries.minhashPairsCore})),
+       |src AS (SELECT doc_id, source FROM documents),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+       |ws AS (SELECT p.i, p.j, si.source AS src_i, sj.source AS src_j
+       |  FROM pp p JOIN src si ON si.doc_id = p.i
+       |  JOIN src sj ON sj.doc_id = p.j),
+       |intra AS (SELECT src_i AS source, CAST(COUNT(*) AS BIGINT)
+       |    AS intra_edges
+       |  FROM ws WHERE src_i = src_j GROUP BY src_i),
+       |d AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM (
+       |    SELECT i AS u FROM pp UNION ALL SELECT j FROM pp) e
+       |  JOIN src s ON s.doc_id = e.u GROUP BY s.source)
+       |SELECT d.source, d.deg_sum,
+       |  COALESCE(intra.intra_edges, 0) AS intra_edges,
+       |  4 * m.m * COALESCE(intra.intra_edges, 0) - d.deg_sum * d.deg_sum
+       |    AS contrib_num,
+       |  CAST(4 * m.m * COALESCE(intra.intra_edges, 0)
+       |      - d.deg_sum * d.deg_sum AS DOUBLE)
+       |    / CAST(4 * m.m * m.m AS DOUBLE) AS contribution
+       |FROM d LEFT JOIN intra ON intra.source = d.source, m
+       |ORDER BY d.source""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(g01Sql)),
     QueryDef("g02_triangles", g02, Some(g02Sql)),
     QueryDef("g03_local_clustering", g03, Some(g03Sql)),
     QueryDef("g04_component_profile", g04, Some(g04Sql)),
     QueryDef("g05_assortativity", g05, Some(g05Sql)),
-    QueryDef("g06_two_hop_reach", g06, Some(g06Sql)))
+    QueryDef("g06_two_hop_reach", g06, Some(g06Sql)),
+    QueryDef("g07_source_modularity", g07, Some(g07Sql)))
 }

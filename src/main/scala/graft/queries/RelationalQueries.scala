@@ -630,7 +630,59 @@ object RelationalQueries extends QueryPack {
     QueryDef("r22_spearman_drift", r22, Some(r22Sql)),
     QueryDef("r23_gini_concentration", r23, Some(r23Sql)),
     QueryDef("r24_mad_spread", r24, Some(r24Sql)),
-    QueryDef("r25_dq_audit", r25, Some(r25Sql)))
+    QueryDef("r25_dq_audit", r25, Some(r25Sql)),
+    QueryDef("r26_basket_lift", r26, Some(r26Sql)))
+
+  /** r26 — market-basket association lift: the top co-purchased part
+    * pairs ranked by lift = P(a,b)/(P(a)·P(b)) over order baskets, with a
+    * minimum co-occurrence support of 2. Lift > 1: the pair co-occurs
+    * more than independence predicts (bundle/recommend); the classic
+    * association-rule screen computed exactly — the ratio is one float
+    * division of two exact integer products.
+    *
+    * Scale shape: the pair generator is a SELF EQUI-JOIN ON THE ORDER KEY
+    * (pairs per order = basket²/2, bounded by basket size — never a
+    * part×part cartesian); per-part supports are map-side-combined counts;
+    * the 1-row order total broadcasts; top-20 is TakeOrderedAndProject.
+    */
+  private def r26(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val tot = li.agg(countDistinct(col("o")).as("n_orders"))
+    val pc = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .join(pc.withColumnRenamed("p", "pa").withColumnRenamed("n_p", "na"),
+        Seq("pa"))
+      .join(pc.withColumnRenamed("p", "pb").withColumnRenamed("n_p", "nb"),
+        Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("n_ab"), col("na"), col("nb"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  private val r26Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem),
+      |tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+      |pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2)
+      |SELECT pairs.pa, pairs.pb, pairs.n_ab,
+      |  ca.n_p AS na, cb.n_p AS nb,
+      |  CAST(pairs.n_ab * tot.n_orders AS DOUBLE)
+      |    / CAST(ca.n_p * cb.n_p AS DOUBLE) AS lift
+      |FROM pairs JOIN pc ca ON ca.p = pairs.pa
+      |JOIN pc cb ON cb.p = pairs.pb, tot
+      |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
 
   /** r25 — referential-integrity / data-quality audit: the dbt-test shape
     * as one long-format report — primary-key uniqueness per table,
