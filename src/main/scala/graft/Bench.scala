@@ -14,18 +14,58 @@ object Bench {
     catch { case _: Throwable => -1.0 }
   }
 
+  /** Sentinel for a run killed by the per-query cap. */
+  private val TimedOut = -2.0
+
+  /** One timed execution with a hard wall-clock cap; -1 on failure,
+    * [[TimedOut]] on cap. The action runs on a spawned thread (which
+    * INHERITS the caller's active session — getActiveSession is an
+    * inheritable thread-local) under its own job group; on cap the job
+    * group is cancelled and the sweep moves on. Round 8 lost its entire
+    * perf record (rc 124 after >1 h on one accidentally-quadratic query)
+    * for want of this: a pathological query must cost the sweep one capped
+    * line, not the artifact.
+    */
+  private def onceCapped(spark: org.apache.spark.sql.SparkSession,
+                         capSec: Double)(f: => Unit): Double = {
+    if (!(capSec > 0)) return once(f)
+    val group = s"bench-cap-${System.nanoTime()}"
+    @volatile var res = -1.0
+    val t0 = System.nanoTime()
+    val th = new Thread(() => {
+      spark.sparkContext.setJobGroup(group, "bench per-query cap",
+        interruptOnCancel = true)
+      res = try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }, group)
+    th.setDaemon(true)
+    th.start()
+    th.join((capSec * 1000).toLong)
+    if (th.isAlive) {
+      spark.sparkContext.cancelJobGroup(group)
+      th.join(30000) // let the cancellation unwind; daemon thread if stuck
+      TimedOut
+    } else res
+  }
+
   /** Median-of-3 for anything slower than `rerunThresholdSec` — machine-load
     * variance on this box swings single-shot times ±2× (round 1→2 measured
     * the same untouched query at 0.96 s and 2.04 s), so headline numbers are
     * medians; sub-threshold queries stay single-shot to keep the total bench
-    * budget bounded. Returns (median, runs).
+    * budget bounded. Each run honors the per-query cap (`capSec` > 0); a
+    * capped run short-circuits the set and the median is reported as
+    * [[TimedOut]]. Returns (median, runs).
     */
-  private def timed(rerunThresholdSec: Double)(f: => Unit): (Double, Seq[Double]) = {
-    val first = once(f)
-    if (first < 0 || first <= rerunThresholdSec) (first, Seq(first))
+  private def timed(spark: org.apache.spark.sql.SparkSession,
+                    rerunThresholdSec: Double, capSec: Double)(
+      f: => Unit): (Double, Seq[Double]) = {
+    val first = onceCapped(spark, capSec)(f)
+    if (first == TimedOut) (TimedOut, Seq(first))
+    else if (first < 0 || first <= rerunThresholdSec) (first, Seq(first))
     else {
-      val runs = Seq(first, once(f), once(f))
-      if (runs.exists(_ < 0)) (-1.0, runs)
+      val runs = Seq(first, onceCapped(spark, capSec)(f), onceCapped(spark, capSec)(f))
+      if (runs.contains(TimedOut)) (TimedOut, runs)
+      else if (runs.exists(_ < 0)) (-1.0, runs)
       else (runs.sorted.apply(1), runs)
     }
   }
@@ -172,16 +212,30 @@ object Bench {
     if (mode == "all") { System.gc(); Thread.sleep(cooldownSec * 1000L) }
     val (sentinelRuns, degraded) = sentinelGate(spark, sfDir, cooldownSec)
 
-    // per-query sweep (after the pipeline headline)
+    // per-query sweep (after the pipeline headline). Each run is held under
+    // a hard wall-clock cap (SPARK_GRAFT_BENCH_QUERY_CAP_SEC, default 60 s
+    // ≈ 12× the slowest healthy query's sf0.1 median): round 8's artifact
+    // died rc 124 because one accidentally-quadratic query ran 725 s through
+    // median-of-3 + remeasure — with the cap that is one "timed_out" line
+    // and 190 intact measurements. SPARK_GRAFT_BENCH_ONLY (comma-separated
+    // names) restricts the sweep for targeted local timing.
+    val capSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "60").toDouble
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sweepQueries = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     var sweepN = 0
-    val sweepTotal = SparkEntry.queries.size
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val sweepTotal = sweepQueries.size
+    val results = sweepQueries.map { case (name, fn) =>
       // progress + per-query wall time on stderr: with a ~190-query
       // registry a wedged or slow-regime sweep is otherwise a silent
       // half-hour — this line is what makes it diagnosable from the log
       sweepN += 1
       val t0 = System.nanoTime()
-      val r = name -> timed(0.5) { fn(spark, sfDir).count() }
+      val r = name -> timed(spark, 0.5, capSec) { fn(spark, sfDir).count() }
       System.err.println(f"[bench] $sweepN%3d/$sweepTotal $name%-28s " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs (median ${r._2._1}%.2fs)")
       // drop localCheckpoint blocks (s05/d07/d11 materialize frames eagerly)
@@ -215,7 +269,9 @@ object Bench {
         degraded2 = d2
         results.map {
           case (k, (med, runs)) if med > 2.0 =>
-            val (m2, r2) = timed(0.0) { SparkEntry.queries(k)(spark, sfDir).count() }
+            val (m2, r2) = timed(spark, 0.0, capSec) {
+              SparkEntry.queries(k)(spark, sfDir).count()
+            }
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(false))
             // failed runs stay out of the variance record (-1 would corrupt
@@ -227,14 +283,25 @@ object Bench {
         }
       }
     val degradedAny = degraded || degraded2
-    val qsFull = remeasured.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+    // A capped query lands in the record as (a) its name in "timed_out" and
+    // (b) the cap as its median — a visible floor on its true cost, so the
+    // total stays meaningful and the red line is unmissable.
+    val timedOutNames =
+      remeasured.collect { case (k, (med, _)) if med == TimedOut => k }.toSeq.sorted
+    val finalRes = remeasured.map { case (k, (med, runs)) =>
+      k -> (if (med == TimedOut) capSec else med, runs)
+    }
+    val qsFull = finalRes.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // spread (min..max over the 3 runs) only for the re-run queries — the
-    // round-over-round variance record the judge asked for
-    val spread = remeasured.collect { case (k, (_, runs)) if runs.size > 1 =>
-      s"\"" + k + "\":[" + runs.min + "," + runs.max + "]"
+    // round-over-round variance record the judge asked for; failed/capped
+    // sentinels (<0) stay out of the min/max
+    val spread = finalRes.collect {
+      case (k, (_, runs)) if runs.count(_ >= 0) > 1 =>
+        val ok = runs.filter(_ >= 0)
+        s"\"" + k + "\":[" + ok.min + "," + ok.max + "]"
     }.mkString("{", ",", "}")
-    val total = remeasured.values.map(_._1).sum
+    val total = finalRes.values.map(_._1).sum
 
     // Stdout is tail-captured by the driver (last ~2000 chars, and sbt's
     // "[success] Total time ..." trailer eats ~90 of them) — BENCH_r03/r04
@@ -249,7 +316,7 @@ object Bench {
     // and per-run rps) goes to the results file.
     require(results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size,
       "query id prefixes must stay unique for the compact stdout dict")
-    val entries = remeasured.toSeq.sortBy { case (k, (med, _)) => (-med, k) }
+    val entries = finalRes.toSeq.sortBy { case (k, (med, _)) => (-med, k) }
       .map { case (k, (med, _)) =>
         s"\"" + k.takeWhile(_ != '_') + "\":" + f"$med%.2f" }
     val budget = 1400
@@ -261,19 +328,28 @@ object Bench {
     val qsShort = kept.mkString("{", ",", "}")
     // keep the stdout line lean — methodology strings and the artifact path
     // live in the full-results file, not in the driver's 2000-char window
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"omitted_fastest":${entries.size - kept.size},"n_queries":${results.size},"sf":"$sfDir","pipeline_rps":$pipelineRps,"degraded":${if (degradedAny) 1 else 0}}"""
+    val timedOutJson = timedOutNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"omitted_fastest":${entries.size - kept.size},"n_queries":${results.size},"timed_out":$timedOutJson,"sf":"$sfDir","pipeline_rps":$pipelineRps,"degraded":${if (degradedAny) 1 else 0}}"""
     require(json.length < 1750,
       s"stdout bench line is ${json.length} chars — the driver tail-captures " +
         "~2000 chars and sbt's success trailer eats ~90; shrink the budget")
     println(json)
     val sentinelJson = sentinelRuns.mkString("[", ",", "]")
     val sentinel2Json = sentinel2Runs.mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"pipeline_warmups":$pipeWarmups,"spread":$spread,"degraded":${if (degradedAny) 1 else 0},"sentinel_sec":$sentinelJson,"sentinel2_sec":$sentinel2Json,"remeasured":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs_per_query":"median-of-3 above 0.5s"}"""
+    val scaleOff = if (graft.config.Scale.sawOffSessionFallback) 1 else 0
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","pipeline_rps":$pipelineRps,"pipeline_records":$sent,"pipeline_rps_runs":$pipeRpsRuns,"pipeline_warmups":$pipeWarmups,"spread":$spread,"degraded":${if (degradedAny) 1 else 0},"timed_out":$timedOutJson,"query_cap_sec":$capSec,"scale_off_session":$scaleOff,"sentinel_sec":$sentinelJson,"sentinel2_sec":$sentinel2Json,"remeasured":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs_per_query":"median-of-3 above 0.5s"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "results/bench_latest.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Regression gate (checked AFTER both artifacts are written, so even a
+    // failure leaves the record on disk): no knob read may have fallen back
+    // to test defaults for want of a reachable session — with the
+    // default-session fallback in Scale.get this can only fire if a plan
+    // was built before the bench session existed, which is a bug.
+    require(!graft.config.Scale.sawOffSessionFallback,
+      "a Scale knob was read with no SparkSession reachable during the bench")
     spark.stop()
   }
 }

@@ -16,37 +16,41 @@ package graft.config
   */
 object Scale {
 
-  /** Latched true the first time a knob is read with NO active session on
-    * the calling thread — the one situation where an overridden profile
-    * silently degrades to test defaults (`getActiveSession` is thread-local;
-    * a query built off-thread from the session that set
-    * `spark.graft.scale.*` would not see the override). All in-repo call
-    * sites build plans on the session thread; this guard makes the
-    * off-thread case loud (one stderr line + an inspectable flag) instead
-    * of a silent desync.
+  /** Latched true the first time a knob is read with NO session reachable
+    * at all — the one situation where an overridden profile silently
+    * degrades to test defaults. `getActiveSession` is thread-local, so a
+    * pool thread created before any session existed (e.g. a lazily-built
+    * executor or exchange pool) would miss it; reads therefore fall back to
+    * `getDefaultSession` (JVM-global, set at session creation), which keeps
+    * the conf override visible from ANY thread. Only when both are None —
+    * no session anywhere in the JVM — does the knob return its test-profile
+    * default, and this guard makes that case loud (one stderr line + an
+    * inspectable flag) instead of a silent desync.
     */
   @volatile private var offSessionFallback = false
 
-  /** True iff some knob read ever fell back with no active session. */
+  /** True iff some knob read ever fell back with no session reachable. */
   def sawOffSessionFallback: Boolean = offSessionFallback
 
   /** Test hook: clear the latch. */
   private[graft] def resetFallbackLatch(): Unit = offSessionFallback = false
 
-  private def get(key: String, dflt: Int): Int =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
+  private def get(key: String, dflt: Int): Int = {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) =>
         s.conf.getOption(s"spark.graft.scale.$key").map(_.toInt).getOrElse(dflt)
       case None =>
         if (!offSessionFallback) {
           offSessionFallback = true
           System.err.println(
-            s"[graft] Scale.$key read with no active SparkSession on this " +
-              "thread — using test-profile default; spark.graft.scale.* " +
-              "overrides set on another thread's session are NOT visible here")
+            s"[graft] Scale.$key read with no SparkSession anywhere in the " +
+              "JVM — using test-profile default; spark.graft.scale.* " +
+              "overrides are NOT visible here")
         }
         dflt
     }
+  }
 
   /** ANN / brute-force query sample size (s01/s02/s04/s05/s06/s12). */
   def queryK: Int = get("queryK", 50)

@@ -80,6 +80,44 @@ class DedupOpsSpec extends SparkSpecBase {
       "the native one-pass expression must match the reference formula exactly")
   }
 
+  test("WinnowFingerprints equals the composable transform/array_min/slice formula") {
+    import graft.functions.WinnowFingerprints
+    val w = 4
+    val ws = TextFunctions.tokens(col("text"))
+    val m = size(ws)
+    val grams = transform(sequence(lit(1), m - 2), i =>
+      md5(concat_ws(" ", element_at(ws, i.cast("int")),
+        element_at(ws, (i + 1).cast("int")),
+        element_at(ws, (i + 2).cast("int")))))
+    val composed = when(m >= lit(w + 2),
+      array_distinct(transform(sequence(lit(1), m - lit(2 + w - 1)),
+        p => array_min(slice(grams, p.cast("int"), lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    val both = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        WinnowFingerprints(TextFunctions.tokens(col("text")), 3, w).as("native"),
+        composed.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0,
+      "the one-pass kernel must match the composable winnowing formula exactly")
+  }
+
+  test("WinnowFingerprints: short docs yield empty, and selection is per-row") {
+    import graft.functions.WinnowFingerprints
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      WinnowFingerprints(TextFunctions.tokens(col("text")), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty, "m < w + 2 ⇒ no full window ⇒ empty")
+    assert(out(2L).isEmpty, "5 tokens → 3 grams < w=4 windows ⇒ empty")
+    assert(out(3L).size == 1, "6 tokens → 4 grams → exactly one window minimum")
+    val plan = docs.select(
+      WinnowFingerprints(TextFunctions.tokens(col("text")), 3, 4).as("fps"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      "fingerprint selection is a pure projection — no shuffle, no explode")
+  }
+
   test("MinHash signatures are per-row: no shuffle, no explode") {
     import graft.functions.ShingleHashes
     val docs = Tables.documents(spark, sf("sf0.001"))

@@ -55,26 +55,44 @@ class ScaleConfSpec extends SparkSpecBase {
     }
   }
 
-  test("off-session knob reads latch the fallback flag (and on-session do not)") {
+  test("off-active-session reads fall back to the default session; no-session latches") {
+    import org.apache.spark.sql.SparkSession
     spark // ensure the suite session exists on this thread
     Scale.resetFallbackLatch()
     assert(Scale.queryK == 50 && !Scale.sawOffSessionFallback,
       "an on-session read must not latch")
-    // read from a thread with no active session: value falls back to the
-    // test default and the latch trips — the loud path for the one way a
-    // production spark.graft.scale.* profile can silently degrade.
-    // (getActiveSession is INHERITABLE thread-local, so a freshly spawned
-    // child would inherit this thread's session — the real hazard is a pool
-    // thread created before any session existed, simulated here by clearing
-    // the inherited slot on the child only.)
-    var offValue = -1
-    val t = new Thread(() => {
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      offValue = Scale.maxDf
+    // A thread with NO active session (the real hazard is a pool thread
+    // created before any session existed, simulated here by clearing the
+    // inherited slot) must still see a conf override through the JVM-global
+    // DEFAULT session — this is what keeps a production
+    // spark.graft.scale.* profile visible from exchange/executor pool
+    // threads — and must not latch the fallback flag.
+    withScale("maxDf" -> "77") {
+      var offValue = -1
+      val t = new Thread(() => {
+        SparkSession.clearActiveSession()
+        offValue = Scale.maxDf
+      })
+      t.start(); t.join()
+      assert(offValue == 77,
+        "off-active-thread read must honor the override via the default session")
+      assert(!Scale.sawOffSessionFallback,
+        "a default-session read is NOT a fallback")
+    }
+    // Only when no session is reachable at all does the knob degrade to its
+    // test default — loudly (stderr + latch).
+    val dflt = SparkSession.getDefaultSession
+    var noneValue = -1
+    val t2 = new Thread(() => {
+      SparkSession.clearActiveSession()
+      try {
+        SparkSession.clearDefaultSession()
+        noneValue = Scale.maxDf
+      } finally dflt.foreach(SparkSession.setDefaultSession)
     })
-    t.start(); t.join()
-    assert(offValue == 1000, "off-session read still returns the default")
-    assert(Scale.sawOffSessionFallback, "off-session read must latch the flag")
+    t2.start(); t2.join()
+    assert(noneValue == 1000, "no-session read returns the test default")
+    assert(Scale.sawOffSessionFallback, "no-session read must latch the flag")
     Scale.resetFallbackLatch()
   }
 
