@@ -893,8 +893,13 @@ object RelationalQueries extends QueryPack {
     * Σd² stays in integer arithmetic end to end:
     * ρ = 1 − 6·Σd²/(n(n²−1)) = 1 − 1.5·S4/(n(n²−1)) where
     * S4 = Σ(2rₐ−2r_b)² = 4·Σd². Reported without the tie-correction
-    * factor (documented: midrank ρ, the common production form). The
-    * float division happens once, from two exact integers.
+    * factor (documented: midrank ρ, the common production form). S4's
+    * worst case is 4n(n²−1)/3 — past int64 at ~1.9M rows per type — so it
+    * accumulates in decimal(38,0) (HUGEINT in the oracle) and reaches the
+    * output through the r10/r11 divergence-proof route (Spark
+    * decimal→double == DuckDB VARCHAR→DOUBLE, both correctly rounded);
+    * ρ's denominator n(n²−1) overflows at the same scale and is evaluated
+    * as an identical double expression tree in both engines.
     *
     * Scale shape: two type-keyed rank windows (value order, time order —
     * both hash-partition by event_type) + tie counts via composite-keyed
@@ -914,14 +919,16 @@ object RelationalQueries extends QueryPack {
       .withColumn("rb2", lit(2) * rank().over(byT)
         + count(lit(1)).over(Window.partitionBy(col("event_type"), col("us")))
         - 1)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val nd = col("n").cast("double")
     ranked.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum((col("ra2") - col("rb2")) * (col("ra2") - col("rb2")))
-          .cast("long").as("s4"))
-      .select(col("event_type"), col("n"), col("s4"),
-        (lit(1.0) - lit(1.5) * col("s4").cast("double") /
-          (col("n") * (col("n") * col("n") - 1)).cast("double"))
-          .as("rho"))
+        sum(dec(col("ra2") - col("rb2")) * dec(col("ra2") - col("rb2")))
+          .as("s4x"))
+      .select(col("event_type"), col("n"),
+        col("s4x").cast("double").as("s4"),
+        (lit(1.0) - lit(1.5) * col("s4x").cast("double") /
+          (nd * (nd * nd - lit(1.0)))).as("rho"))
       .orderBy(col("event_type"))
   }
 
@@ -936,12 +943,17 @@ object RelationalQueries extends QueryPack {
       |    + COUNT(*) OVER (PARTITION BY event_type, us) - 1 AS rb2
       | FROM e),
       |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM((ra2 - rb2) * (ra2 - rb2)) AS BIGINT) AS s4
-      | FROM r GROUP BY event_type)
+      |  SUM(CAST(ra2 - rb2 AS HUGEINT) * (ra2 - rb2)) AS s4h
+      | FROM r GROUP BY event_type),
+      |-- HUGEINT->VARCHAR->DOUBLE is correctly rounded and matches Spark's
+      |-- decimal->double (see r10/r11); n(n^2-1) overflows int64 at the
+      |-- same ~1.9M-rows-per-type scale as S4, so the denominator is the
+      |-- same double expression tree as the Spark side
+      |f AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+      |  CAST(CAST(s4h AS VARCHAR) AS DOUBLE) AS s4 FROM a)
       |SELECT event_type, n, s4,
-      |  1.0 - 1.5 * CAST(s4 AS DOUBLE)
-      |    / CAST(n * (n * n - 1) AS DOUBLE) AS rho
-      |FROM a ORDER BY event_type""".stripMargin
+      |  1.0 - 1.5 * s4 / (nd * (nd * nd - 1.0)) AS rho
+      |FROM f ORDER BY event_type""".stripMargin
 
   /** r21 buckets per group (equi-depth). */
   private val HistB = 8

@@ -7,28 +7,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.config.Duration
 
-/** Rotating-generation Bloom state for ONE shard: the generation index
-  * (floor(event-time / window)), the current-generation bitmap, and the
-  * previous-generation bitmap. Top-level for encoder codegen.
+/** Rotating-generation Bloom state for ONE shard: `gen` is the newest
+  * event-time generation seen (floor(event-time / window)); `cur`, `prev`,
+  * `prev2` are the bitmaps of generations `gen`, `gen-1`, `gen-2`. Top-level
+  * for encoder codegen.
   */
-case class BloomGen(gen: Long, cur: Array[Byte], prev: Array[Byte])
+case class BloomGen(gen: Long, cur: Array[Byte], prev: Array[Byte],
+                    prev2: Array[Byte])
 
 /** Approximate windowed dedup with CONSTANT state — the admission path for
   * key cardinalities where exact per-key state (StreamingDedup: one state
   * row per distinct key in the window) cannot fit even in RocksDB. State
-  * here is `shards × 2 bitmaps` regardless of key count: each shard keeps a
-  * Bloom filter per time GENERATION (floor(ts/window)) and rotates it as
-  * event time advances — the classic rotating-Bloom windowed-membership
-  * construction (two live generations give a suppression horizon of
-  * [window, 2·window), bracketing the exact operator's semantics).
+  * here is `shards × 3 bitmaps` regardless of key count: each shard keeps a
+  * Bloom filter per time GENERATION (floor(ts/window)), tagged by
+  * generation index and rotated as event time advances — the classic
+  * rotating-Bloom windowed-membership construction. Probing is by the
+  * EVENT'S generation, not blindly by the newest two bitmaps: an event in
+  * generation g checks the bitmaps of g and g-1 (its window horizon), so
+  * the guarantee survives event-time disorder across micro-batches and a
+  * generation SKIP (g advancing by ≥2 keeps the pre-skip bitmap alive in
+  * the third slot — the round-8 two-bitmap layout discarded it and could
+  * falsely admit a one-generation-late duplicate after a skip).
   *
   * Error trade, stated precisely:
-  *  - NO false admits of true duplicates inside the window: a duplicate at
-  *    t' < t0 + window lands in the same or next generation as its
-  *    original, whose bits are still live in `cur` or `prev` — Bloom
-  *    membership has no false negatives, so the duplicate is always
-  *    suppressed (StreamingBloomDedupSpec pins this across micro-batch
-  *    boundaries and rotations).
+  *  - NO false admits of true duplicates inside the window, whenever the
+  *    duplicate arrives at most ONE generation behind its shard's newest
+  *    seen generation (in-order streams trivially satisfy this; so does
+  *    ≤1 generation of cross-micro-batch disorder, even across a single
+  *    skip — StreamingBloomDedupSpec pins all three paths). A duplicate
+  *    arriving exactly two generations late is still checked against its
+  *    own generation's surviving bitmap; arrivals older than that are
+  *    beyond the retained horizon and admit unchecked.
+  *  - In-generation suppression horizon is [window, 2·window), bracketing
+  *    the exact operator's semantics.
   *  - Novel keys may be falsely suppressed at the Bloom false-positive
   *    rate (1 − e^(−kn/m))^k — the knob-bounded price of constant state;
   *    size `bitsPerShard` to the expected keys/shard/window.
@@ -70,23 +81,43 @@ object StreamingBloomDedup {
       : Iterator[T] = {
       val sorted = events.toSeq.sortBy(e => (ts(e).getTime, key(e)))
       if (sorted.isEmpty) return Iterator.empty
+      def empty() = new Array[Byte](nBytes)
       var st = state.getOption.getOrElse(
-        BloomGen(ts(sorted.head).getTime / windowMs,
-          new Array[Byte](nBytes), new Array[Byte](nBytes)))
+        BloomGen(ts(sorted.head).getTime / windowMs, empty(), empty(), empty()))
       val kept = Seq.newBuilder[T]
       sorted.foreach { e =>
         val g = ts(e).getTime / windowMs
         if (g > st.gen) {
-          // rotate: the previous generation stays probe-able (suppression
-          // horizon >= window); older generations are forgotten
-          st = BloomGen(g,
-            new Array[Byte](nBytes),
-            if (g == st.gen + 1) st.cur else new Array[Byte](nBytes))
+          // rotate by the ACTUAL generation delta, keeping bitmaps aligned
+          // to their generation tags — a skip (delta 2) parks the pre-skip
+          // bitmap in prev2 instead of forgetting it
+          st = (g - st.gen) match {
+            case 1 => BloomGen(g, empty(), st.cur, st.prev)
+            case 2 => BloomGen(g, empty(), empty(), st.cur)
+            case _ => BloomGen(g, empty(), empty(), empty())
+          }
         }
         val pos = bitPositions(key(e))
-        val seen = allSet(st.cur, pos) || allSet(st.prev, pos)
+        // the event's own window horizon: generations g and g-1, resolved
+        // against the retained slots (g may trail st.gen after disorder)
+        val lag = st.gen - g
+        val own = lag match {
+          case 0 => st.cur
+          case 1 => st.prev
+          case 2 => st.prev2
+          case _ => null
+        }
+        val older = lag match {
+          case 0 => st.prev
+          case 1 => st.prev2
+          case _ => null
+        }
+        val seen = (own != null && allSet(own, pos)) ||
+          (older != null && allSet(older, pos))
         if (!seen) {
-          set(st.cur, pos)
+          // record the key in its OWN generation's bitmap (an event beyond
+          // the retained horizon admits unchecked and unrecorded)
+          if (own != null) set(own, pos)
           kept += e
         }
       }

@@ -63,6 +63,37 @@ class StreamingBloomDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a generation skip keeps a late original's bits probe-able (disorder regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // one shard so the skip event and the late pair share state
+    val out = StreamingBloomDedup.admit[Ev](in.toDS(), _.event_id, _.ts,
+      window, bitsPerShard = 1 << 16, shards = 1)
+    val q = out.toDF().writeStream.format("memory").queryName("bd_skip")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      // batch 1: original lands LATE in generation G
+      in.addData(Ev("k_late", t(3500), "new"))
+      q.processAllAvailable()
+      // batch 2: an event two generations ahead (G+2) forces a rotation
+      // SKIP — the two-bitmap layout cleared both bitmaps here
+      in.addData(Ev("k_skip", t(2 * 3600 + 10), "new"))
+      q.processAllAvailable()
+      // batch 3: duplicate of the original with ts in G+1 — 200 s after its
+      // original, well inside the window — arriving one generation late.
+      // It must probe generation G's surviving bitmap and be suppressed.
+      in.addData(Ev("k_late", t(3600 + 100), "dup"))
+      q.processAllAvailable()
+
+      val admitted = spark.table("bd_skip").collect()
+        .map(r => r.getAs[String]("event_id") -> r.getAs[String]("payload"))
+      assert(admitted.count(_._1 == "k_late") == 1,
+        "a within-window duplicate arriving <=1 generation late must be " +
+          s"suppressed even across a generation skip (got $admitted)")
+      assert(admitted.forall(_._2 == "new"), "only first occurrences admit")
+    } finally q.stop()
+  }
+
   test("state is shard-bounded with fixed-size bitmaps at 10k keys") {
     // batch mode drives the exact same state function; at 10k keys the
     // admitted count shows the state never needed per-key entries
