@@ -79,7 +79,22 @@ object Stress {
     // the lossless prefix-filtered all-pairs join: candidate volume is the
     // quantity under test (prefixes hold each doc's rarest shingles, so
     // the prefix-token join must NOT go quadratic as duplicates multiply)
-    "d27_prefix_filter_join" -> "documents")
+    "d27_prefix_filter_join" -> "documents",
+    // round-9 additions (rule: any query whose sf0.1 median exceeds ~1 s
+    // joins the pack in the same commit — d26's quadratic selection shipped
+    // precisely because it wasn't here):
+    "d25_containment" -> "documents",
+    "d26_winnowing" -> "documents",
+    "d31_aligned_run" -> "documents",
+    "s20_ivfpq" -> "embeddings",
+    "s22_hybrid_rrf" -> "embeddings",
+    "t29_rake_keywords" -> "documents",
+    "t32_pmi_collocations" -> "documents",
+    "t35_bigram_xent" -> "documents",
+    // m-pack scaling suspect: the dHash band self-join over synthesized
+    // PNGs (media density is 1/31 of documents, so the candidate join is
+    // the cost driver, not the codec)
+    "m11_phash_pairs" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

@@ -44,6 +44,23 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   private val Space = " ".getBytes("UTF-8")
 
+  private[functions] def hashAt(md: MessageDigest, tokens: ArrayData,
+                                i: Int, n: Int): Long = {
+    md.reset()
+    var k = 0
+    while (k < n) {
+      if (k > 0) md.update(Space)
+      val t = tokens.getUTF8String(i + k)
+      md.update(if (t == null) Array.empty[Byte] else t.getBytes)
+      k += 1
+    }
+    val d = md.digest()
+    var acc = 0L
+    var b = 0
+    while (b < 8) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
+    acc >>> 4 // first 15 hex digits of the md5
+  }
+
   /** Called from generated code — must stay public and static-shaped. */
   def compute(tokens: ArrayData, n: Int): ArrayData = {
     val numTokens = tokens.numElements()
@@ -52,19 +69,7 @@ object ShingleHashes {
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i <= numTokens - n) {
-      md.reset()
-      var k = 0
-      while (k < n) {
-        if (k > 0) md.update(Space)
-        val t = tokens.getUTF8String(i + k)
-        md.update(if (t == null) Array.empty[Byte] else t.getBytes)
-        k += 1
-      }
-      val d = md.digest()
-      var acc = 0L
-      var b = 0
-      while (b < 8) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
-      seen.add(acc >>> 4) // first 15 hex digits of the md5
+      seen.add(hashAt(md, tokens, i, n))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -77,5 +82,52 @@ object ShingleHashes {
   def apply(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
+  }
+}
+
+/** POSITIONAL (non-distinct) variant of [[ShingleHashes]]: element `p`
+  * (0-based) is the 60-bit hash of the shingle starting at token `p+1`
+  * (1-based), order and multiplicity preserved — the input to alignment
+  * operators (d31's aligned-run detection) where a gram's POSITION carries
+  * the signal that [[ShingleHashes]]'s set semantics discard. Same digest
+  * and truncation as ShingleHashes, so any SQL oracle reproduces element
+  * values with `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+  */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    PositionalShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.functions.PositionalShingleHashes.compute($toks, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PositionalShingleHashes {
+
+  /** Called from generated code — must stay public and static-shaped. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val numTokens = tokens.numElements()
+    if (numTokens < n) return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Long](numTokens - n + 1)
+    var i = 0
+    while (i <= numTokens - n) {
+      out(i) = ShingleHashes.hashAt(md, tokens, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PositionalShingleHashes(ColumnBridge.expression(tokens), n))
   }
 }

@@ -978,7 +978,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d27_prefix_filter_join", d27, Some(d27Sql)),
     QueryDef("d28_cdc_chunk_dedup", d28, Some(d28Sql)),
     QueryDef("d29_source_overlap", d29, Some(d29Sql)),
-    QueryDef("d30_cdc_yield", d30, Some(d30Sql)))
+    QueryDef("d30_cdc_yield", d30, Some(d30Sql)),
+    QueryDef("d31_aligned_run", d31, Some(d31Sql)))
 
   /** Winnowing window (consecutive 3-gram positions per fingerprint pick)
     * and the minimum shared-fingerprint count for a reported pair.
@@ -1670,5 +1671,89 @@ object DedupQueries extends QueryPack {
        |      CAST(len(a.s3) AS DOUBLE),
        |    CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) /
        |      CAST(len(b.s3) AS DOUBLE)) >= $ContainmentMin
+       |ORDER BY i, j""".stripMargin
+
+  /** Minimum aligned run length (in 3-grams) for a reported d31 pair —
+    * 8 grams span 10 consecutive shared tokens.
+    */
+  private val AlignMinRun = 8
+
+  /** d31 — longest aligned shared token run per document pair: the
+    * substring-SPAN complement of the set-overlap family (d02 Jaccard, d25
+    * containment, d26 winnowing all measure WHAT fraction of grams two docs
+    * share; none say whether the shared grams form one contiguous copied
+    * passage or scattered boilerplate). For every candidate pair it reports
+    * the longest run of consecutive positions where both documents carry
+    * the same 3-gram at the same offset DELTA — i.e. the longest common
+    * contiguous token block (plagiarism-span / quotation detection), exact
+    * over the corpus-rare grams defined below.
+    *
+    * Method: positional 3-gram hashes ([[graft.functions.PositionalShingleHashes]],
+    * multiplicity+order preserving), keep hashes with corpus-wide occurrence
+    * in [2, maxDf] (the d02 df-cap discipline — bounds the equi-join fan-out
+    * at cap² per gram and drops boilerplate that carries no copy signal),
+    * equi-join the posting lists on the hash, and detect runs per
+    * (i, j, diagonal = posᵢ − posⱼ) with the classic gaps-and-islands
+    * pos − row_number() grouping. A shared block of L consecutive rare
+    * grams lies on one diagonal and forms one island of size L.
+    *
+    * Scale shape: one corpus scan to positional grams (codegen, per-row);
+    * one hash-keyed occurrence count + equi-join (the d02 cost class); the
+    * run windows partition by (i, j, diag) — many tiny partitions, never a
+    * corpus-wide sort. Pair volume is bounded by the df cap exactly as in
+    * d02/d27; the stress pack's ×N arm verifies the bound empirically.
+    */
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    val pg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.PositionalShingleHashes(
+          tokens(col("text")), 3)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val keep = pg.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ").between(2, DefaultMaxDf))
+      .select(col("h"))
+    val cap = pg.join(keep, "h")
+    val pairs = cap.as("a").join(cap.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val rw = Window.partitionBy(col("i"), col("j"), col("diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(rw))
+      .groupBy(col("i"), col("j"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("rl")).as("run_grams"))
+      .filter(col("run_grams") >= AlignMinRun)
+      .select(col("i"), col("j"), col("run_grams"),
+        (col("run_grams") + 2).as("run_tokens"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val d31Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pg AS (SELECT doc_id,
+       |  CAST(generate_subscripts(list_transform(range(1, len(ws) - 1), i ->
+       |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |     1, 15))::BIGINT), 1) AS BIGINT) AS pos,
+       |  unnest(list_transform(range(1, len(ws) - 1), i ->
+       |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |     1, 15))::BIGINT)) AS h
+       | FROM w),
+       |keep AS (SELECT h FROM pg GROUP BY h
+       |  HAVING COUNT(*) BETWEEN 2 AND $DefaultMaxDf),
+       |cap AS (SELECT pg.* FROM pg JOIN keep USING (h)),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pa,
+       |    a.pos - b.pos AS diag
+       |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (SELECT i, j, diag, pa,
+       |  pa - ROW_NUMBER() OVER (PARTITION BY i, j, diag ORDER BY pa) AS grp
+       | FROM p),
+       |rl AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS rl
+       | FROM r GROUP BY i, j, diag, grp)
+       |SELECT i, j, MAX(rl) AS run_grams, MAX(rl) + 2 AS run_tokens
+       |FROM rl GROUP BY i, j HAVING MAX(rl) >= $AlignMinRun
        |ORDER BY i, j""".stripMargin
 }

@@ -118,6 +118,21 @@ class DedupOpsSpec extends SparkSpecBase {
       "fingerprint selection is a pure projection — no shuffle, no explode")
   }
 
+  test("PositionalShingleHashes: positional multiset refines ShingleHashes' set") {
+    import graft.functions.{PositionalShingleHashes, ShingleHashes}
+    val both = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("m"),
+        PositionalShingleHashes(TextFunctions.tokens(col("text")), 3).as("posh"),
+        ShingleHashes(TextFunctions.tokens(col("text")), 3).as("sh"))
+    // positional length is exactly m - n + 1 (multiplicity preserved) ...
+    assert(both.filter(col("m") >= 3 &&
+      size(col("posh")) =!= col("m") - 2).count() == 0)
+    // ... and its distinct set is ShingleHashes (same digest, same order)
+    assert(both.filter(array_distinct(col("posh")) =!= col("sh")).count() == 0,
+      "first-occurrence-deduped positional hashes must equal ShingleHashes")
+  }
+
   test("MinHash signatures are per-row: no shuffle, no explode") {
     import graft.functions.ShingleHashes
     val docs = Tables.documents(spark, sf("sf0.001"))
