@@ -156,19 +156,25 @@ object Stress {
     val kmBase = graft.config.Scale.kmK
 
     def measure(name: String, dir: String, scaleKm: Boolean)
-      : (Seq[Double], Long, Long, Long, Long) = {
+      : (Seq[Double], Long, Long, Long, Long, Long) = {
       if (scaleKm) spark.conf.set(kmKnob, (kmBase * factor).toString)
       else spark.conf.unset(kmKnob)
       try {
+        var outRows = -1L // result cardinality: pair-reporting queries'
+        // intrinsic cost is Ω(output), and the stress corpus multiplies
+        // true-pair volume quadratically in duplicate-cluster size — the
+        // artifact must let a reader divide time growth by output growth
         val rs = (1 to runs).map { i =>
           if (i == runs) tally.reset() // metrics captured on the LAST run
-          val t = once { SparkEntry.queries(name)(spark, dir).count() }
+          val t = once {
+            outRows = SparkEntry.queries(name)(spark, dir).count()
+          }
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           t
         }
         Thread.sleep(300) // let the listener bus drain the final stages
         (rs, tally.shufWrite.get, tally.shufRead.get, tally.spilled.get,
-          tally.peakMemSum.get)
+          tally.peakMemSum.get, outRows)
       } finally spark.conf.unset(kmKnob)
     }
 
@@ -180,7 +186,17 @@ object Stress {
     // min across the union of both passes estimates intrinsic cost the same
     // way the sweep's second-chance re-measure does; every run is recorded.
     val passes = sys.env.getOrElse("SPARK_GRAFT_STRESS_PASSES", "2").toInt
-    val pack = if (skewOnly) Seq.empty else heavyPack
+    // SPARK_GRAFT_STRESS_ONLY (comma-separated names): restrict the pack
+    // for targeted local re-measurement after a plan change — the full-pack
+    // artifact remains the committed record
+    val onlyQ = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val pack =
+      if (skewOnly) Seq.empty
+      else onlyQ match {
+        case Some(names) => heavyPack.filter(kv => names(kv._1))
+        case None => heavyPack
+      }
     val measured = (1 to passes).map { p =>
       System.err.println(s"[stress] pack pass $p/$passes")
       pack.map { case (name, _) =>
@@ -192,14 +208,16 @@ object Stress {
     val rows = pack.map { case (name, table) =>
       val b = measured.flatMap(_(name)._1._1)
       val s = measured.flatMap(_(name)._2._1)
-      val (_, sw, sr, sp, pm) = measured.last(name)._2
+      val (_, sw, sr, sp, pm, outN) = measured.last(name)._2
+      val out1 = measured.last(name)._1._6
       val t1 = minOk(b)
       val tN = minOk(s)
       val ratio = if (t1 > 0 && tN > 0) tN / (t1 * factor) else -1.0
       val rps = if (tN > 0) math.round(stressRows(table) / tN) else -1L
       System.err.println(f"[stress] $name%-22s x1=${t1}%.2fs xN=${tN}%.2fs " +
-        f"ratio=${ratio}%.2f rows/s=$rps%d shufW=${sw / 1e6}%.0fMB")
-      (name, table, b, s, t1, tN, ratio, rps, sw, sr, sp, pm)
+        f"ratio=${ratio}%.2f rows/s=$rps%d out=$out1%d->$outN%d " +
+        f"shufW=${sw / 1e6}%.0fMB")
+      (name, table, b, s, t1, tN, ratio, rps, sw, sr, sp, pm, out1, outN)
     }
 
     // ---- skew arm: hot key owning `1/skewMod` of all rows ----------------
@@ -274,15 +292,17 @@ object Stress {
     System.err.println(f"[stress] joinskew n=$nJoin " +
       f"aqeOn=${minOk(tJoinOn)}%.2fs aqeOff=${minOk(tJoinOff)}%.2fs")
 
-    val superlinear = rows.collect { case (n, _, _, _, _, _, r, _, _, _, _, _)
-      if r > 1.5 => n }
+    val superlinear = rows.collect {
+      case (n, _, _, _, _, _, r, _, _, _, _, _, _, _) if r > 1.5 => n }
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
-    val qJson = rows.map { case (n, t, b, s, t1, tN, ratio, rps, sw, sr, sp, pm) =>
-      s""""$n":{"table":"$t","base_sec":$t1,"stress_sec":$tN,""" +
-        s""""scaling_ratio":${f"$ratio%.3f"},"stress_rows_per_sec":$rps,""" +
-        s""""shuffle_write_mb":${sw / 1000000},"shuffle_read_mb":${sr / 1000000},""" +
-        s""""spill_mb":${sp / 1000000},"peak_mem_sum_mb":${pm / 1000000},""" +
-        s""""runs_base":${arr(b)},"runs_stress":${arr(s)}}"""
+    val qJson = rows.map {
+      case (n, t, b, s, t1, tN, ratio, rps, sw, sr, sp, pm, out1, outN) =>
+        s""""$n":{"table":"$t","base_sec":$t1,"stress_sec":$tN,""" +
+          s""""scaling_ratio":${f"$ratio%.3f"},"stress_rows_per_sec":$rps,""" +
+          s""""rows_out_base":$out1,"rows_out_stress":$outN,""" +
+          s""""shuffle_write_mb":${sw / 1000000},"shuffle_read_mb":${sr / 1000000},""" +
+          s""""spill_mb":${sp / 1000000},"peak_mem_sum_mb":${pm / 1000000},""" +
+          s""""runs_base":${arr(b)},"runs_stress":${arr(s)}}"""
     }.mkString("{", ",", "}")
     val skewJson =
       s"""{"rows":$nSkew,"hot_key_share":${1.0 / skewMod},""" +
@@ -304,7 +324,7 @@ object Stress {
     java.nio.file.Files.write(out,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // compact stdout line (the driver tail-captures ~2000 chars)
-    val short = rows.map { case (n, _, _, _, _, _, ratio, rps, _, _, _, _) =>
+    val short = rows.map { case (n, _, _, _, _, _, ratio, rps, _, _, _, _, _, _) =>
       s""""${n.takeWhile(_ != '_')}":[${f"$ratio%.2f"},$rps]"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"ratio_rps":$short,""" +

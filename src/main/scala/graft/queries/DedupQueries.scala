@@ -659,15 +659,23 @@ object DedupQueries extends QueryPack {
     * the skew defense (a boilerplate shingle shared by half the corpus
     * never lands in a prefix unless the doc is mostly boilerplate). All
     * joins are keyed equi-joins on 8-byte hashes; the rank window is
-    * doc-keyed; the verify join touches candidate pairs only.
+    * doc-keyed. The VERIFY stage joins each candidate pair to its two
+    * pre-computed distinct shingle ARRAYS and counts the intersection
+    * per-row (`size(array_intersect)`) — O(|a|+|b|) CPU per pair in one
+    * projection, instead of re-exploding both docs' posting lists through
+    * a (candidates × doc-length)-row shuffle + count aggregation (the
+    * round-8 form, whose verify dominated on duplicate-heavy corpora: the
+    * ×20 stress corpus multiplies true-pair volume quadratically in
+    * cluster size, and every true pair pays the full verify).
     */
   private def d27(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tok = docs.select(col("doc_id"),
-      explode(ShingleHashes(tokens(col("text")), 3)).as("w"))
+    val sh = docs.select(col("doc_id"),
+      ShingleHashes(tokens(col("text")), 3).as("sh"))
+    val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("len"),
+      explode(col("sh")).as("w"))
     val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val ranked = tok.join(dfw, Seq("w")).join(lens, Seq("doc_id"))
+    val ranked = tok.join(dfw, Seq("w"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
     val prefix = ranked.filter(
@@ -679,11 +687,12 @@ object DedupQueries extends QueryPack {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.len").as("la"), col("b.len").as("lb"))
       .distinct()
-    cand.join(tok.as("ta"), col("da") === col("ta.doc_id"))
-      .join(tok.as("tb"),
-        col("db") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
-      .groupBy(col("da"), col("db"), col("la"), col("lb"))
-      .agg(count(lit(1)).as("n_inter"))
+    cand.join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa.sh"), col("sb.sh")))
+          .cast("long").as("n_inter"),
+        col("la"), col("lb"))
       .select(col("da"), col("db"), col("n_inter"),
         (col("n_inter").cast("double") /
           (col("la") + col("lb") - col("n_inter")).cast("double"))

@@ -811,6 +811,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!j19.contains("CartesianProduct"))
   }
 
+  test("round-10 batch keeps scale shapes (d26/d31)") {
+    // d26 winnowing: fingerprint selection is ONE codegen kernel per row —
+    // no Exchange/Generate before the posting-list explode, and the pairing
+    // side stays the df-capped group-pairs equi-join (no cartesian)
+    val d26 = planString(run("d26_winnowing"))
+    assert(d26.contains("winnow_fingerprints") || d26.contains("WinnowFingerprints"),
+      "selection must ride the one-pass kernel, not transform/array_min/slice")
+    assert(!d26.contains("CartesianProduct"))
+    // d31 aligned runs: the posting join is a hash equi-join; run detection
+    // windows partition by (i, j, diag) — no corpus-wide window, never a
+    // nested loop
+    val d31 = planString(run("d31_aligned_run"))
+    assert(!d31.contains("CartesianProduct") &&
+      !d31.contains("BroadcastNestedLoopJoin"))
+    assert(d31.contains("hashpartitioning(i"),
+      "run windows must distribute by the pair key")
+  }
+
   test("s22 hybrid RRF: fixed-k arms, keyed joins, no cartesian") {
     val s = planString(run("s22_hybrid_rrf"))
     assert(!s.contains("CartesianProduct"))
