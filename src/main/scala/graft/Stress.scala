@@ -94,7 +94,8 @@ object Stress {
     // m-pack scaling suspect: the dHash band self-join over synthesized
     // PNGs (media density is 1/31 of documents, so the candidate join is
     // the cost driver, not the codec)
-    "m11_phash_pairs" -> "documents")
+    "m11_phash_pairs" -> "documents",
+    "g08_kcore_peel" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

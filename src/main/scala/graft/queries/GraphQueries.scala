@@ -414,6 +414,60 @@ object GraphQueries extends QueryPack {
        |FROM d LEFT JOIN intra ON intra.source = d.source, m
        |ORDER BY d.source""".stripMargin
 
+  /** g08 degree threshold and fixed peel-round count (unrolled identically
+    * in the oracle).
+    */
+  private val CoreK = 2
+  private val PeelRounds = 3
+
+  /** g08 — bounded k-core peel of the similarity graph: [[PeelRounds]]
+    * rounds of deleting every node with degree < [[CoreK]] (and its
+    * edges), then report each survivor's residual degree. Peeling strips
+    * incidental pairings (chains, pendants) and leaves the densely
+    * inter-duplicated neighborhoods — shared-template/boilerplate families
+    * — which is the curation complement of g04's components (membership)
+    * and g02's triangles (closure): a CORE is where near-dup eviction
+    * should act most aggressively. A fixed round count keeps the operator
+    * deterministic and engine-portable (full k-core is peel-to-fixpoint —
+    * data-dependent depth; [[PeelRounds]] rounds remove every structure a
+    * length-≤[[PeelRounds]] pendant chain can hide, and survivors'
+    * residual degrees expose any remaining sub-threshold nodes honestly).
+    *
+    * Scale shape: each round is one map-side-combined degree count + two
+    * semi-join-shaped equi-joins on node id — [[PeelRounds]] fixed
+    * passes over an edge list that only SHRINKS; the input edge list is
+    * localCheckpoint'd once, no windows, no driver-side state.
+    */
+  private def g08(s: SparkSession, dir: String): DataFrame = {
+    var e = edges(s, dir).localCheckpoint()
+    for (_ <- 1 to PeelRounds) {
+      val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= CoreK)
+        .select(col("u"))
+      e = e.join(surv, Seq("u"))
+        .join(surv.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def g08Sql: String = {
+    val rounds = (1 to PeelRounds).map { t =>
+      s"""v$t AS (SELECT u FROM (SELECT u, COUNT(*) AS deg
+         |    FROM e${t - 1} GROUP BY u) WHERE deg >= $CoreK),
+         |e$t AS (SELECT e.u, e.v FROM e${t - 1} e
+         |  JOIN v$t a ON e.u = a.u JOIN v$t b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    graphCtes +
+      s""",
+         |e0 AS (SELECT u, v FROM e),
+         |$rounds
+         |SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e$PeelRounds GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", g01, Some(g01Sql)),
     QueryDef("g02_triangles", g02, Some(g02Sql)),
@@ -421,5 +475,6 @@ object GraphQueries extends QueryPack {
     QueryDef("g04_component_profile", g04, Some(g04Sql)),
     QueryDef("g05_assortativity", g05, Some(g05Sql)),
     QueryDef("g06_two_hop_reach", g06, Some(g06Sql)),
-    QueryDef("g07_source_modularity", g07, Some(g07Sql)))
+    QueryDef("g07_source_modularity", g07, Some(g07Sql)),
+    QueryDef("g08_kcore_peel", g08, Some(g08Sql)))
 }
