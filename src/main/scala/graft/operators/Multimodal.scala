@@ -575,10 +575,10 @@ object Multimodal {
     */
   def audioFrames(media: DataFrame, frameLen: Int, hop: Int,
                   silenceBelow: Long): DataFrame = {
-    val hexStr = lower(hex(col("content")))
     val nBytes = length(col("content"))
-    val bytes = transform(sequence(lit(0), nBytes - 1),
-      i => conv(hexStr.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+    // one-pass kernel, NOT transform(sequence, i => conv(substr(hex(..))))
+    // — the hex subtree would re-evaluate per byte (O(n²); see BytesToLongs)
+    val bytes = graft.functions.BytesToLongs(col("content"))
     val nFrames = (floor((nBytes - frameLen).cast("double") / hop) + 1).cast("int")
     val energy = aggregate(
       slice(col("bytes"), col("frame_idx") * hop + 1, lit(frameLen)),

@@ -334,13 +334,18 @@ object DedupQueries extends QueryPack {
         concat_ws(" ", concat_ws(" ", slice(ws, 1, 96)),
           concat(lit("uniq"), col("doc_id").cast("string"))).as("text"))
     val all = docs.unionAll(partial)
-    val nChunks = floor((size(ws) - 1).cast("double") / stride).cast("int") + 1
+    // the chunk lambda slices a NAMED token-array column (multi-referenced
+    // alias, kept materialized by CollapseProject) — not the unnamed
+    // tokenizer subtree, which would re-run per chunk (the d26 trap)
+    val wsc = col("wsc")
+    val nChunksC = floor((size(wsc) - 1).cast("double") / stride).cast("int") + 1
     val chunkHash = (i: Column) =>
       conv(substring(md5(concat_ws(" ",
-        slice(ws, i * stride + 1, lit(chunkLen)))), 1, 15), 16, 10).cast("long")
-    val ex = all.select(col("doc_id"),
-      explode(array_distinct(
-        transform(sequence(lit(0), nChunks - 1), chunkHash))).as("ch"))
+        slice(wsc, i * stride + 1, lit(chunkLen)))), 1, 15), 16, 10).cast("long")
+    val ex = all.withColumn("wsc", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), nChunksC - 1), chunkHash))).as("ch"))
     val cl = graft.functions.CollectCapped(DefaultMaxDf)
     val groups = ex.groupBy(col("ch"))
       .agg(sort_array(cl(col("doc_id"))).as("ds"))

@@ -277,10 +277,9 @@ object MultimodalQueries extends QueryPack {
     */
   private def m09(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(s, Tables.documents(s, dir))
-    val hexStr = lower(hex(col("content")))
-    val nBytes = length(col("content"))
-    val bytes = transform(sequence(lit(0), nBytes - 1),
-      i => conv(hexStr.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+    // one-pass kernel, NOT transform(sequence, i => conv(substr(hex(..))))
+    // — the hex subtree would re-evaluate per byte (O(n²); see BytesToLongs)
+    val bytes = graft.functions.BytesToLongs(col("content"))
     val deltas = transform(sequence(lit(1), size(col("bytes")) - 1),
       i => element_at(col("bytes"), i + 1) - element_at(col("bytes"), i))
     media.filter(col("kind") === "video")

@@ -191,8 +191,13 @@ object TextQueries extends QueryPack {
     * token in the corpus).
     */
   private def t07(s: SparkSession, dir: String): DataFrame = {
+    // ws is a NAMED column, referenced 4× below — CollapseProject keeps
+    // multi-referenced non-cheap aliases materialized, so the lambda's
+    // element_at calls hit the array once per row instead of re-running
+    // the tokenizer per gram position (the d26 trap)
     val docs = Tables.documents(s, dir)
-    val ws = tokens(col("text"))
+      .withColumn("ws", tokens(col("text")))
+    val ws = col("ws")
     val mk = (i: Column) => concat_ws(" ",
       element_at(ws, i.cast("int")), element_at(ws, (i + 1).cast("int")),
       element_at(ws, (i + 2).cast("int")))
@@ -460,7 +465,10 @@ object TextQueries extends QueryPack {
   private def t14(s: SparkSession, dir: String): DataFrame = {
     val chunkLen = 64
     val stride = 48
-    val ws = tokens(col("text"))
+    // ws materialized (multi-referenced alias survives CollapseProject):
+    // the chunk lambda's slice reads the array per chunk instead of
+    // re-running the tokenizer per chunk (the d26 trap)
+    val ws = col("ws")
     val nChunks = floor((size(ws) - 1).cast("double") / stride).cast("int") + 1
     val chunk = (i: Column) => {
       val start = i * stride + 1
@@ -471,6 +479,7 @@ object TextQueries extends QueryPack {
         md5(concat_ws(" ", piece)).as("chunk_md5"))
     }
     Tables.documents(s, dir)
+      .withColumn("ws", tokens(col("text")))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), nChunks - 1), chunk)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
@@ -1207,20 +1216,27 @@ object TextQueries extends QueryPack {
     * the corpus streams through at parquet-read speed.
     */
   private def t34(s: SparkSession, dir: String): DataFrame = {
-    val ws = tokens(col("text"))
+    // ws/chunks/uniq are NAMED multi-referenced columns (kept materialized
+    // by CollapseProject): the chunk lambda's slice reads the token array
+    // instead of re-running the tokenizer per chunk (the d26 trap), and
+    // the distinct/size/fold consumers share one chunks array per row
+    val ws = col("ws")
     val m = size(ws)
     val nc = expr(s"CAST(ceil(size(split(text, ' ')) / ${ChunkC}.0) AS INT)")
-    val chunks = transform(sequence(lit(0), nc - 1),
-      k => concat_ws(" ", slice(ws, (k * ChunkC + 1).cast("int"), lit(ChunkC))))
-    val uniq = array_distinct(chunks)
+    val uniq = col("uniq")
     val tokensOut = aggregate(uniq, lit(0L),
       (acc, c) => acc + size(split(c, " ")))
-    Tables.documents(s, dir).select(
-      col("doc_id"), m.cast("long").as("n_tokens"),
-      size(chunks).cast("long").as("n_chunks"),
-      size(uniq).cast("long").as("n_unique"),
-      tokensOut.as("tokens_out"),
-      (tokensOut.cast("double") / m.cast("double")).as("yield_ratio"))
+    Tables.documents(s, dir)
+      .withColumn("ws", tokens(col("text")))
+      .withColumn("chunks", transform(sequence(lit(0), nc - 1),
+        k => concat_ws(" ", slice(ws, (k * ChunkC + 1).cast("int"), lit(ChunkC)))))
+      .withColumn("uniq", array_distinct(col("chunks")))
+      .select(
+        col("doc_id"), m.cast("long").as("n_tokens"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(uniq).cast("long").as("n_unique"),
+        tokensOut.as("tokens_out"),
+        (tokensOut.cast("double") / m.cast("double")).as("yield_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -1345,8 +1361,12 @@ object TextQueries extends QueryPack {
     * TakeOrderedAndProject.
     */
   private def t32(s: SparkSession, dir: String): DataFrame = {
+    // ws materialized (multi-referenced alias survives CollapseProject) so
+    // the bigram lambda's element_at hits the array, not a re-run of the
+    // tokenizer per position (the d26 trap)
     val docs = Tables.documents(s, dir)
-    val ws = tokens(col("text"))
+      .withColumn("ws", tokens(col("text")))
+    val ws = col("ws")
     val bigrams = when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1), i =>
           struct(element_at(ws, i.cast("int")).as("w1"),

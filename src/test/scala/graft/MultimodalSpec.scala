@@ -9,6 +9,18 @@ class MultimodalSpec extends SparkSpecBase {
   private lazy val media =
     Multimodal.synthesize(spark, Tables.documents(spark, sf("sf0.001")))
 
+  test("BytesToLongs equals the composable hex-substr byte extraction") {
+    import org.apache.spark.sql.functions._
+    val hexStr = lower(hex(col("content")))
+    val composed = transform(sequence(lit(0), length(col("content")) - 1),
+      i => conv(hexStr.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+    val both = media.select(
+      graft.functions.BytesToLongs(col("content")).as("native"),
+      composed.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0,
+      "the one-pass kernel must match the hex idiom byte for byte")
+  }
+
   test("synthesized media matches the declared schema and is deterministic") {
     val schema = media.schema
     assert(schema.fieldNames.toSeq == Multimodal.mediaSchema.fieldNames.toSeq)
