@@ -12,6 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - cross-engine hashing uses md5 (the common primitive), never engine
   *    hash functions;
   *  - raw ns-precision timestamps are truncated or excluded from outputs.
+  *
+  * Scale contract — the higher-order-function recompute rule (round 9):
+  * a non-trivial subtree referenced INSIDE a transform/aggregate/filter
+  * lambda is re-evaluated at every element (Catalyst does not hoist it,
+  * and CollapseProject inlines single-use projection aliases back into the
+  * lambda) — measured 188 s vs 1 s building 3-grams over 2000-token docs,
+  * and the round-8 d26 artifact loss (724 s for one query). Therefore:
+  *  - lambdas may reference ONLY their own variables, attributes, and
+  *    literals — never an inline tokenizer/decoder/digest subtree;
+  *  - arrays a lambda indexes into must be NAMED columns referenced at
+  *    least twice (CollapseProject keeps multi-referenced non-cheap
+  *    aliases materialized), or restructured so every expensive reference
+  *    sits at ARGUMENT position (zip_with over slices — wordShingles), or
+  *    replaced by a one-pass codegen kernel (WinnowFingerprints,
+  *    BytesToLongs, ShingleHashes).
   */
 final case class QueryDef(
     name: String,
