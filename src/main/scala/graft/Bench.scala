@@ -90,7 +90,9 @@ object Bench {
     var ok = false
     var tries = 0
     while (!ok && tries < 3) {
-      val t = once { fn(spark, sfDir).count() }
+      // capped like the sweep: a wedged canary must cost one failed gate
+      // attempt, not the whole artifact
+      val t = onceCapped(spark, 60.0) { fn(spark, sfDir).count() }
       attempts += t
       ok = t >= 0 && t <= threshold
       tries += 1
@@ -159,11 +161,14 @@ object Bench {
       var warmed = false
       while (!warmed && execs < 6) {
         execs += 1
-        val t = once(pipeline())
+        // 300 s cap (≈150× the clean steady-state): a wedged pipeline must
+        // cost one failed warmup/run, not an rc-124 artifact — the same
+        // defense the sweep and the sentinel gate carry
+        val t = onceCapped(spark, 300.0)(pipeline())
         warmed = t >= 0 && t <= 2.5
       }
       pipeWarmups += execs
-      Seq.fill(3)(once(pipeline()))
+      Seq.fill(3)(onceCapped(spark, 300.0)(pipeline()))
     }
     def medianOf(rs: Seq[Double]): Double =
       if (rs.isEmpty || rs.exists(_ < 0)) -1.0 else rs.sorted.apply(1)
