@@ -1105,7 +1105,8 @@ object TextQueries extends QueryPack {
     QueryDef("t34_chunk_dedup", t34, Some(t34Sql)),
     QueryDef("t35_bigram_xent", t35, Some(t35Sql)),
     QueryDef("t36_code_switch", t36, Some(t36Sql)),
-    QueryDef("t37_tokenizer_fertility", t37, Some(t37Sql)))
+    QueryDef("t37_tokenizer_fertility", t37, Some(t37Sql)),
+    QueryDef("t38_vocab_coverage", t38, Some(t38Sql)))
 
   /** t37 — tokenizer fertility per language: encoded units per word
     * through the real rank-ordered BPE (t08's BpeApply), aggregated by
@@ -1692,4 +1693,56 @@ object TextQueries extends QueryPack {
       |    AS oov_rate
       |FROM tot LEFT JOIN oov ON oov.split = tot.split
       |ORDER BY tot.split""".stripMargin
+
+  /** t38's coverage points: vocabulary sizes a tokenizer build would test. */
+  private val CoverageKs = Seq(100, 1000, 10000)
+
+  /** t38 — vocabulary coverage curve: the fraction of total corpus token
+    * MASS covered by the top-K most frequent types, for each K in
+    * [[CoverageKs]] — the tokenizer/vocab-sizing diagnostic (how big must
+    * the word-level vocabulary be before byte/BPE fallback is rare?). The
+    * complement of t11 (which LISTS the head types) and t27 (which fits
+    * the Zipf slope): this reports the cumulative mass curve a sizing
+    * decision actually reads off. Tie order at each K boundary is total
+    * (count desc, token), so the curve is bit-identical across engines.
+    *
+    * Scale shape: ONE corpus explode into a map-side-combined (token →
+    * count) aggregate, localCheckpoint'd (vocab-sized, reused by all
+    * arms); each K arm is a distributed TakeOrderedAndProject top-K over
+    * that vocab plus a ≤K-row sum — no corpus-wide or un-keyed window
+    * anywhere (the global ROW_NUMBER alternative is the plan to refuse:
+    * it funnels the whole vocabulary through one partition).
+    */
+  private def t38(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = cnt.agg(sum(col("c")).cast("long").as("n_total"))
+    val arms = CoverageKs.map { k =>
+      cnt.orderBy(col("c").desc, col("w")).limit(k)
+        .agg(lit(k).cast("long").as("k"),
+          sum(col("c")).cast("long").as("covered"))
+    }.reduce(_.unionAll(_))
+    arms.crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("n_total"),
+        (col("covered").cast("double") / col("n_total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  private val t38Sql = {
+    val arms = CoverageKs.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS covered
+         |FROM (SELECT c FROM cnt ORDER BY c DESC, w LIMIT $k)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+       |arms AS (
+       |  $arms)
+       |SELECT k, covered, n_total,
+       |  CAST(covered AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+       |FROM arms, tot ORDER BY k""".stripMargin
+  }
 }
