@@ -271,11 +271,14 @@ object GraphQueries extends QueryPack {
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val ends = e.join(deg.select(col("u"), col("deg").as("dx")), "u")
       .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+    // product sums in decimal(38,0): Σdeg² over 10¹²-edge graphs passes
+    // int64 while the oracle's HUGEINT stays exact (r22 class);
+    // decimal→double matches the oracle's VARCHAR→DOUBLE route exactly
     val agg = ends.agg(count(lit(1)).as("m"),
       sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-      sum(col("dx") * col("dx")).as("sxx"),
-      sum(col("dy") * col("dy")).as("syy"),
-      sum(col("dx") * col("dy")).as("sxy"))
+      sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"),
+      sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col("m").as("n_directed_edges"),
       ((d("m") * d("sxy") - d("sx") * d("sy")) /

@@ -80,7 +80,10 @@ object RelationalQueries extends QueryPack {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("vq")).as("sum_vq"),
+        // both sums in decimal: Σvq passes int64 at warehouse row counts
+        // too (vq ≤ 5.6e8 at the 1e6 quantization); decimal→double
+        // matches the oracle's VARCHAR→DOUBLE route (r22 class)
+        sum(col("vq").cast("decimal(38,0)")).as("sum_vq"),
         sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sum_vq2"))
       .select(col("event_type"), col("n"), col("n_users"),
         (col("sum_vq").cast("double") / 1000000.0).as("sum_v"),
@@ -101,13 +104,16 @@ object RelationalQueries extends QueryPack {
       |  SELECT event_type, COUNT(*) AS n,
       |    COUNT(DISTINCT user_id) AS n_users,
       |    SUM(vq) AS sum_vq, SUM(vq * vq) AS sum_vq2
-      |  FROM q GROUP BY event_type)
+      |  FROM q GROUP BY event_type),
+      |-- HUGEINT sums route through VARCHAR (r11's rule): correctly
+      |-- rounded to DOUBLE, matching Spark's decimal->double
+      |f AS (SELECT event_type, n, n_users,
+      |  CAST(CAST(sum_vq AS VARCHAR) AS DOUBLE) AS d1,
+      |  CAST(CAST(sum_vq2 AS VARCHAR) AS DOUBLE) AS d2 FROM a)
       |SELECT event_type, n, n_users,
-      |  CAST(sum_vq AS DOUBLE) / 1000000.0 AS sum_v,
-      |  sqrt((CAST(sum_vq2 AS DOUBLE)
-      |    - CAST(sum_vq AS DOUBLE) * CAST(sum_vq AS DOUBLE) / n) / (n - 1))
-      |    / 1000000.0 AS stddev_v
-      |FROM a ORDER BY event_type""".stripMargin
+      |  d1 / 1000000.0 AS sum_v,
+      |  sqrt((d2 - d1 * d1 / n) / (n - 1)) / 1000000.0 AS stddev_v
+      |FROM f ORDER BY event_type""".stripMargin
 
   /** r04 — set operations: INTERSECT / EXCEPT over derived key sets (users
     * who clicked vs users who purchased).
@@ -309,7 +315,10 @@ object RelationalQueries extends QueryPack {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("vq")).as("s1"),
-        sum(col("vq") * col("vq")).as("s2"),
+        // s2 in decimal like s3/s4: Σvq² passes int64 at ~10⁹ rows/type
+        // (vq ≤ 5.6e4 here) — long would wrap silently while the oracle's
+        // HUGEINT stays exact (the r22 overflow class)
+        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("s2"),
         sum((col("vq") * col("vq") * col("vq")).cast("decimal(38,0)"))
           .as("s3"),
         sum((col("vq") * col("vq")).cast("decimal(38,0)")
@@ -860,14 +869,20 @@ object RelationalQueries extends QueryPack {
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("x"), col("user_id"))
+    // Σ(i·x) in decimal (rank × count passes int64 at ~10⁹ users/type —
+    // the r22 overflow class; the oracle's CAST(HUGEINT AS BIGINT) would
+    // RAISE while Spark wrapped), and the Gini evaluated as an identical
+    // double expression tree in both engines — (n_users+1)·n_events
+    // overflows at the same scale
+    val nud = col("n_users").cast("double")
+    val ned = col("n_events").cast("double")
     cnt.withColumn("i", row_number().over(w).cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
-        sum(col("i") * col("x")).as("s2"))
+        sum((col("i") * col("x")).cast("decimal(38,0)")).as("s2x"))
       .select(col("event_type"), col("n_users"), col("n_events"),
-        ((lit(2) * col("s2") - (col("n_users") + 1) * col("n_events"))
-          .cast("double") /
-          (col("n_users") * col("n_events")).cast("double")).as("gini"))
+        ((lit(2.0) * col("s2x").cast("double") - (nud + lit(1.0)) * ned) /
+          (nud * ned)).as("gini"))
       .orderBy(col("event_type"))
   }
 
@@ -878,12 +893,16 @@ object RelationalQueries extends QueryPack {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id)
       |    AS BIGINT) AS i FROM c),
       |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
-      |  CAST(SUM(x) AS BIGINT) AS n_events, CAST(SUM(i * x) AS BIGINT) AS s2
-      | FROM r GROUP BY event_type)
+      |  CAST(SUM(x) AS BIGINT) AS n_events, SUM(i * x) AS s2h
+      | FROM r GROUP BY event_type),
+      |-- HUGEINT sum routes through VARCHAR (r11's rule); the Gini is the
+      |-- same double expression tree as the Spark side
+      |f AS (SELECT event_type, n_users, n_events,
+      |  CAST(n_users AS DOUBLE) AS nud, CAST(n_events AS DOUBLE) AS ned,
+      |  CAST(CAST(s2h AS VARCHAR) AS DOUBLE) AS s2d FROM a)
       |SELECT event_type, n_users, n_events,
-      |  CAST(2 * s2 - (n_users + 1) * n_events AS DOUBLE)
-      |    / CAST(n_users * n_events AS DOUBLE) AS gini
-      |FROM a ORDER BY event_type""".stripMargin
+      |  (2.0 * s2d - (nud + 1.0) * ned) / (nud * ned) AS gini
+      |FROM f ORDER BY event_type""".stripMargin
 
   /** r22 — Spearman rank correlation between event VALUE and event TIME,
     * per type: the nonparametric monotone-trend drift detector (robust to
@@ -1110,12 +1129,15 @@ object RelationalQueries extends QueryPack {
           col(s"y$kk").as("y"))): _*)).as("p"))
       .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
       .filter(col("y").isNotNull)
+    // product sums in decimal(38,0): Σx² wraps int64 once daily counts
+    // reach ~10⁹ while the oracle's HUGEINT stays exact (r22 class);
+    // decimal→double matches the oracle's VARCHAR→DOUBLE route exactly
     val agg = pairs.groupBy(col("lag")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col("lag").cast("long").as("lag"), col("n"),
         ((d("n") * d("sxy") - d("sx") * d("sy")) /
