@@ -214,11 +214,22 @@ object Stress {
       val t1 = minOk(b)
       val tN = minOk(s)
       val ratio = if (t1 > 0 && tN > 0) tN / (t1 * factor) else -1.0
+      // cost-per-output growth: pair-reporting queries are Ω(output), and
+      // the stress corpus multiplies TRUE pair volume quadratically in
+      // duplicate-cluster size — m11's ×50 output grows 2470× while its
+      // time grows 150×. Time ratio alone would flag that as superlinear;
+      // what actually indicts a plan is unit cost RISING: tN/outN vs
+      // t1/out1. (A quadratic ALGORITHM with flat output — old d26/d27 —
+      // still trips this: output flat ⇒ cpo == time growth.)
+      val cpo =
+        if (t1 > 0 && tN > 0 && out1 > 0 && outN > 0)
+          (tN / outN) / (t1 / out1)
+        else -1.0
       val rps = if (tN > 0) math.round(stressRows(table) / tN) else -1L
       System.err.println(f"[stress] $name%-22s x1=${t1}%.2fs xN=${tN}%.2fs " +
-        f"ratio=${ratio}%.2f rows/s=$rps%d out=$out1%d->$outN%d " +
-        f"shufW=${sw / 1e6}%.0fMB")
-      (name, table, b, s, t1, tN, ratio, rps, sw, sr, sp, pm, out1, outN)
+        f"ratio=${ratio}%.2f cpo=${cpo}%.2f rows/s=$rps%d " +
+        f"out=$out1%d->$outN%d shufW=${sw / 1e6}%.0fMB")
+      (name, table, b, s, t1, tN, ratio, cpo, rps, sw, sr, sp, pm, out1, outN)
     }
 
     // ---- skew arm: hot key owning `1/skewMod` of all rows ----------------
@@ -293,13 +304,18 @@ object Stress {
     System.err.println(f"[stress] joinskew n=$nJoin " +
       f"aqeOn=${minOk(tJoinOn)}%.2fs aqeOff=${minOk(tJoinOff)}%.2fs")
 
+    // flagged superlinear = time ratio past the gate AND unit cost rising
+    // (cpo unavailable → the time ratio decides alone, conservatively)
     val superlinear = rows.collect {
-      case (n, _, _, _, _, _, r, _, _, _, _, _, _, _) if r > 1.5 => n }
+      case (n, _, _, _, _, _, r, cpo, _, _, _, _, _, _, _)
+        if r > 1.5 && (cpo <= 0 || cpo > 1.5) => n }
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val qJson = rows.map {
-      case (n, t, b, s, t1, tN, ratio, rps, sw, sr, sp, pm, out1, outN) =>
+      case (n, t, b, s, t1, tN, ratio, cpo, rps, sw, sr, sp, pm, out1, outN) =>
         s""""$n":{"table":"$t","base_sec":$t1,"stress_sec":$tN,""" +
-          s""""scaling_ratio":${f"$ratio%.3f"},"stress_rows_per_sec":$rps,""" +
+          s""""scaling_ratio":${f"$ratio%.3f"},""" +
+          s""""cost_per_out_growth":${f"$cpo%.3f"},""" +
+          s""""stress_rows_per_sec":$rps,""" +
           s""""rows_out_base":$out1,"rows_out_stress":$outN,""" +
           s""""shuffle_write_mb":${sw / 1000000},"shuffle_read_mb":${sr / 1000000},""" +
           s""""spill_mb":${sp / 1000000},"peak_mem_sum_mb":${pm / 1000000},""" +
@@ -325,7 +341,7 @@ object Stress {
     java.nio.file.Files.write(out,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // compact stdout line (the driver tail-captures ~2000 chars)
-    val short = rows.map { case (n, _, _, _, _, _, ratio, rps, _, _, _, _, _, _) =>
+    val short = rows.map { case (n, _, _, _, _, _, ratio, _, rps, _, _, _, _, _, _) =>
       s""""${n.takeWhile(_ != '_')}":[${f"$ratio%.2f"},$rps]"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"ratio_rps":$short,""" +
