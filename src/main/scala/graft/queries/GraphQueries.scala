@@ -271,14 +271,18 @@ object GraphQueries extends QueryPack {
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val ends = e.join(deg.select(col("u"), col("deg").as("dx")), "u")
       .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
-    // product sums in decimal(38,0): Σdeg² over 10¹²-edge graphs passes
-    // int64 while the oracle's HUGEINT stays exact (r22 class);
-    // decimal→double matches the oracle's VARCHAR→DOUBLE route exactly
+    // ALL moment arithmetic in decimal(38,0), operands cast BEFORE the
+    // multiply (r11's pattern): a per-term dx·dy in long wraps at
+    // deg ≳ 3e9, and the linear sums are the same second-moment magnitude
+    // (Σ_edges dx = Σ_u deg(u)²) so they wrap at the same scale — while
+    // the oracle's HUGEINT stays exact. decimal→double matches the
+    // oracle's VARCHAR→DOUBLE route exactly
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val agg = ends.agg(count(lit(1)).as("m"),
-      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-      sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"),
-      sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
+      sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+      sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+      sum(dec(col("dy")) * dec(col("dy"))).as("syy"),
+      sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col("m").as("n_directed_edges"),
       ((d("m") * d("sxy") - d("sx") * d("sy")) /
@@ -291,8 +295,10 @@ object GraphQueries extends QueryPack {
        |ends AS (SELECT da.deg AS dx, db.deg AS dy
        |  FROM e JOIN d da ON e.u = da.u JOIN d db ON e.v = db.u),
        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
-       |  SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx*dx) AS sxx,
-       |  SUM(dy*dy) AS syy, SUM(dx*dy) AS sxy FROM ends),
+       |  SUM(dx) AS sx, SUM(dy) AS sy,
+       |  SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+       |  SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+       |  SUM(CAST(dx AS HUGEINT) * dy) AS sxy FROM ends),
        |-- HUGEINT sums route through VARCHAR (r11's rule)
        |f AS (SELECT m, CAST(m AS DOUBLE) AS md,
        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,

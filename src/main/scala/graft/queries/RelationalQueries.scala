@@ -80,11 +80,15 @@ object RelationalQueries extends QueryPack {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
-        // both sums in decimal: Σvq passes int64 at warehouse row counts
-        // too (vq ≤ 5.6e8 at the 1e6 quantization); decimal→double
-        // matches the oracle's VARCHAR→DOUBLE route (r22 class)
+        // both sums in decimal with operands cast BEFORE the multiply
+        // (r11's pattern): Σvq passes int64 at warehouse row counts too
+        // (vq ≤ 5.6e8 at the 1e6 quantization), and a per-term vq² in
+        // long would wrap at vq ≳ 3e9 on a wider value range;
+        // decimal→double matches the oracle's VARCHAR→DOUBLE route
+        // (r22 class)
         sum(col("vq").cast("decimal(38,0)")).as("sum_vq"),
-        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("sum_vq2"))
+        sum(col("vq").cast("decimal(38,0)")
+          * col("vq").cast("decimal(38,0)")).as("sum_vq2"))
       .select(col("event_type"), col("n"), col("n_users"),
         (col("sum_vq").cast("double") / 1000000.0).as("sum_v"),
         // sample stddev from exact integer sums, descaled at the end:
@@ -103,7 +107,7 @@ object RelationalQueries extends QueryPack {
       |a AS (
       |  SELECT event_type, COUNT(*) AS n,
       |    COUNT(DISTINCT user_id) AS n_users,
-      |    SUM(vq) AS sum_vq, SUM(vq * vq) AS sum_vq2
+      |    SUM(vq) AS sum_vq, SUM(CAST(vq AS HUGEINT) * vq) AS sum_vq2
       |  FROM q GROUP BY event_type),
       |-- HUGEINT sums route through VARCHAR (r11's rule): correctly
       |-- rounded to DOUBLE, matching Spark's decimal->double
@@ -310,19 +314,21 @@ object RelationalQueries extends QueryPack {
     */
   private def r10(s: SparkSession, dir: String): DataFrame = {
     val vq = round(col("value").cast("double") * 100).cast("long")
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val agg = Tables.events(s, dir)
       .select(col("event_type"), vq.as("vq"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("vq")).as("s1"),
-        // s2 in decimal like s3/s4: Σvq² passes int64 at ~10⁹ rows/type
-        // (vq ≤ 5.6e4 here) — long would wrap silently while the oracle's
-        // HUGEINT stays exact (the r22 overflow class)
-        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("s2"),
-        sum((col("vq") * col("vq") * col("vq")).cast("decimal(38,0)"))
-          .as("s3"),
-        sum((col("vq") * col("vq")).cast("decimal(38,0)")
-          * (col("vq") * col("vq")).cast("decimal(38,0)")).as("s4"))
+        // power sums in decimal with operands cast BEFORE every multiply
+        // (r11's pattern): Σvq² passes int64 at ~10⁹ rows/type and a
+        // per-term vq³/vq⁴ in long wraps on a wider value range — long
+        // would wrap silently while the oracle's HUGEINT stays exact
+        // (the r22 overflow class)
+        sum(dc(col("vq")) * dc(col("vq"))).as("s2"),
+        sum(dc(col("vq")) * dc(col("vq")) * dc(col("vq"))).as("s3"),
+        sum(dc(col("vq")) * dc(col("vq"))
+          * dc(col("vq")) * dc(col("vq"))).as("s4"))
     val n = col("n").cast("double")
     val s1 = col("s1").cast("double")
     val s2 = col("s2").cast("double")
@@ -348,7 +354,8 @@ object RelationalQueries extends QueryPack {
     """WITH q AS (SELECT event_type,
       |  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq FROM events),
       |a AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS s1,
-      |  SUM(vq * vq) AS s2, SUM(vq * vq * vq) AS s3,
+      |  SUM(CAST(vq AS HUGEINT) * vq) AS s2,
+      |  SUM(CAST(vq AS HUGEINT) * vq * vq) AS s3,
       |  SUM(CAST(vq AS HUGEINT) * vq * vq * vq) AS s4
       | FROM q GROUP BY event_type),
       |-- HUGEINT→DOUBLE in DuckDB is not correctly rounded (off by an ulp on
@@ -869,17 +876,19 @@ object RelationalQueries extends QueryPack {
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("x"), col("user_id"))
-    // Σ(i·x) in decimal (rank × count passes int64 at ~10⁹ users/type —
-    // the r22 overflow class; the oracle's CAST(HUGEINT AS BIGINT) would
-    // RAISE while Spark wrapped), and the Gini evaluated as an identical
-    // double expression tree in both engines — (n_users+1)·n_events
-    // overflows at the same scale
+    // Σ(i·x) in decimal with operands cast BEFORE the multiply (r11's
+    // pattern — a per-term i·x in long would wrap before the sum ever saw
+    // it; the r22 overflow class; the oracle's CAST(HUGEINT AS BIGINT)
+    // would RAISE while Spark wrapped), and the Gini evaluated as an
+    // identical double expression tree in both engines —
+    // (n_users+1)·n_events overflows at the same scale
     val nud = col("n_users").cast("double")
     val ned = col("n_events").cast("double")
     cnt.withColumn("i", row_number().over(w).cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
-        sum((col("i") * col("x")).cast("decimal(38,0)")).as("s2x"))
+        sum(col("i").cast("decimal(38,0)")
+          * col("x").cast("decimal(38,0)")).as("s2x"))
       .select(col("event_type"), col("n_users"), col("n_events"),
         ((lit(2.0) * col("s2x").cast("double") - (nud + lit(1.0)) * ned) /
           (nud * ned)).as("gini"))
@@ -893,7 +902,8 @@ object RelationalQueries extends QueryPack {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id)
       |    AS BIGINT) AS i FROM c),
       |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
-      |  CAST(SUM(x) AS BIGINT) AS n_events, SUM(i * x) AS s2h
+      |  CAST(SUM(x) AS BIGINT) AS n_events,
+      |  SUM(CAST(i AS HUGEINT) * x) AS s2h
       | FROM r GROUP BY event_type),
       |-- HUGEINT sum routes through VARCHAR (r11's rule); the Gini is the
       |-- same double expression tree as the Spark side
@@ -1129,15 +1139,18 @@ object RelationalQueries extends QueryPack {
           col(s"y$kk").as("y"))): _*)).as("p"))
       .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
       .filter(col("y").isNotNull)
-    // product sums in decimal(38,0): Σx² wraps int64 once daily counts
-    // reach ~10⁹ while the oracle's HUGEINT stays exact (r22 class);
-    // decimal→double matches the oracle's VARCHAR→DOUBLE route exactly
+    // ALL moment arithmetic in decimal(38,0), operands cast BEFORE the
+    // multiply (r11's pattern): a per-term x·y in long wraps once daily
+    // counts reach ~3e9, and Σx/Σy wrap with the corpus row count — while
+    // the oracle's HUGEINT stays exact (r22 class); decimal→double
+    // matches the oracle's VARCHAR→DOUBLE route exactly
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val agg = pairs.groupBy(col("lag")).agg(
       count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      sum(dc(col("x"))).as("sx"), sum(dc(col("y"))).as("sy"),
+      sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+      sum(dc(col("y")) * dc(col("y"))).as("syy"),
+      sum(dc(col("x")) * dc(col("y"))).as("sxy"))
     def d(c: String) = col(c).cast("double")
     agg.select(col("lag").cast("long").as("lag"), col("n"),
         ((d("n") * d("sxy") - d("sx") * d("sy")) /
@@ -1160,8 +1173,10 @@ object RelationalQueries extends QueryPack {
        |p AS (
        |  $arms),
        |a AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-       |  SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
-       |  SUM(y*y) AS syy, SUM(x*y) AS sxy FROM p GROUP BY lag),
+       |  SUM(x) AS sx, SUM(y) AS sy,
+       |  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |  SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |  SUM(CAST(x AS HUGEINT) * y) AS sxy FROM p GROUP BY lag),
        |-- HUGEINT sums route through VARCHAR (see r11): correctly-rounded
        |-- to DOUBLE, matching Spark's long->double cast
        |f AS (SELECT lag, n, CAST(n AS DOUBLE) AS nd,
