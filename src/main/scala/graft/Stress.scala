@@ -209,8 +209,17 @@ object Stress {
     val rows = pack.map { case (name, table) =>
       val b = measured.flatMap(_(name)._1._1)
       val s = measured.flatMap(_(name)._2._1)
-      val (_, sw, sr, sp, pm, outN) = measured.last(name)._2
-      val out1 = measured.last(name)._1._6
+      val (_, sw, sr, sp, pm, _) = measured.last(name)._2
+      // output cardinality from the FIRST pass that measured it (the count
+      // is deterministic, so any successful run's value is THE value) — the
+      // last pass alone would lose it to a single transient failure and
+      // silently degrade the superlinear flag to time-ratio-only
+      val outN = measured.map(_(name)._2._6).find(_ >= 0).getOrElse(-1L)
+      val out1 = measured.map(_(name)._1._6).find(_ >= 0).getOrElse(-1L)
+      if (out1 < 0 || outN < 0)
+        System.err.println(s"[stress] $name rows_out UNAVAILABLE " +
+          s"(base=$out1 stress=$outN) — cost-per-output growth degrades " +
+          "to the raw time ratio for this query")
       val t1 = minOk(b)
       val tN = minOk(s)
       val ratio = if (t1 > 0 && tN > 0) tN / (t1 * factor) else -1.0
