@@ -11,6 +11,14 @@ import graft.config.Duration
   * event-time generation seen (floor(event-time / window)); `cur`, `prev`,
   * `prev2` are the bitmaps of generations `gen`, `gen-1`, `gen-2`. Top-level
   * for encoder codegen.
+  *
+  * STATE-FORMAT NOTE: `prev2` was added in round 9 (the two-bitmap layout
+  * forgot the pre-skip generation). The flatMapGroupsWithState encoder
+  * schema changed with it, so a streaming query restarted from a checkpoint
+  * written by the two-bitmap layout cannot restore its state — restarting
+  * across that upgrade requires a fresh checkpoint directory (the admission
+  * stream re-opens its suppression horizon, exactly as a fresh deploy
+  * would).
   */
 case class BloomGen(gen: Long, cur: Array[Byte], prev: Array[Byte],
                     prev2: Array[Byte])
@@ -37,7 +45,26 @@ case class BloomGen(gen: Long, cur: Array[Byte], prev: Array[Byte],
   *    skip — StreamingBloomDedupSpec pins all three paths). A duplicate
   *    arriving exactly two generations late is still checked against its
   *    own generation's surviving bitmap; arrivals older than that are
-  *    beyond the retained horizon and admit unchecked.
+  *    beyond the retained horizon and admit unchecked — UNLESS the input
+  *    stream declares a watermark, in which case they are dropped instead
+  *    (next bullet).
+  *  - WATERMARK INTEGRATION: when the input stream carries an event-time
+  *    watermark (`ds.withWatermark(...)` upstream), arrivals older than the
+  *    current watermark are DROPPED — the same late-data contract Spark's
+  *    built-in stateful operators apply — never admitted unchecked. With a
+  *    watermark delay ≤ window this makes the bounded-disorder guarantee
+  *    PROVABLE rather than assumed: a surviving event's generation g
+  *    satisfies g ≥ floor(wm/window), while a shard's newest generation is
+  *    at most floor((wm + delay)/window) (the watermark is the stream max
+  *    at the previous batch minus delay, and within a batch events are
+  *    processed in ascending ts order), so the probe lag is ≤
+  *    delay/window + 1 ≤ 2 — always inside the three retained bitmaps.
+  *    Every admitted event is then probed against its full window horizon;
+  *    unchecked admission is impossible. Batch invocations and streams
+  *    without a watermark see no dropping (batch==streaming agreement
+  *    holds for in-contract inputs; the divergence for beyond-horizon
+  *    arrivals — batch admits, watermarked stream drops — is this
+  *    documented late-data semantic).
   *  - In-generation suppression horizon is [window, 2·window), bracketing
   *    the exact operator's semantics.
   *  - Novel keys may be falsely suppressed at the Bloom false-positive
@@ -79,7 +106,14 @@ object StreamingBloomDedup {
 
     def fn(shard: Int, events: Iterator[T], state: GroupState[BloomGen])
       : Iterator[T] = {
-      val sorted = events.toSeq.sortBy(e => (ts(e).getTime, key(e)))
+      // the current event-time watermark, when the input stream declares
+      // one; getCurrentWatermarkMs throws on batch invocations and on
+      // streams without a watermark — both mean "drop nothing"
+      val wmMs =
+        try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MinValue }
+      val sorted = events.filter(e => ts(e).getTime >= wmMs)
+        .toSeq.sortBy(e => (ts(e).getTime, key(e)))
       if (sorted.isEmpty) return Iterator.empty
       def empty() = new Array[Byte](nBytes)
       var st = state.getOption.getOrElse(

@@ -94,6 +94,42 @@ class StreamingBloomDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a watermarked stream DROPS beyond-horizon arrivals instead of admitting unchecked") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // watermark delay == window: the contract's provable regime (probe lag
+    // <= 2, always inside the retained bitmaps; older arrivals drop)
+    val out = StreamingBloomDedup.admit[Ev](
+      in.toDS().withWatermark("ts", "1 hour"), _.event_id, _.ts,
+      window, bitsPerShard = 1 << 16, shards = 1)
+    val q = out.toDF().writeStream.format("memory").queryName("bd_wm")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      // batch 1: original in generation 0
+      in.addData(Ev("k_old", t(100), "new"))
+      q.processAllAvailable()
+      // batch 2: stream advances to generation 3 — after this batch the
+      // watermark is maxTs - 1h ~= generation 2
+      in.addData(Ev("k_ahead", t(3 * 3600 + 100), "new"))
+      q.processAllAvailable()
+      // batch 3: two arrivals BEYOND the watermark (3 generations old) —
+      // a duplicate of k_old and a novel key. The unwatermarked operator
+      // would admit the duplicate unchecked (beyond the retained horizon);
+      // the watermark contract drops both instead.
+      in.addData(Ev("k_old", t(200), "dup-beyond-horizon"),
+        Ev("k_never", t(300), "late-novel"))
+      q.processAllAvailable()
+
+      val admitted = spark.table("bd_wm").collect()
+        .map(r => r.getAs[String]("event_id") -> r.getAs[String]("payload"))
+      assert(admitted.count(_._1 == "k_old") == 1,
+        s"the beyond-horizon duplicate must not re-admit (got $admitted)")
+      assert(!admitted.exists(_._1 == "k_never"),
+        s"beyond-watermark arrivals are dropped, not admitted (got $admitted)")
+      assert(admitted.forall(_._2 == "new"), "only first occurrences admit")
+    } finally q.stop()
+  }
+
   test("state is shard-bounded with fixed-size bitmaps at 10k keys") {
     // batch mode drives the exact same state function; at 10k keys the
     // admitted count shows the state never needed per-key entries
