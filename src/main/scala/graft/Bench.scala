@@ -238,6 +238,18 @@ object Bench {
       return
     }
 
+    // The sweep runs the graph pack against ONE materialized near-dup edge
+    // table per session (the 100 TB shape — a pipeline materializes edges
+    // once, then runs g01–g08 against them; see GraphQueries.nearDupPairs).
+    // Oracles are verified with the knob OFF and ScaleConfSpec pins
+    // cached == uncached, so this changes cost attribution, not results.
+    // Stress mode never reaches here and stays uncached: its per-query
+    // scaling ratios must charge every query its full pair-build cost.
+    // (SPARK_GRAFT_BENCH_EDGE_CACHE=0 disables it — the A/B hook the
+    // committed delta measurement used)
+    if (!sys.env.get("SPARK_GRAFT_BENCH_EDGE_CACHE").contains("0"))
+      spark.conf.set("spark.graft.scale.graphEdgeCache", "1")
+
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate
     if (mode == "all") { System.gc(); Thread.sleep(cooldownSec * 1000L) }

@@ -77,4 +77,15 @@ object Scale {
     * larger than this are stop-shingles, dropped before the pair join.
     */
   def maxDf: Int = get("maxDf", 1000)
+
+  /** Share one materialized near-dup edge list across the graph pack
+    * (g01–g08) within a session ("1" = on; test-profile default off so
+    * every oracle-checked query stays self-contained). Each g-query starts
+    * from the same MinHash+LSH banded pair join — at 100 TB a pipeline
+    * materializes that edge table ONCE; with the knob on, the first
+    * g-query writes the pairs to a session-scoped parquet table and the
+    * rest read it (results are bit-identical either way — the pair list
+    * is deterministic).
+    */
+  def graphEdgeCache: Boolean = get("graphEdgeCache", 0) == 1
 }

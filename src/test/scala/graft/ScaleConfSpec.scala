@@ -29,6 +29,25 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(Scale.kmIters == 2)
     assert(Scale.cellQuota == 10)
     assert(Scale.maxDf == 1000)
+    assert(!Scale.graphEdgeCache)
+  }
+
+  test("graphEdgeCache changes cost attribution, never results") {
+    // the bench sweep runs the graph pack against one materialized pair
+    // table per session; the committed oracles run with the knob OFF —
+    // this parity pins that the two paths are bit-identical
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("g02_triangles", "g05_assortativity")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"graph pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("graphEdgeCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
   }
 
   test("queryK override re-scales DataFrame result and oracle SQL together") {
