@@ -24,12 +24,60 @@ object GraphQueries extends QueryPack {
   private val PrIters = 3
 
   /** Session-scoped cache of materialized pair tables, keyed by (session
-    * identity, sfDir) and holding PATHS, not DataFrames — parquet on disk
+    * UUID, sfDir) and holding PATHS, not DataFrames — parquet on disk
     * survives the bench harness's per-query unpersist sweep, which would
-    * truncate a cached localCheckpoint's blocks.
+    * truncate a cached localCheckpoint's blocks. The key is the session's
+    * real unique id ([[sessionId]]), NOT `System.identityHashCode`: identity
+    * hashes are not unique across live sessions and a GC'd session's hash
+    * can be REUSED by a new one, which would serve a stale pair table built
+    * under a different conf.
     */
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** Cache roots created this JVM, swept by [[cleanupHook]] on exit. Each
+    * entry carries the Hadoop conf it was written with so remote-FS roots
+    * (HDFS/S3 warehouse) delete through the right filesystem.
+    */
+  private val cacheRoots = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cacheRoots.forEach { (root, conf) =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(conf).delete(p, true)
+        } catch { case _: Throwable => () } // best-effort sweep
+      }
+    }, "graft-gedges-cleanup"))
+
+  /** A real unique id per session INSTANCE: a fresh UUID minted on first
+    * use and held in a weak map — never an identity hash (identity hashes
+    * are non-unique across live sessions and reusable after GC, so keying
+    * on one can serve a stale pair table built under a different conf;
+    * Spark's own `sessionUUID` has the semantics we want but is
+    * private[sql]). Weak keys mean a dead session's entry vanishes and a
+    * new session can only ever mint a NEW id.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
+  private def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  /** Where cached edge tables live: `spark.graft.scale.graphEdgeCachePath`
+    * if set, else warehouse-relative (`spark.sql.warehouse.dir`) — a
+    * location that is SHARED between driver and executors on a real
+    * cluster. A `createTempDirectory` driver-local path would only work
+    * when driver and executors share a filesystem (local mode); on the
+    * 100 TB cluster shape this knob targets, executors writing/reading a
+    * non-shared local path would fail or silently produce partial reads.
+    */
+  private def cacheRoot(s: SparkSession): String = {
+    val base = s.conf.getOption("spark.graft.scale.graphEdgeCachePath")
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir"))
+    s"${base.stripSuffix("/")}/graft_gedges/${sessionId(s)}"
+  }
 
   /** Ordered near-dup pairs (i < j) — the MinHash+LSH banded-join product
     * every g-query starts from. With [[graft.config.Scale.graphEdgeCache]]
@@ -46,11 +94,16 @@ object GraphQueries extends QueryPack {
       .select(col("i"), col("j"))
     if (!graft.config.Scale.graphEdgeCache) build
     else {
-      val key = (System.identityHashCode(s), dir)
+      cleanupHook // register the exit sweep once
+      val key = (sessionId(s), dir)
       val path = pairCache.computeIfAbsent(key, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_gedges")
-          .resolve("pairs").toString
-        build.write.parquet(p)
+        val root = cacheRoot(s)
+        cacheRoots.putIfAbsent(root,
+          s.sparkContext.hadoopConfiguration)
+        // one subdir per source dir under the session root; the dir string
+        // is hashed so URIs/slashes can't break the path
+        val p = s"$root/${java.lang.Integer.toHexString(dir.hashCode)}/pairs"
+        build.write.mode("overwrite").parquet(p)
         p
       })
       s.read.parquet(path)

@@ -60,11 +60,15 @@ case class BloomGen(gen: Long, cur: Array[Byte], prev: Array[Byte],
   *    processed in ascending ts order), so the probe lag is ≤
   *    delay/window + 1 ≤ 2 — always inside the three retained bitmaps.
   *    Every admitted event is then probed against its full window horizon;
-  *    unchecked admission is impossible. Batch invocations and streams
-  *    without a watermark see no dropping (batch==streaming agreement
-  *    holds for in-contract inputs; the divergence for beyond-horizon
-  *    arrivals — batch admits, watermarked stream drops — is this
-  *    documented late-data semantic).
+  *    unchecked admission is impossible. The drop applies to EVERY
+  *    sub-watermark arrival, including ones still inside the retained
+  *    3-bitmap horizon: with delay < 2·window an event one generation
+  *    behind but older than the max delay is dropped here while a batch
+  *    invocation would check-and-admit it. Batch invocations and streams
+  *    without a watermark see no dropping, so batch==streaming agreement
+  *    holds exactly for arrivals at or above the watermark; below it the
+  *    streaming side drops (Spark's standard stateful-operator late-data
+  *    contract), whatever the batch side would have decided.
   *  - In-generation suppression horizon is [window, 2·window), bracketing
   *    the exact operator's semantics.
   *  - Novel keys may be falsely suppressed at the Bloom false-positive
