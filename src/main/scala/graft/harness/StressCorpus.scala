@@ -81,7 +81,51 @@ object StressCorpus {
       emb2.as("embedding"), col("label"))
   }
 
-  /** Materialize both inflated tables under `outDir` with the driver's
+  /** lineitem ×n: each replica keeps every basket's part composition
+    * byte-for-byte but lives under a fresh order key (l_orderkey·n + r) —
+    * ORDERS multiply, per-order baskets don't, so co-purchase pair volume
+    * (r26's cost driver) grows exactly ×n and lift values are invariant.
+    * A replica that also remapped partkeys would instead hold pair SUPPORT
+    * constant while the support threshold filters everything out; keeping
+    * parts fixed is what makes the ×n arm measure the pair join's scaling.
+    */
+  def lineitem(spark: SparkSession, srcDir: String, n: Int): DataFrame = {
+    require(n >= 1, s"factor must be >= 1, got $n")
+    val base = Tables.lineitem(spark, srcDir)
+    base.crossJoin(spark.range(n).select(col("id").as("r")))
+      .withColumn("l_orderkey", col("l_orderkey") * n + col("r"))
+      .drop("r")
+  }
+
+  /** events ×n: fresh unique event ids, everything else byte-identical —
+    * group keys (event_type), user ids, values, and timestamps all repeat,
+    * so every per-group aggregate sees EXACTLY ×n the rows over the same
+    * key space. This is the overflow-exercise shape: the moment-sum pack's
+    * per-group Σvq/Σvq² row counts grow ×n while n_users/count-distinct
+    * results stay pinned to the base corpus, and the DuckDB oracle computes
+    * the same inflated input exactly (HUGEINT), so a decimal-path slip on
+    * the Spark side lands as a hash mismatch, not a silent wrap.
+    */
+  def events(spark: SparkSession, srcDir: String, n: Int): DataFrame = {
+    require(n >= 1, s"factor must be >= 1, got $n")
+    Tables.events(spark, srcDir)
+      .crossJoin(spark.range(n).select(col("id").as("r")))
+      .withColumn("event_id", col("event_id") * n + col("r"))
+      .drop("r")
+  }
+
+  /** orders ×n: fresh order keys, all other columns (dates, priorities,
+    * totals) byte-identical — time-bucketed groups grow ×n.
+    */
+  def orders(spark: SparkSession, srcDir: String, n: Int): DataFrame = {
+    require(n >= 1, s"factor must be >= 1, got $n")
+    Tables.orders(spark, srcDir)
+      .crossJoin(spark.range(n).select(col("id").as("r")))
+      .withColumn("o_orderkey", col("o_orderkey") * n + col("r"))
+      .drop("r")
+  }
+
+  /** Materialize the inflated tables under `outDir` with the driver's
     * table filenames, so every `SparkEntry.queries` entry runs against the
     * stress corpus by just receiving `outDir` as its sfDir.
     */
@@ -90,5 +134,18 @@ object StressCorpus {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embeddings(spark, srcDir, n).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    lineitem(spark, srcDir, n).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // orders inflates under the SAME key remap as lineitem (k·n + r on
+    // both sides), so per-replica referential integrity holds and the
+    // pack's order-join queries (q20/q23) measure a join whose fact sides
+    // both grew ×n. Dimension tables pass through unchanged — at any SF
+    // they are the broadcast side, and inflating them would change what
+    // the queries mean, not how they scale.
+    orders(spark, srcDir, n).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
   }
 }
