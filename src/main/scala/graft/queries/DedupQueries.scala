@@ -77,7 +77,15 @@ object DedupQueries extends QueryPack {
     */
   def DefaultMaxDf: Int = graft.config.Scale.maxDf
 
-  private[graft] def d02Pairs(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+  private[graft] def d02Pairs(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    d02PairsUnordered(s, dir, maxDf).orderBy(col("i"), col("j"))
+
+  /** d02's pair set WITHOUT the presentation sort — for consumers (d23's
+    * truth set) that only join/count it: `orderBy` plans a RangePartitioner
+    * whose bounds-sampling pass is an extra job per execution, pure waste
+    * when the result feeds a hash join.
+    */
+  private def d02PairsUnordered(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
@@ -107,7 +115,6 @@ object DedupQueries extends QueryPack {
         (col("c").cast("double") /
           (col("ca.n") + col("cb.n") - col("c")).cast("double")).as("jac"))
       .filter(col("jac") >= 0.3)
-      .orderBy(col("i"), col("j"))
   }
 
   private val d02Sql = shingleCte +
@@ -556,45 +563,60 @@ object DedupQueries extends QueryPack {
     * used operationally) so every width is overflow-free and
     * engine-portable.
     *
-    * Scale shape: the truth set and signature table materialize ONCE
-    * (localCheckpoint); each arm is band-explode → band equi-join →
-    * distinct — the d03 candidate plan at a different width, no cartesian
-    * anywhere; hits are left-semi joins; each arm reduces to one row.
+    * Scale shape: the truth set materializes ONCE (localCheckpoint,
+    * unsorted — it only feeds a hash join); all three arm widths explode
+    * from ONE signature scan into (r, bi, bv) band keys, so a single
+    * self-equi-join on (r, bi, bv) generates every arm's candidates in one
+    * shuffle — the d03 candidate plan at three widths, no cartesian
+    * anywhere — and ONE left-outer join + groupBy(r) counts candidates and
+    * truth hits per arm. Versus the per-arm form (3 joins, 3 checkpoints,
+    * 9 count jobs) this is 2 jobs on the same shuffled volume: the arm
+    * dimension rides the band key, it never widens the data.
     */
   private def d23(s: SparkSession, dir: String): DataFrame = {
-    val truth = d02Pairs(s, dir, DefaultMaxDf)
+    val truth = d02PairsUnordered(s, dir, DefaultMaxDf)
       .select(col("i"), col("j")).localCheckpoint()
-    val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("sh"))
     val sig = MinHashLSH.signatures(sh, col("doc_id"), col("sh"), 8)
-      .localCheckpoint()
-    def arm(r: Int): DataFrame = {
-      val nb = 8 / r
-      val bandCols = (0 until nb).map { b =>
+    val bandCols = BandSweepRs.flatMap { r =>
+      (0 until 8 / r).map { b =>
         val cs = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
-        struct(lit(b).as("bi"), concat_ws(",", cs: _*).as("bv"))
+        struct(lit(r).as("r"), lit(b).as("bi"), concat_ws(",", cs: _*).as("bv"))
       }
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
-      val cands = bands.as("l").join(bands.as("r"),
-          col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
-        .distinct().localCheckpoint()
-      val hits = cands.join(truth, Seq("i", "j"), "left_semi")
-      nTruth.crossJoin(cands.agg(count(lit(1)).as("n_cands")))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(lit(r).cast("long").as("r"), lit(nb).cast("long").as("bands"),
-          col("n_cands"), col("n_truth"), col("n_hits"),
-          when(col("n_truth") > 0,
-            col("n_hits").cast("double") / col("n_truth").cast("double"))
-            .otherwise(0.0).as("recall"),
-          when(col("n_cands") > 0,
-            col("n_hits").cast("double") / col("n_cands").cast("double"))
-            .otherwise(0.0).as("precision"))
     }
-    BandSweepRs.map(arm).reduce(_.unionAll(_)).orderBy(col("r"))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.r").as("r"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val cands = bands.as("l").join(bands.as("rr"),
+        col("l.r") === col("rr.r") && col("l.bi") === col("rr.bi") &&
+        col("l.bv") === col("rr.bv") && col("l.doc_id") < col("rr.doc_id"))
+      .select(col("l.r").as("r"), col("l.doc_id").as("i"), col("rr.doc_id").as("j"))
+      .distinct()
+    val stats = cands
+      .join(truth.withColumn("hit", lit(1L)), Seq("i", "j"), "left_outer")
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    // static arm axis, so a zero-candidate arm still emits its row
+    import s.implicits._
+    val arms = BandSweepRs
+      .map(r => (r.toLong, (8 / r).toLong)).toDF("r", "bands")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    arms.join(stats, Seq("r"), "left_outer").crossJoin(nTruth)
+      .select(col("r"), col("bands"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .select(col("r"), col("bands"), col("n_cands"), col("n_truth"),
+        col("n_hits"),
+        when(col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .otherwise(0.0).as("recall"),
+        when(col("n_cands") > 0,
+          col("n_hits").cast("double") / col("n_cands").cast("double"))
+          .otherwise(0.0).as("precision"))
+      .orderBy(col("r"))
   }
 
   private def d23Sql: String = {
