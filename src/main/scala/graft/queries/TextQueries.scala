@@ -1106,7 +1106,9 @@ object TextQueries extends QueryPack {
     QueryDef("t35_bigram_xent", t35, Some(t35Sql)),
     QueryDef("t36_code_switch", t36, Some(t36Sql)),
     QueryDef("t37_tokenizer_fertility", t37, Some(t37Sql)),
-    QueryDef("t38_vocab_coverage", t38, Some(t38Sql)))
+    QueryDef("t38_vocab_coverage", t38, Some(t38Sql)),
+    QueryDef("t39_dsir_weights", t39, Some(t39Sql)),
+    QueryDef("t40_unimax_budget", t40, Some(t40Sql)))
 
   /** t37 — tokenizer fertility per language: encoded units per word
     * through the real rank-ordered BPE (t08's BpeApply), aggregated by
@@ -1745,4 +1747,181 @@ object TextQueries extends QueryPack {
        |  CAST(covered AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
        |FROM arms, tot ORDER BY k""".stripMargin
   }
+
+  /** t39's hashed-feature space size (DSIR's bucket count knob). */
+  private val DsirBuckets = 1024L
+
+  /** t39 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram features are under a TARGET
+    * domain's feature distribution than under the raw corpus's. The target
+    * here is the English slice (`lang = 'en'` — standing in for "trusted
+    * domain sample"); features are adjacent-word bigrams hashed into
+    * [[DsirBuckets]] buckets (the dimensionality-collapse that makes the
+    * density ratio estimable at any corpus size). Per-doc weight is the
+    * summed add-one-smoothed log ratio ln(p_target(b)/p_raw(b)) over the
+    * doc's feature bag — the log importance weight a resampling pass would
+    * exponentiate. Each bucket's ln is quantized to integer micro-nats
+    * BEFORE the per-doc sum (t35's discipline: float-sum order never
+    * matters), so the cross-engine hash is exact.
+    *
+    * Scale shape: the bucket table is FIXED size (1024 rows) regardless of
+    * corpus — one map-side-combined aggregate, localCheckpoint'd so the
+    * corpus is exploded once for the model, with target and raw counts in
+    * the same pass (one `sum(when)` beside the `count`); totals derive
+    * from the 1024-row table, not a corpus rescan. Scoring is one more
+    * corpus pass: per-(doc, bucket) counts broadcast-joined against the
+    * 1024-row weight table, then one doc-keyed agg. No corpus-sized build
+    * side, no shuffle wider than (doc_id, bucket).
+    */
+  private def t39(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    def feats(df: DataFrame): DataFrame = df.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          concat_ws(" ", element_at(col("ws"), i.cast("int")),
+            element_at(col("ws"), (i + 1).cast("int"))))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("bg")), 1, 13), 16, 10).cast("long"),
+          lit(DsirBuckets)).as("b"))
+    val perB = feats(base)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
+    val tot = perB.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lw = perB.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("ct") + 1).cast("double") *
+            (col("tr") + DsirBuckets).cast("double")) /
+          ((col("cr") + 1).cast("double") *
+            (col("tt") + DsirBuckets).cast("double"))) * 1e6)
+          .cast("long").as("lw"))
+    feats(base)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("lw")).as("total_microlw"))
+      .select(col("doc_id"), col("n_feats"), col("total_microlw"),
+        (col("total_microlw").cast("double") /
+          (col("n_feats").cast("double") * 1e6)).as("avg_lw"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t39Sql =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(bg), 1, 13)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |      unnest(list_transform(range(1, len(ws)),
+       |        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |    FROM d WHERE len(ws) >= 2)),
+       |pb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM f GROUP BY b),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+       |    CAST(SUM(ct) AS BIGINT) AS tt FROM pb),
+       |lw AS (SELECT b, CAST(round(ln(
+       |    (CAST(ct + 1 AS DOUBLE) * CAST(tr + $DsirBuckets AS DOUBLE)) /
+       |    (CAST(cr + 1 AS DOUBLE) * CAST(tt + $DsirBuckets AS DOUBLE))) * 1e6)
+       |    AS BIGINT) AS lw
+       |  FROM pb, tot),
+       |dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM f GROUP BY doc_id, b)
+       |SELECT dc.doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+       |  CAST(SUM(n * lw) AS BIGINT) AS total_microlw,
+       |  CAST(SUM(n * lw) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * 1e6) AS avg_lw
+       |FROM dc JOIN lw ON dc.b = lw.b
+       |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin
+
+  /** t40's training-token budget as a fraction of the corpus total. */
+  private val UnimaxBudgetFrac = 0.8
+
+  /** t40 — UniMax language-sampling budgets (Chung et al. 2023): allocate a
+    * fixed training-token budget across languages as UNIFORMLY as possible
+    * subject to a per-language epoch cap (here 1.0 epoch — never repeat
+    * data), the principled alternative to t17's temperature sampling (which
+    * still over-samples head languages and starves the tail). The waterfill
+    * is computed analytically: languages sorted by capacity ascending, a
+    * language is capped iff its capacity is at most the uniform share of
+    * the budget left when it is reached (caps ascending makes the test
+    * monotone — once one language exceeds the share, all larger ones do),
+    * and every uncapped language gets the same water level
+    * theta = (budget − Σ capped capacities) / #uncapped.
+    *
+    * Scale shape: ONE corpus pass (map-side-combined per-language token
+    * sum); everything after operates on the language-cardinality table —
+    * bounded by #languages (5 here, hundreds at worst), so the single
+    * unkeyed window is over a provably tiny frame, never corpus rows.
+    * All comparisons are single IEEE divisions of exact integers, so the
+    * capped/uncapped verdicts are bit-identical across engines.
+    */
+  private def t40(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+      .localCheckpoint() // ≤ #languages rows — everything below reuses it
+    val tot = perLang.agg(
+      floor(sum(col("n_tokens")).cast("double") * UnimaxBudgetFrac)
+        .cast("long").as("budget"),
+      count(lit(1)).as("n_langs"))
+    val w = Window.orderBy(col("n_tokens"), col("lang"))
+    val flagged = perLang.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("share",
+        (col("budget") - col("cum") + col("n_tokens")).cast("double") /
+          (col("n_langs") - col("idx") + 1).cast("double"))
+      .withColumn("capped", col("n_tokens").cast("double") <= col("share"))
+    val theta = flagged.agg(
+      sum(when(col("capped"), col("n_tokens")).otherwise(0L)).as("used_cap"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"))
+      .crossJoin(broadcast(tot))
+      .select(when(col("n_langs") > col("k"),
+        (col("budget") - col("used_cap")).cast("double") /
+          (col("n_langs") - col("k")).cast("double")).as("theta"))
+    flagged.crossJoin(broadcast(theta))
+      .select(col("lang"), col("n_tokens"), col("capped"),
+        when(col("capped"), col("n_tokens").cast("double"))
+          .otherwise(col("theta")).as("alloc_tokens"),
+        (when(col("capped"), col("n_tokens").cast("double"))
+          .otherwise(col("theta")) / col("n_tokens").cast("double"))
+          .as("epochs_used"),
+        (when(col("capped"), col("n_tokens").cast("double"))
+          .otherwise(col("theta")) / col("budget").cast("double"))
+          .as("budget_share"))
+      .orderBy(col("lang"))
+  }
+
+  private val t40Sql =
+    s"""WITH pl AS (SELECT lang,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(floor(CAST(SUM(n_tokens) AS DOUBLE) * $UnimaxBudgetFrac) AS BIGINT) AS budget,
+       |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM pl),
+       |fl AS (SELECT lang, n_tokens, budget,
+       |    CAST(n_tokens AS DOUBLE) <=
+       |      CAST(budget - cum + n_tokens AS DOUBLE) /
+       |      CAST(n_langs - idx + 1 AS DOUBLE) AS capped
+       |  FROM (SELECT pl.*, tot.*,
+       |      ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS idx,
+       |      SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM pl, tot)),
+       |th AS (SELECT CASE WHEN tot.n_langs > k THEN
+       |      CAST(tot.budget - used_cap AS DOUBLE) / CAST(tot.n_langs - k AS DOUBLE)
+       |    END AS theta
+       |  FROM (SELECT CAST(SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) AS BIGINT) AS used_cap,
+       |      CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |    FROM fl), tot)
+       |SELECT lang, n_tokens, capped,
+       |  CASE WHEN capped THEN CAST(n_tokens AS DOUBLE) ELSE theta END AS alloc_tokens,
+       |  CASE WHEN capped THEN CAST(n_tokens AS DOUBLE) ELSE theta END /
+       |    CAST(n_tokens AS DOUBLE) AS epochs_used,
+       |  CASE WHEN capped THEN CAST(n_tokens AS DOUBLE) ELSE theta END /
+       |    CAST(budget AS DOUBLE) AS budget_share
+       |FROM fl, th ORDER BY lang""".stripMargin
 }
