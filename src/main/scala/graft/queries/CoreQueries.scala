@@ -565,15 +565,22 @@ object CoreQueries extends QueryPack {
   /** q20 — TPC-H Q21-style sole failing supplier: suppliers whose returned
     * line was the ONLY returned line in a finished multi-supplier order.
     * The exists/not-exists pair is the semi+anti self-join composition on
-    * lineitem: both sides first collapse to DISTINCT (orderkey, suppkey)
-    * pairs, so the self-joins shuffle 16-byte keys, never lineitem payload,
-    * and all three probes share one orderkey partitioning.
+    * lineitem: both sides collapse to DISTINCT (orderkey, suppkey) pairs,
+    * so the self-joins shuffle 16-byte keys, never lineitem payload.
+    * The all-pairs and returned-pairs tables derive from ONE grouped scan
+    * (a has-return flag beside the group key — the returned set is a
+    * filter of the pair set, not a second lineitem pass), localCheckpoint'd
+    * so the three probes read the materialized 16-byte pairs, and lineitem
+    * is scanned exactly once however many probes consume it.
     */
   private def q20(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val ret = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pf = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .localCheckpoint()
+    val pairs = pf.select(col("l_orderkey"), col("l_suppkey"))
+    val ret = pf.filter(col("has_r") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
     val finished = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val cand = ret.join(finished,

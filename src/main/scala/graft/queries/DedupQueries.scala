@@ -85,9 +85,22 @@ object DedupQueries extends QueryPack {
     * whose bounds-sampling pass is an extra job per execution, pure waste
     * when the result feeds a hash join.
     */
-  private def d02PairsUnordered(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
-    val sh = Tables.documents(s, dir)
+  private def d02PairsUnordered(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    d02PairsFrom(Tables.documents(s, dir)
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
+      // the shingle table feeds the posting-list explode AND both size
+      // lookups — one tokenize+shingle pass, materialized (callers with
+      // their own shared shingle frame use d02PairsFrom directly)
+      .localCheckpoint(),
+      maxDf)
+
+  /** [[d02PairsUnordered]] from a caller-supplied `(doc_id, s3)` shingle
+    * table — the seam that lets d23 tokenize+shingle the corpus ONCE and
+    * feed the same materialized frame to both the truth set and the
+    * MinHash signatures (text scanning and shingle hashing is the per-row
+    * cost that doubles at 100 TB if each consumer rescans).
+    */
+  private def d02PairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
     val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
     // Group-pairs form, not a self-join: Spark doesn't reuse the exploded
@@ -563,8 +576,11 @@ object DedupQueries extends QueryPack {
     * used operationally) so every width is overflow-free and
     * engine-portable.
     *
-    * Scale shape: the truth set materializes ONCE (localCheckpoint,
-    * unsorted — it only feeds a hash join); all three arm widths explode
+    * Scale shape: the corpus is tokenized+shingled ONCE (localCheckpoint'd
+    * `(doc_id, s3)` table shared by the truth set and the signatures — the
+    * per-row cost that would otherwise be paid twice); the truth set
+    * materializes ONCE (localCheckpoint, unsorted — it only feeds a hash
+    * join); all three arm widths explode
     * from ONE signature scan into (r, bi, bv) band keys, so a single
     * self-equi-join on (r, bi, bv) generates every arm's candidates in one
     * shuffle — the d03 candidate plan at three widths, no cartesian
@@ -574,11 +590,12 @@ object DedupQueries extends QueryPack {
     * dimension rides the band key, it never widens the data.
     */
   private def d23(s: SparkSession, dir: String): DataFrame = {
-    val truth = d02PairsUnordered(s, dir, DefaultMaxDf)
-      .select(col("i"), col("j")).localCheckpoint()
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("sh"))
-    val sig = MinHashLSH.signatures(sh, col("doc_id"), col("sh"), 8)
+      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
+      .localCheckpoint() // ONE tokenize+shingle pass feeds truth AND sigs
+    val truth = d02PairsFrom(sh, DefaultMaxDf)
+      .select(col("i"), col("j")).localCheckpoint()
+    val sig = MinHashLSH.signatures(sh, col("doc_id"), col("s3"), 8)
     val bandCols = BandSweepRs.flatMap { r =>
       (0 until 8 / r).map { b =>
         val cs = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
@@ -698,7 +715,10 @@ object DedupQueries extends QueryPack {
   private def d27(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = docs.select(col("doc_id"),
-      ShingleHashes(tokens(col("text")), 3).as("sh"))
+        ShingleHashes(tokens(col("text")), 3).as("sh"))
+      // referenced THREE times (posting-list explode + both verify-side
+      // array joins): tokenize+shingle the corpus once, materialized
+      .localCheckpoint()
     val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("len"),
       explode(col("sh")).as("w"))
     val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -1048,8 +1068,10 @@ object DedupQueries extends QueryPack {
     */
   private def d26(s: SparkSession, dir: String): DataFrame = {
     val sel = Tables.documents(s, dir).select(col("doc_id"),
-      graft.functions.WinnowFingerprints(tokens(col("text")), 3, WinnowW)
-        .as("fps"))
+        graft.functions.WinnowFingerprints(tokens(col("text")), 3, WinnowW)
+          .as("fps"))
+      // posting-list explode + two size lookups: winnow the corpus once
+      .localCheckpoint()
     val ex = sel.select(col("doc_id"), explode(col("fps")).as("fp"))
     val sizes = sel.select(col("doc_id"), size(col("fps")).as("nf"))
     val cl = graft.functions.CollectCapped(DefaultMaxDf)
@@ -1666,6 +1688,8 @@ object DedupQueries extends QueryPack {
   private def d25(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
+      // posting-list explode + two size lookups: shingle the corpus once
+      .localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
     val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
     val cl = graft.functions.CollectCapped(DefaultMaxDf)
@@ -1745,6 +1769,9 @@ object DedupQueries extends QueryPack {
         posexplode(graft.functions.PositionalShingleHashes(
           tokens(col("text")), 3)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+      // referenced THREE times (occurrence filter + both self-join sides):
+      // one tokenize+shingle+explode pass over the corpus, materialized
+      .localCheckpoint()
     val keep = pg.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ").between(2, DefaultMaxDf))

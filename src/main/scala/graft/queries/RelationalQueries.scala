@@ -665,6 +665,11 @@ object RelationalQueries extends QueryPack {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      // referenced FOUR times below (order total, per-part supports, both
+      // self-join sides): materialize the distinct once instead of paying
+      // the scan+shuffle+agg per consumer — at 100 TB the basket table is
+      // the small derived frame, the lineitem scan is the cost
+      .localCheckpoint()
     val tot = li.agg(countDistinct(col("o")).as("n_orders"))
     val pc = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     li.as("a").join(li.as("b"),

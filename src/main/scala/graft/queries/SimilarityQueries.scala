@@ -1341,12 +1341,15 @@ object SimilarityQueries extends QueryPack {
     */
   private def s22(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ids = sampleIds(s, dir, QueryK)
+    val ids = sampleIds(s, dir, QueryK).localCheckpoint() // both arms probe it
     val sem = topkRank(bruteScoredPairs(baseVecs(s, dir), ids), 10)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         col("rk").as("sem_rank"))
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(distinctTokens(col("text"))).as("w"))
+      // referenced THREE times below (df table, query tokens, candidate
+      // side of the lexical join): one tokenize+explode pass, not three
+      .localCheckpoint()
     val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qtok = tok
       .join(broadcast(ids.select(col("vec_id").as("doc_id"))), "doc_id")
