@@ -78,14 +78,17 @@ object Scale {
     */
   def maxDf: Int = get("maxDf", 1000)
 
-  /** Share one materialized near-dup edge list across the graph pack
-    * (g01–g08) within a session ("1" = on; test-profile default off so
-    * every oracle-checked query stays self-contained). Each g-query starts
-    * from the same MinHash+LSH banded pair join — at 100 TB a pipeline
-    * materializes that edge table ONCE; with the knob on, the first
-    * g-query writes the pairs to a session-scoped parquet table and the
-    * rest read it (results are bit-identical either way — the pair list
-    * is deterministic).
+  /** Share one materialized near-dup pair table across its ELEVEN
+    * consumers — the graph pack (g01–g08) and the dedup consumers
+    * d03/d07/d08/d17/d18/d19/d21/d24 — within a session ("1" = on;
+    * test-profile default off so every oracle-checked query stays
+    * self-contained). Each consumer starts from the same canonical
+    * MinHash+LSH banded pair join — at 100 TB a pipeline materializes
+    * that pair table ONCE; with the knob on, the first consumer writes
+    * the verified (i, j, jac) table to a session-scoped parquet location
+    * and the rest read it (results are bit-identical either way — the
+    * pair list is deterministic and doubles round-trip parquet exactly;
+    * see [[graft.queries.MaterializedPairs]]).
     */
   def graphEdgeCache: Boolean = get("graphEdgeCache", 0) == 1
 }

@@ -687,26 +687,28 @@ object CoreQueries extends QueryPack {
   /** q23 — TPC-H Q2-style minimum-cost supplier: for each size-1 part, the
     * supplier(s) whose average sale price over lineitem is that part's
     * minimum (the reference shape's correlated MIN subquery, expressed as a
-    * window MIN over the aggregated frame). Scale shape: lineitem collapses
-    * to one row per (partkey, suppkey) in a map-side-combined agg FIRST; the
-    * part filter joins as a broadcast BEFORE the window, so the windowed
-    * frame is |qualifying pairs|, never lineitem; supplier is a broadcast.
-    * The window's partkey shuffle moves only the tiny aggregated frame.
+    * window MIN over the aggregated frame). Scale shape: the size-1 part
+    * filter joins lineitem as a MAP-SIDE broadcast BEFORE the aggregation,
+    * so only the qualifying ~1/50 of lineitem ever enters the (partkey,
+    * suppkey) shuffle (aggregating first would shuffle every group only to
+    * discard 98% of them at the part join); the windowed frame is
+    * |qualifying pairs|, never lineitem; supplier is a broadcast. The
+    * window's partkey shuffle moves only the tiny aggregated frame.
     */
   private def q23(s: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.part(s, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey"))
     val ps = Tables.lineitem(s, dir)
+      .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1)))
         .as("avg_price"))
-    val sized = Tables.part(s, dir).filter(col("p_size") === 1)
-      .select(col("p_partkey"))
     val w = Window.partitionBy(col("l_partkey"))
-    ps.join(broadcast(sized), col("l_partkey") === col("p_partkey"))
-      .withColumn("min_price", min(col("avg_price")).over(w))
+    ps.withColumn("min_price", min(col("avg_price")).over(w))
       .filter(col("avg_price") === col("min_price"))
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("s_name"), col("avg_price"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("avg_price"))
       .orderBy(col("p_partkey"), col("s_name"))
   }
 

@@ -147,8 +147,7 @@ object DedupQueries extends QueryPack {
     * including its probabilistic misses — matches exactly.
     */
   private def d03(s: SparkSession, dir: String): DataFrame =
-    MinHashLSH.nearDuplicates(Tables.documents(s, dir),
-        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    MaterializedPairs.nearDup(s, dir)
       .orderBy(col("i"), col("j"))
 
   /** The full MinHash+LSH pair query (no ORDER BY) — shared by d03 and the
@@ -266,8 +265,7 @@ object DedupQueries extends QueryPack {
     * same components with a recursive transitive-closure CTE.
     */
   private def d07(s: SparkSession, dir: String): DataFrame = {
-    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
-        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val pairs = MaterializedPairs.nearDup(s, dir)
       .select(col("i"), col("j"))
     ConnectedComponents.components(pairs)
       .select(col("id").as("doc_id"), col("component"))
@@ -297,8 +295,7 @@ object DedupQueries extends QueryPack {
     val quality = (size(array_distinct(ws)).cast("double") / size(ws)) *
       least(lit(1.0), size(ws).cast("double") / 50.0)
     val qual = docs.select(col("doc_id"), quality.as("quality"))
-    val pairs = MinHashLSH.nearDuplicates(docs,
-        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val pairs = MaterializedPairs.nearDup(s, dir)
       .select(col("i"), col("j"))
     val comp = ConnectedComponents.components(pairs)
     val withComp = qual.join(comp, qual("doc_id") === comp("id"), "left")
@@ -539,8 +536,7 @@ object DedupQueries extends QueryPack {
     * map-side-combined groupBy on a ≤|sources|² key.
     */
   private def d21(s: SparkSession, dir: String): DataFrame = {
-    val pairs = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
-      col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val pairs = MaterializedPairs.nearDup(s, dir)
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
@@ -1350,8 +1346,7 @@ object DedupQueries extends QueryPack {
     */
   private def d17(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
-      shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val pairs = MaterializedPairs.nearDup(s, dir)
     val src = docs.select(col("doc_id"), col("source"))
     val keepA = col("a.source") < col("b.source")
     pairs.as("p")
@@ -1398,8 +1393,7 @@ object DedupQueries extends QueryPack {
     */
   private def d18(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
-        shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val pairs = MaterializedPairs.nearDup(s, dir)
       .select(col("i"), col("j"))
     val comp = ConnectedComponents.components(pairs)
     val withComp = docs.select(col("doc_id"))
@@ -1434,8 +1428,7 @@ object DedupQueries extends QueryPack {
     val nStop = size(filter(ws, w => w === "the" || w === "a")).cast("long")
     val keep = (n >= 30) && (n <= 10000) && (meanLen >= 3.0) &&
       (meanLen <= 10.0) && (ttr >= 0.2) && (nStop >= 2)
-    val evicted = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
-        shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val evicted = MaterializedPairs.nearDup(s, dir)
       .select(col("j").as("doc_id")).distinct()
     val hv = conv(substring(md5(concat(lit("split:"),
       col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
@@ -1638,8 +1631,7 @@ object DedupQueries extends QueryPack {
     */
   private def d24(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val pairs = MinHashLSH.nearDuplicates(docs, col("doc_id"), col("text"),
-      shingleN = 3, k = 8, r = 2, threshold = 0.3)
+    val pairs = MaterializedPairs.nearDup(s, dir)
     pairs
       .join(docs.as("da"), col("i") === col("da.doc_id"))
       .join(docs.as("db"), col("j") === col("db.doc_id"))

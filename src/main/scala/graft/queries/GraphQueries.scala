@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, MinHashLSH}
+import graft.operators.ConnectedComponents
 
 /** Graph analytics over the document similarity graph — the layer a
   * curation pipeline runs AFTER near-dup pair generation: which documents
@@ -23,92 +23,13 @@ object GraphQueries extends QueryPack {
   /** Power-iteration count for g01 (unrolled identically in the oracle). */
   private val PrIters = 3
 
-  /** Session-scoped cache of materialized pair tables, keyed by (session
-    * UUID, sfDir) and holding PATHS, not DataFrames — parquet on disk
-    * survives the bench harness's per-query unpersist sweep, which would
-    * truncate a cached localCheckpoint's blocks. The key is the session's
-    * real unique id ([[sessionId]]), NOT `System.identityHashCode`: identity
-    * hashes are not unique across live sessions and a GC'd session's hash
-    * can be REUSED by a new one, which would serve a stale pair table built
-    * under a different conf.
-    */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
-
-  /** Cache roots created this JVM, swept by [[cleanupHook]] on exit. Each
-    * entry carries the Hadoop conf it was written with so remote-FS roots
-    * (HDFS/S3 warehouse) delete through the right filesystem.
-    */
-  private val cacheRoots = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.hadoop.conf.Configuration]
-
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      cacheRoots.forEach { (root, conf) =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(root)
-          p.getFileSystem(conf).delete(p, true)
-        } catch { case _: Throwable => () } // best-effort sweep
-      }
-    }, "graft-gedges-cleanup"))
-
-  /** A real unique id per session INSTANCE: a fresh UUID minted on first
-    * use and held in a weak map — never an identity hash (identity hashes
-    * are non-unique across live sessions and reusable after GC, so keying
-    * on one can serve a stale pair table built under a different conf;
-    * Spark's own `sessionUUID` has the semantics we want but is
-    * private[sql]). Weak keys mean a dead session's entry vanishes and a
-    * new session can only ever mint a NEW id.
-    */
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String])
-  private def sessionId(s: SparkSession): String =
-    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
-
-  /** Where cached edge tables live: `spark.graft.scale.graphEdgeCachePath`
-    * if set, else warehouse-relative (`spark.sql.warehouse.dir`) — a
-    * location that is SHARED between driver and executors on a real
-    * cluster. A `createTempDirectory` driver-local path would only work
-    * when driver and executors share a filesystem (local mode); on the
-    * 100 TB cluster shape this knob targets, executors writing/reading a
-    * non-shared local path would fail or silently produce partial reads.
-    */
-  private def cacheRoot(s: SparkSession): String = {
-    val base = s.conf.getOption("spark.graft.scale.graphEdgeCachePath")
-      .getOrElse(s.conf.get("spark.sql.warehouse.dir"))
-    s"${base.stripSuffix("/")}/graft_gedges/${sessionId(s)}"
-  }
-
   /** Ordered near-dup pairs (i < j) — the MinHash+LSH banded-join product
-    * every g-query starts from. With [[graft.config.Scale.graphEdgeCache]]
-    * on, the pairs are materialized ONCE per (session, sfDir) as a parquet
-    * table and re-read by every subsequent g-query — the shape a 100 TB
-    * pipeline uses (materialize the edge list, then run the whole graph
-    * pack against it) instead of re-paying the corpus scan + banded join
-    * eight times. Off (the test-profile default), each query builds its
-    * own pairs and stays fully self-contained against its oracle.
+    * every g-query starts from, shared (and, under the
+    * [[graft.config.Scale.graphEdgeCache]] knob, materialized once per
+    * session) with the dedup pack through [[MaterializedPairs]].
     */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    def build = MinHashLSH.nearDuplicates(Tables.documents(s, dir),
-        col("doc_id"), col("text"), shingleN = 3, k = 8, r = 2, threshold = 0.3)
-      .select(col("i"), col("j"))
-    if (!graft.config.Scale.graphEdgeCache) build
-    else {
-      cleanupHook // register the exit sweep once
-      val key = (sessionId(s), dir)
-      val path = pairCache.computeIfAbsent(key, _ => {
-        val root = cacheRoot(s)
-        cacheRoots.putIfAbsent(root,
-          s.sparkContext.hadoopConfiguration)
-        // one subdir per source dir under the session root; the dir string
-        // is hashed so URIs/slashes can't break the path
-        val p = s"$root/${java.lang.Integer.toHexString(dir.hashCode)}/pairs"
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
-  }
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    MaterializedPairs.nearDup(s, dir).select(col("i"), col("j"))
 
   /** Undirected near-dup edge list, both directions (u, v). */
   private def edges(s: SparkSession, dir: String): DataFrame = {

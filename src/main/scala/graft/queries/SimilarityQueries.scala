@@ -145,9 +145,21 @@ object SimilarityQueries extends QueryPack {
     * a pair colliding in several bands produces bit-identical cos values.
     */
   private def lshPairsFrom(base: DataFrame, ids: DataFrame, p: Int,
-                           multiProbe: Boolean): DataFrame = {
-    val bands = base.select(col("vec_id"), col("v"), col("nrm"),
+                           multiProbe: Boolean): DataFrame =
+    lshPairsFromBands(lshBands(base, p), ids, p, multiProbe)
+
+  /** The banded corpus frame [[lshPairsFromBands]] consumes — split out so
+    * a harness running BOTH probe variants over the same corpus (s05) can
+    * compute the Bands×p hyperplane signatures once and feed the two arms
+    * from one materialized frame: at 100 TB that is one index-build pass
+    * instead of two.
+    */
+  private def lshBands(base: DataFrame, p: Int): DataFrame =
+    base.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(lshBandVals(col("v"), Bands, p, Dims)).as(Seq("bi", "bv")))
+
+  private def lshPairsFromBands(bands: DataFrame, ids: DataFrame, p: Int,
+                                multiProbe: Boolean): DataFrame = {
     val own = bands.join(broadcast(ids), "vec_id")
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bi"), col("bv"))
@@ -418,10 +430,12 @@ object SimilarityQueries extends QueryPack {
     * — exact ground truth and all three ANN methods — derives from those
     * materialized frames, so the corpus is scanned/quantized once, not four
     * times. The ground truth is additionally checkpointed (it is referenced
-    * by every per-method join — lazy plans would re-execute it 6×), and the
+    * by every per-method join — lazy plans would re-execute it 6×), the
     * (n_queries, n_possible) base aggregate is computed once and cross-joined
-    * (1 row) into each method's stats. The only remaining executions are the
-    * four measurements themselves, each exactly once.
+    * (1 row) into each method's stats, and the banded LSH index is built
+    * ONCE and shared by the single-probe and multi-probe arms ([[lshBands]]).
+    * The only remaining executions are the four measurements themselves,
+    * each exactly once.
     */
   private def s05(s: SparkSession, dir: String): DataFrame = {
     val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
@@ -434,8 +448,10 @@ object SimilarityQueries extends QueryPack {
       count(lit(1)).as("n_possible")).localCheckpoint()
     def stats(ann: DataFrame, name: String): DataFrame =
       recallStats(exact, base, ann, name)
-    val lsh = topkRank(lshPairsFrom(vecs, ids, p, multiProbe = false), 3)
-    val lshMp = topkRank(lshPairsFrom(vecs, ids, p, multiProbe = true), 3)
+    // one banded index build feeds BOTH probe variants (see lshBands)
+    val bands = lshBands(vecs, p).localCheckpoint()
+    val lsh = topkRank(lshPairsFromBands(bands, ids, p, multiProbe = false), 3)
+    val lshMp = topkRank(lshPairsFromBands(bands, ids, p, multiProbe = true), 3)
     val ivf = s04From(vecs, ids)
     stats(lsh, "lsh")
       .unionAll(stats(lshMp, "lsh_mp"))

@@ -317,14 +317,27 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("q23 min-cost supplier: aggregate first, window over pairs, dims broadcast") {
+  test("q23 min-cost supplier: part cut before the agg, window over pairs, dims broadcast") {
     val s = planString(run("q23_min_cost_supplier"))
     assert("HashAggregate".r.findAllIn(s).size >= 2,
-      "lineitem must collapse to (partkey, suppkey) pairs map-side before anything else")
+      "the part-cut lineitem must collapse to (partkey, suppkey) pairs map-side")
     assert(s.contains("BroadcastHashJoin"),
       "the size-filtered part list and supplier must broadcast")
     assert(s.contains("Window"), "the correlated MIN is a window over the pairs frame")
     assert(!s.contains("CartesianProduct"))
+    // the size-1 part cut must join BELOW the aggregation (deeper in the
+    // tree = smaller formatted-explain operator id): only ~1/50 of
+    // lineitem's rows may enter the (partkey, suppkey) shuffle — an
+    // aggregate-everything-then-filter plan would shuffle every group only
+    // to discard 98% of them
+    def treeIds(op: String): Seq[Int] =
+      (op + """[^(\n]*\((\d+)\)""").r.findAllMatchIn(s)
+        .map(_.group(1).toInt).toSeq
+    val bhj = treeIds("BroadcastHashJoin")
+    val agg = treeIds("HashAggregate")
+    assert(bhj.nonEmpty && agg.nonEmpty, "plan must contain both operators")
+    assert(bhj.min < agg.min,
+      s"part cut (ids $bhj) must sit below the aggregation (ids $agg)")
   }
 
   test("q24 volume shipping: nation dims fold into broadcasts before lineitem") {

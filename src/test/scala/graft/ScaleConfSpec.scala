@@ -33,12 +33,16 @@ class ScaleConfSpec extends SparkSpecBase {
   }
 
   test("graphEdgeCache changes cost attribution, never results") {
-    // the bench sweep runs the graph pack against one materialized pair
-    // table per session; the committed oracles run with the knob OFF —
-    // this parity pins that the two paths are bit-identical
+    // the bench sweep runs the graph AND dedup packs against one
+    // materialized pair table per session; the committed oracles run with
+    // the knob OFF — this parity pins that the two paths are bit-identical
+    // on both a graph consumer and the dedup consumers that read the full
+    // (i, j, jac) schema (d03 exposes the jac doubles directly, so it also
+    // pins that they round-trip the parquet cache exactly)
     def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSeq
-    val names = Seq("g02_triangles", "g05_assortativity")
+    val names = Seq("g02_triangles", "g05_assortativity",
+      "d03_minhash_lsh", "d18_soft_dedup_weights")
     names.foreach(n => assert(SparkEntry.queries.contains(n),
       s"graph pack name $n moved — update this spec"))
     val off = names.map(n => n -> run(n)).toMap
