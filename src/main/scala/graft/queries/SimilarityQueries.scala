@@ -1618,10 +1618,11 @@ object SimilarityQueries extends QueryPack {
         (pqSample.map(_._1),
           pqSample.map(_._2.slice(i * SubDim, (i + 1) * SubDim)))
       }
-    // centroid lookup map literal: cell id → centroid vector
-    val centMap = map_from_arrays(
-      array(cIds.map(lit): _*),
-      array(cVecs.map(cv => array(cv.map(lit): _*)): _*))
+    // centroid lookup map literal: cell id → centroid vector. ONE MapType
+    // Literal node (typedLit), not a map_from_arrays tree of IvfK·64
+    // element literals — the tree form made plan analysis the dominant
+    // per-execution cost (Explain showed build ≈ half of s20's wall).
+    val centMap = typedLit(cIds.zip(cVecs.map(_.toSeq)).toMap)
     // corpus hot pass: one cell NearestCell + residual + 4 code NearestCells,
     // all inside whole-stage codegen, zero shuffle
     val assigned = vq
@@ -1635,19 +1636,19 @@ object SimilarityQueries extends QueryPack {
           subBooks(i)._1, subBooks(i)._2)
       }: _*).as("codes"))
     // query side: probe the IvfPqProbe nearest cells, build one LUT per
-    // (query, probed cell) from the query's residual AGAINST THAT CELL
-    val centArr = array(cents.map { case (id, cv) =>
-      struct(lit(id).as("c_id"), array(cv.map(lit): _*).as("c_v"))
-    }: _*)
+    // (query, probed cell) from the query's residual AGAINST THAT CELL.
+    // The codebook ships as ONE array<struct> literal (typedLit), same
+    // plan-build rationale as centMap.
+    val centArr = typedLit(cents.map { case (id, cv) => (id, cv.toSeq) })
     val topc = TopKByScore(IvfPqProbe)
     val qv = vq.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
       .select(col("vec_id").as("query_id"), col("v"))
     val probes = qv.select(col("query_id"), col("v"),
         explode(centArr).as("c"))
-      .select(col("query_id"), col("v"), col("c.c_id").as("cell"),
+      .select(col("query_id"), col("v"), col("c._1").as("cell"),
         (dotLong(col("v"), col("v"))
-          - lit(2L) * dotLong(col("v"), col("c.c_v"))
-          + dotLong(col("c.c_v"), col("c.c_v"))).as("d2"))
+          - lit(2L) * dotLong(col("v"), col("c._2"))
+          + dotLong(col("c._2"), col("c._2"))).as("d2"))
       .groupBy(col("query_id"))
       .agg(topc(col("cell"), -col("d2").cast("double")).as("pc"))
       .select(col("query_id"), explode(col("pc.id")).as("cell"))
@@ -1660,7 +1661,7 @@ object SimilarityQueries extends QueryPack {
         val sv = slice(col("qr"), i * SubDim + 1, SubDim)
         map_from_entries(array(subBooks(i)._1.indices.map { j =>
           struct(lit(subBooks(i)._1(j)),
-            d2sub(sv, array(subBooks(i)._2(j).map(lit): _*)))
+            d2sub(sv, typedLit(subBooks(i)._2(j).toSeq)))
         }: _*))
       }: _*))
       .select(col("query_id"), col("cell"), col("luts"))
