@@ -115,7 +115,11 @@ object Stress {
     "q20_sole_failing_supplier" -> "lineitem",
     "q23_min_cost_supplier" -> "lineitem",
     "d18_soft_dedup_weights" -> "documents",
-    "s14_mrl_recall" -> "embeddings")
+    "s14_mrl_recall" -> "embeddings",
+    // the round-11 re-capture after the pair-table/shared-scan wins put
+    // t39 (1.96 s) over the line — the DSIR bucket model is two corpus
+    // passes, the natural linear-scaling check
+    "t39_dsir_weights" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

@@ -78,9 +78,9 @@ object Scale {
     */
   def maxDf: Int = get("maxDf", 1000)
 
-  /** Share one materialized near-dup pair table across its ELEVEN
+  /** Share one materialized near-dup pair table across its SEVENTEEN
     * consumers — the graph pack (g01–g08) and the dedup consumers
-    * d03/d07/d08/d17/d18/d19/d21/d24 — within a session ("1" = on;
+    * d03/d07/d08/d17/d18/d19/d21/d24/d32 — within a session ("1" = on;
     * test-profile default off so every oracle-checked query stays
     * self-contained). Each consumer starts from the same canonical
     * MinHash+LSH banded pair join — at 100 TB a pipeline materializes

@@ -1031,7 +1031,77 @@ object DedupQueries extends QueryPack {
     QueryDef("d28_cdc_chunk_dedup", d28, Some(d28Sql)),
     QueryDef("d29_source_overlap", d29, Some(d29Sql)),
     QueryDef("d30_cdc_yield", d30, Some(d30Sql)),
-    QueryDef("d31_aligned_run", d31, Some(d31Sql)))
+    QueryDef("d31_aligned_run", d31, Some(d31Sql)),
+    QueryDef("d32_threshold_yield", d32, Some(d32Sql)))
+
+  /** d32 — dedup threshold → yield curve: for each candidate Jaccard
+    * threshold τ, how many documents the keep-lower-id eviction rule would
+    * remove and how many tokens the corpus retains — the table a curation
+    * run reads to CHOOSE its dedup aggressiveness from measured token
+    * yield instead of convention. Thresholds sweep the verified pair set's
+    * own range (the canonical pairs are jac ≥ 0.3, so every τ ≥ 0.3 is
+    * answerable from one pair table).
+    *
+    * Scale shape: each doc's eviction threshold is ONE number — the max
+    * jac over the pairs where it is the higher id — so the whole curve
+    * costs one bounded groupBy over the shared pair table
+    * ([[MaterializedPairs]]: already materialized once per session in the
+    * pipeline profile), one left join onto the slim (doc_id, n_toks)
+    * projection, and a per-τ conditional aggregation whose shuffle is
+    * |τ| rows after partial combine. No per-threshold pair recomputation,
+    * no second corpus scan.
+    */
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    val taus = Seq(0.3, 0.4, 0.5, 0.7)
+    val ev = MaterializedPairs.nearDup(s, dir)
+      .groupBy(col("j").as("doc_id"))
+      .agg(max(col("jac")).as("max_jac"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    docs.join(ev, Seq("doc_id"), "left")
+      .select(col("n_toks"), col("max_jac"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .groupBy(col("tau"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("max_jac") >= col("tau"), 1L).otherwise(0L))
+          .as("n_evicted"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(when(col("max_jac") >= col("tau"), col("n_toks")).otherwise(0L))
+          .as("toks_evicted"))
+      .select(col("tau"),
+        (col("n_docs") - col("n_evicted")).as("n_retained"),
+        col("n_evicted"),
+        (col("toks_total") - col("toks_evicted")).as("toks_retained"),
+        col("toks_evicted"),
+        ((col("toks_total") - col("toks_evicted")).cast("double")
+          / col("toks_total")).as("token_yield"))
+      .orderBy(col("tau"))
+  }
+
+  private val d32Sql =
+    s"""WITH pp AS (SELECT i, j, jac FROM ($minhashPairsCore)),
+       |ev AS (SELECT j AS doc_id, MAX(jac) AS max_jac FROM pp GROUP BY j),
+       |d AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+       |x AS (SELECT d.n_toks, ev.max_jac FROM d LEFT JOIN ev USING (doc_id)),
+       |t AS (SELECT unnest([0.3::DOUBLE, 0.4::DOUBLE, 0.5::DOUBLE,
+       |  0.7::DOUBLE]) AS tau)
+       |SELECT tau,
+       |  CAST(COUNT(*) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN max_jac >= tau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_retained,
+       |  CAST(SUM(CASE WHEN max_jac >= tau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_evicted,
+       |  CAST(SUM(n_toks) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN max_jac >= tau THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS toks_retained,
+       |  CAST(SUM(CASE WHEN max_jac >= tau THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS toks_evicted,
+       |  CAST(CAST(SUM(n_toks) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN max_jac >= tau THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / CAST(SUM(n_toks) AS BIGINT) AS token_yield
+       |FROM x, t GROUP BY tau ORDER BY tau""".stripMargin
 
   /** Winnowing window (consecutive 3-gram positions per fingerprint pick)
     * and the minimum shared-fingerprint count for a reported pair.

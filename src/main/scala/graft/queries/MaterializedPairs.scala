@@ -9,15 +9,15 @@ import graft.operators.MinHashLSH
 /** Session-scoped materialization of the CANONICAL near-dup pair table —
   * the verified MinHash+LSH output (i, j, jac) at the corpus-standard
   * parameters (3-shingles, k=8 signatures, 4 bands of 2, Jaccard ≥ 0.3)
-  * that ELEVEN queries start from: the whole graph pack (g01–g08 via
+  * that SEVENTEEN queries start from: the whole graph pack (g01–g08 via
   * [[GraphQueries]]) and the dedup consumers d03/d07/d08/d17/d18/d19/
-  * d21/d24.
+  * d21/d24 (d32 joined in the same round).
   *
   * With [[graft.config.Scale.graphEdgeCache]] on (the bench/pipeline
   * profile), the first consumer in a session writes the full pair table to
   * a session-scoped parquet location and every later consumer — graph or
   * dedup — reads it back: at 100 TB that is ONE corpus scan + banded join
-  * for the whole downstream pack instead of eleven. Off (the test-profile
+  * for the whole downstream pack instead of seventeen. Off (the test-profile
   * default), every query builds its own pairs and stays fully
   * self-contained against its DuckDB oracle; ScaleConfSpec pins
   * cached == uncached bit-identical on both a graph and a dedup consumer

@@ -1337,7 +1337,82 @@ object SimilarityQueries extends QueryPack {
     QueryDef("s19_hamming_knn", s19, Some(s19Sql)),
     QueryDef("s20_ivfpq", s20, Some(s20Sql)),
     QueryDef("s21_nprobe_sweep", s21, Some(s21Sql)),
-    QueryDef("s22_hybrid_rrf", s22, Some(s22Sql)))
+    QueryDef("s22_hybrid_rrf", s22, Some(s22Sql)),
+    QueryDef("s23_hard_negatives", s23, Some(s23Sql)))
+
+  /** s23 — hard-negative mining triplets: for each query in the fixed
+    * sample, the top same-label neighbor by exact cosine is the POSITIVE
+    * and the top-3 different-label neighbors are the HARD NEGATIVES — the
+    * (anchor, positive, negative, margin) table a contrastive-training
+    * pipeline (sentence embedders, rerankers, CLIP-style dual encoders)
+    * mines from its own corpus before every training round. A small (or
+    * negative) margin marks the pairs that teach the model the most.
+    *
+    * Scale shape: s01's harness — fixed-k broadcast query side with labels
+    * attached BEFORE scoring (the label join must never touch the k·n
+    * scored pairs), one map-side O(k·n) labeled scoring pass, per-(query,
+    * same_label) top-k via the partial-combinable TopKByScore (≤ 2k groups
+    * on the wire), and the positive/negative recombination is a join of
+    * two ≤ k·3-row frames. The corpus never shuffles.
+    *
+    * Determinism: cosines are exact-int-derived doubles, ties break toward
+    * the smaller neighbor id (TopKByScore = ROW_NUMBER(ORDER BY cos DESC,
+    * id)), and margin is one double subtraction of bit-identical operands.
+    */
+  private def s23(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+    val queries = base.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
+    val pairs = queries.as("a")
+      .join(base.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        (col("a.label") === col("b.label")).as("same_label"),
+        col("b.vec_id").as("neighbor_id"),
+        (dotLong(col("a.v"), col("b.v")).cast("double")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val topk = TopKByScore(3)
+    val ranked = pairs.groupBy(col("query_id"), col("same_label"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("tk"))
+    val pos = ranked.filter(col("same_label"))
+      .select(col("query_id"),
+        element_at(col("tk"), 1).getField("id").as("pos_id"),
+        element_at(col("tk"), 1).getField("score").as("pos_cos"))
+    val negs = ranked.filter(!col("same_label"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("neg_rk"),
+        col("col.id").as("neg_id"), col("col.score").as("neg_cos"))
+    pos.join(negs, "query_id")
+      .select(col("query_id"), col("neg_rk"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy(col("query_id"), col("neg_rk"))
+  }
+
+  private def s23Sql: String =
+    s"""WITH q AS (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |qs AS (${sampleSql(QueryK)}),
+       |p AS (SELECT a.vec_id AS query_id, a.label = b.label AS same_label,
+       |  b.vec_id AS neighbor_id,
+       |  list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+       |  (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+       |   sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) AS cos
+       | FROM q a JOIN q b ON a.vec_id <> b.vec_id
+       | WHERE a.vec_id IN (SELECT vec_id FROM qs)),
+       |r AS (SELECT query_id, same_label, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id, same_label
+       |    ORDER BY cos DESC, neighbor_id) AS rk
+       | FROM p),
+       |pos AS (SELECT query_id, neighbor_id AS pos_id, cos AS pos_cos
+       | FROM r WHERE same_label AND rk = 1),
+       |neg AS (SELECT query_id, rk AS neg_rk, neighbor_id AS neg_id,
+       |  cos AS neg_cos FROM r WHERE NOT same_label AND rk <= 3)
+       |SELECT pos.query_id, neg.neg_rk, pos.pos_id, pos.pos_cos, neg.neg_id,
+       |  neg.neg_cos, pos.pos_cos - neg.neg_cos AS margin
+       |FROM pos JOIN neg ON pos.query_id = neg.query_id
+       |ORDER BY pos.query_id, neg.neg_rk""".stripMargin
 
   /** s22 — hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
     * Clarke's 1/(60+rank)): the modern RAG retrieval shape — a LEXICAL arm
