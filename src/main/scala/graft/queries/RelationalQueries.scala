@@ -647,7 +647,134 @@ object RelationalQueries extends QueryPack {
     QueryDef("r23_gini_concentration", r23, Some(r23Sql)),
     QueryDef("r24_mad_spread", r24, Some(r24Sql)),
     QueryDef("r25_dq_audit", r25, Some(r25Sql)),
-    QueryDef("r26_basket_lift", r26, Some(r26Sql)))
+    QueryDef("r26_basket_lift", r26, Some(r26Sql)),
+    QueryDef("r27_window_funnel", r27, Some(r27Sql)),
+    QueryDef("r28_retention", r28, Some(r28Sql)))
+
+  /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
+    * the reference's sink engine is famous for): per user, the furthest
+    * step reached in the view → click → purchase sequence where the whole
+    * chain completes within 24 h of its anchoring view, reported as users
+    * per furthest-level. EXISTS semantics — any view may anchor the chain,
+    * not just the earliest — via step-wise equi-joins on user_id with
+    * range predicates, so the levels nest (l3 ⊆ l2 ⊆ l1) and the furthest
+    * level is the membership count.
+    *
+    * Scale shape: every join is keyed on user_id (co-partitioned by user
+    * on a cluster — the standard funnel layout); per-user fan-out is
+    * bounded by that user's per-step event counts, and each level
+    * collapses to a DISTINCT user set before the next join. No
+    * corpus-wide sort, no window over all events.
+    */
+  private def r27(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def step(t: String, as: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(as))
+    val users = ev.select(col("user_id")).distinct()
+    val v = step("view", "t1")
+    val l1 = v.select(col("user_id")).distinct()
+    val vc = v.join(step("click", "t2").withColumnRenamed("user_id", "cu"),
+        col("user_id") === col("cu") && col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("t1"), col("t2"))
+    val l2 = vc.select(col("user_id")).distinct()
+    val l3 = vc.join(step("purchase", "t3").withColumnRenamed("user_id", "pu"),
+        col("user_id") === col("pu") && col("t3") > col("t2") &&
+          col("t3") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id")).distinct()
+    users
+      .join(l1.withColumn("s1", lit(1L)), Seq("user_id"), "left")
+      .join(l2.withColumn("s2", lit(1L)), Seq("user_id"), "left")
+      .join(l3.withColumn("s3", lit(1L)), Seq("user_id"), "left")
+      .select((coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L))
+        + coalesce(col("s3"), lit(0L))).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  private val r27Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts AS t2 FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS t3 FROM events WHERE event_type = 'purchase'),
+      |l1 AS (SELECT DISTINCT user_id FROM v),
+      |vc AS (SELECT v.user_id, v.t1, c.t2 FROM v JOIN c ON c.user_id = v.user_id
+      |  AND c.t2 > v.t1 AND c.t2 <= v.t1 + INTERVAL 24 HOUR),
+      |l2 AS (SELECT DISTINCT user_id FROM vc),
+      |l3 AS (SELECT DISTINCT vc.user_id FROM vc JOIN p ON p.user_id = vc.user_id
+      |  AND p.t3 > vc.t2 AND p.t3 <= vc.t1 + INTERVAL 24 HOUR)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+      |  SELECT CAST(
+      |      CASE WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN l2.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN l3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+      |  FROM u
+      |  LEFT JOIN l1 ON l1.user_id = u.user_id
+      |  LEFT JOIN l2 ON l2.user_id = u.user_id
+      |  LEFT JOIN l3 ON l3.user_id = u.user_id)
+      |GROUP BY level ORDER BY level""".stripMargin
+
+  /** r28 — weekly retention cohorts (the ClickHouse `retention` function's
+    * report): users cohorted by the week of their first signup event;
+    * for each week offset 0–3, how many of the cohort were active (any
+    * event) that week, and the retention ratio. Weeks are Monday-aligned
+    * `date_trunc` in both engines, so offsets are exact multiples of
+    * 604800 s in the UTC session and the integer division is exact.
+    *
+    * Scale shape: two user-keyed aggregations (first signup, distinct
+    * activity weeks) joined on user_id, then a groupBy on the tiny
+    * (cohort, offset) key; the cohort-size side is |weeks| rows and
+    * broadcasts into the final ratio join.
+    */
+  private def r28(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_ts"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val active = first.join(activity, "user_id")
+      .select(col("cohort_ts"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_ts")))
+          / 604800L).cast("long").as("offset"),
+        col("user_id"))
+      .filter(col("offset").between(0, 3))
+      .groupBy(col("cohort_ts"), col("offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, wk) distinct upstream
+    val sizes = first.groupBy(col("cohort_ts"))
+      .agg(count(lit(1)).as("cohort_users"))
+    active.join(broadcast(sizes), "cohort_ts")
+      .select(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort"),
+        col("offset"), col("cohort_users"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_users")).as("retention"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  private val r28Sql =
+    """WITH first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |act AS (SELECT f.cohort_ts,
+      |    CAST((epoch(CAST(a.wk AS TIMESTAMP))
+      |      - epoch(CAST(f.cohort_ts AS TIMESTAMP))) / 604800 AS BIGINT)
+      |      AS "offset",
+      |    a.user_id
+      |  FROM first f JOIN activity a ON a.user_id = f.user_id),
+      |active AS (SELECT cohort_ts, "offset", CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM act WHERE "offset" BETWEEN 0 AND 3 GROUP BY cohort_ts, "offset"),
+      |sizes AS (SELECT cohort_ts, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      |  FROM first GROUP BY cohort_ts)
+      |SELECT strftime(active.cohort_ts, '%Y-%m-%d') AS cohort,
+      |  "offset", cohort_users, n_active,
+      |  CAST(n_active AS DOUBLE) / cohort_users AS retention
+      |FROM active JOIN sizes ON sizes.cohort_ts = active.cohort_ts
+      |ORDER BY cohort, "offset"""".stripMargin
 
   /** r26 — market-basket association lift: the top co-purchased part
     * pairs ranked by lift = P(a,b)/(P(a)·P(b)) over order baskets, with a
