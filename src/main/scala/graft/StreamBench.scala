@@ -147,6 +147,9 @@ object StreamBench {
     if (op == "bloom") {
       runBloom(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "funnel") {
+      runFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -465,6 +468,63 @@ object StreamBench {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val sustained = math.round(sunk / elapsed)
     println(s"""{"metric":"bloom_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"admitted":$sunk,"state_rows":$stateRows,"shards":$shards,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=funnel measures the live windowed funnel
+    * (StreamingFunnel — r27's streaming form): 100k concurrent synthetic
+    * users, each laddering view → click → purchase across interleaved
+    * rounds with 40% non-funnel noise rows filtered before the stateful
+    * stage, 24 h chain window. After a user converts its state collapses
+    * to one integer, so the state-rows figure tracks users seen while the
+    * per-user frontier cost only ever covers the active window. Reported
+    * rate is funnel EVENTS/sec through the stateful stage (transitions
+    * out are at most 3 per user by construction).
+    */
+  private def runFunnel(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                        secs: Int, sinkDir: String, ckpt: String,
+                        stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingFunnel
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    // round r ∈ [0,5): r=0 view, r=2 click, r=4 purchase, r∈{1,3} noise
+    // (integer `div`, not `/` — true division would make round a double)
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val step = when(round === 0, 1).when(round === 2, 2)
+      .when(round === 4, 3).otherwise(0)
+    val events = raw.select(pmod(col("value"), lit(users)).as("user_id"),
+        col("timestamp").as("ts"), step.as("step"))
+      .filter(col("step") > 0)
+      .as[graft.streaming.FunnelEvent](
+        org.apache.spark.sql.Encoders.product[graft.streaming.FunnelEvent])
+    val transitions = StreamingFunnel.detect(events, 24L * 3600 * 1000)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = transitions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nTrans = out.map(_.count()).getOrElse(0L)
+    val nConverted = out.map(_.filter(col("level") === 3).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"funnel_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

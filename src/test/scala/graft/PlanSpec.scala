@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpecBase {
         "j13_attribution", "d25_containment", "t30_oov_rate",
         "j14_pit_lookup", "m12_silence_segments", "t31_langid_confusion",
         "r18_heavy_hitters", "g04_component_profile", "d26_winnowing",
-        "t32_pmi_collocations", "j15_nearest_join")) {
+        "t32_pmi_collocations", "j15_nearest_join",
+        "r27_window_funnel", "d32_threshold_yield")) {
       val s = planString(run(name))
       assert(!s.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join, found cartesian")

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{FunnelEvent, StreamingFunnel}
+
+/** Streaming windowed funnel (StreamingFunnel): EXISTS semantics live, a
+  * Pareto frontier of partial chains per user, and exact agreement with
+  * the independent batch step-join computation on ordered delivery.
+  */
+class StreamingFunnelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val W = 1000L * 60 * 60 * 24 // 24 h, r27's window
+  private val steps = Seq("view", "click", "purchase")
+
+  private def t(sec: Long): Timestamp = new Timestamp(1700000000000L + sec * 1000)
+  private var n = 0
+  private def tmp(): String = {
+    n += 1
+    java.nio.file.Files.createTempDirectory(s"graft_sfun_$n").toString
+  }
+
+  test("EXISTS semantics: a later view anchors the chain the earliest view can't") {
+    // earliest view at 0s; click only at +25h (outside ITS window) — but a
+    // second view at +24h anchors click(+25h) and purchase(+26h). A
+    // greedy earliest-anchor funnel reports level 1; EXISTS reports 3.
+    val h = 3600L
+    val evs = Seq(
+      FunnelEvent(7L, t(0), 1),
+      FunnelEvent(7L, t(24 * h), 1),
+      FunnelEvent(7L, t(25 * h), 2),
+      FunnelEvent(7L, t(26 * h), 3))
+    val out = StreamingFunnel.detect(evs.toDS(), W).collect()
+    assert(out.map(_.level).sorted.toSeq == Seq(1, 2, 3))
+    assert(out.find(_.level == 3).get.ts == t(26 * h))
+  }
+
+  test("chain steps must be strictly ordered and inside the anchor window") {
+    // click BEFORE any view never chains; purchase with no level-2 chain
+    // in window never fires
+    val evs = Seq(
+      FunnelEvent(1L, t(10), 2),
+      FunnelEvent(1L, t(20), 1),
+      FunnelEvent(1L, t(30), 3))
+    val out = StreamingFunnel.detect(evs.toDS(), W).collect()
+    assert(out.map(_.level).toSeq == Seq(1), s"got ${out.toSeq}")
+  }
+
+  test("streaming micro-batches agree with the batch EXISTS joins on real events") {
+    val raw = Tables.events(spark, sf("sf0.001"))
+    val typed = StreamingFunnel.funnelEvents(raw, col("user_id"), col("ts"),
+      col("event_type"), steps).collect().sortBy(e => (e.ts.getTime, e.step))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.detect(in.toDS(), W)
+      .writeStream.format("memory").queryName("sfun_agree")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    val streamed = try {
+      typed.grouped(500).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+      spark.table("sfun_agree").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    } finally q.stop()
+    val batch = StreamingFunnel.batchTransitions(raw, col("user_id"),
+        col("ts"), col("event_type"), steps, W)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"),
+        r.getAs[Timestamp]("ts"))).toSet
+    assert(streamed == batch,
+      "ordered streaming transitions must equal the batch EXISTS joins")
+    // and the level census equals r27's report on the same corpus
+    val census = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r27 = SparkEntry.queries("r27_window_funnel")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    census.foreach { case (lvl, cnt) =>
+      assert(r27.getOrElse(lvl, 0L) == cnt, s"level $lvl census mismatch")
+    }
+  }
+
+  test("state collapses after conversion and frontiers stay window-bounded") {
+    val h = 3600L
+    // a user who converts immediately, then floods views
+    val flood = (0 until 200).map(i => FunnelEvent(5L, t(100 * h + i), 1))
+    val evs = Seq(
+      FunnelEvent(5L, t(0), 1), FunnelEvent(5L, t(1), 2),
+      FunnelEvent(5L, t(2), 3)) ++ flood
+    val out = StreamingFunnel.detect(evs.toDS(), W).collect()
+    assert(out.map(_.level).sorted.toSeq == Seq(1, 2, 3),
+      "no re-emission after conversion, whatever arrives later")
+  }
+}
