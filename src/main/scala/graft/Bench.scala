@@ -265,7 +265,7 @@ object Bench {
     // The sweep runs the graph AND dedup packs against ONE materialized
     // near-dup pair table per session (the 100 TB shape — a pipeline
     // materializes the pair table once, then runs g01–g08 and
-    // d03/d07/d08/d17/d18/d19/d21/d24 against it; see MaterializedPairs).
+    // d03/d07/d08/d17/d18/d19/d21/d24/d32 against it; see MaterializedPairs).
     // Oracles are verified with the knob OFF and ScaleConfSpec pins
     // cached == uncached, so this changes cost attribution, not results.
     // Stress mode never reaches here and stays uncached: its per-query

@@ -478,8 +478,10 @@ object StreamBench {
     * stage, 24 h chain window. After a user converts its state collapses
     * to one integer, so the state-rows figure tracks users seen while the
     * per-user frontier cost only ever covers the active window. Reported
-    * rate is funnel EVENTS/sec through the stateful stage (transitions
-    * out are at most 3 per user by construction).
+    * rate is SOURCE rows/sec through the pipeline (the noise rows are
+    * filtered before the stateful stage, so funnel events are exactly
+    * 3/5 of it — emitted as funnel_events_sustained); transitions out
+    * are at most 3 per user by construction.
     */
   private def runFunnel(spark: org.apache.spark.sql.SparkSession, rps: Long,
                         secs: Int, sinkDir: String, ckpt: String,
@@ -524,7 +526,10 @@ object StreamBench {
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"funnel_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    // funnel events are exactly the 3-of-5 rounds that survive the step
+    // filter; the stateful stage never sees the other 40% of source rows
+    val funnelSustained = math.round(inRows * 3.0 / 5.0 / elapsed)
+    println(s"""{"metric":"funnel_rps","value":$sustained,"unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -52,12 +52,15 @@ case class FunnelTransition(user_id: Long, level: Int, ts: Timestamp)
   * event: if chain A has anchor ≥ chain B's and last ≤ chain B's, any
   * event B could extend, A extends too.
   *
-  * Disorder contract: frontiers window-prune at `maxTs − 2·windowMs`
-  * (not `− windowMs`), so an event arriving up to one full window late
-  * still finds every anchor it could legally chain to — the same
-  * bounded-disorder guarantee the Bloom dedup documents. Beyond that the
-  * level SET can undercount, exactly like any watermarked operator's
-  * late-data drop.
+  * Disorder contract (one-directional, like every arrival-evaluated
+  * stateful operator): a late COMPLETING step still chains — frontiers
+  * window-prune at `maxTs − 2·windowMs` (not `− windowMs`), so an event
+  * arriving up to one full window late finds every anchor it could
+  * legally extend. A late EARLIER step (a view or click arriving after a
+  * later-step event was already evaluated) does NOT retroactively
+  * re-evaluate that event — steps 2/3 are not retained as state — so the
+  * level set can undercount in that direction; events are judged on
+  * arrival, the standard streaming contract.
   *
   * Scale shape: state is per-user O(frontier within 2 windows) — the
   * chains inside a user's active funnel window, NOT the user's history —

@@ -53,7 +53,7 @@ class StreamingFunnelSpec extends SparkSpecBase {
   test("streaming micro-batches agree with the batch EXISTS joins on real events") {
     val raw = Tables.events(spark, sf("sf0.001"))
     val typed = StreamingFunnel.funnelEvents(raw, col("user_id"), col("ts"),
-      col("event_type"), steps).collect().sortBy(e => (e.ts.getTime, e.step))
+      col("event_type"), steps).collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.step))
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[FunnelEvent]
     val q = StreamingFunnel.detect(in.toDS(), W)
@@ -79,6 +79,31 @@ class StreamingFunnelSpec extends SparkSpecBase {
     census.foreach { case (lvl, cnt) =>
       assert(r27.getOrElse(lvl, 0L) == cnt, s"level $lvl census mismatch")
     }
+  }
+
+  test("cross-batch disorder within one window still recovers the level set") {
+    val h = 3600L
+    // the completing click arrives a batch LATE (event time between the
+    // view and the purchase, both already processed): the purchase alone
+    // can't fire (no level-2 chain yet), but a following purchase after
+    // the late click must — the 2-window frontier prune keeps the view's
+    // anchor alive for exactly this arrival
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.detect(in.toDS(), W)
+      .writeStream.format("memory").queryName("sfun_disorder")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    val levels = try {
+      in.addData(FunnelEvent(9L, t(0), 1), FunnelEvent(9L, t(3 * h), 3))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(9L, t(1 * h), 2)) // late by 2 h, inside the window
+      q.processAllAvailable()
+      in.addData(FunnelEvent(9L, t(4 * h), 3)) // fires against the late click
+      q.processAllAvailable()
+      spark.table("sfun_disorder").collect().map(_.getInt(1)).sorted.toSeq
+    } finally q.stop()
+    assert(levels == Seq(1, 2, 3),
+      s"late click must still chain (got levels $levels)")
   }
 
   test("state collapses after conversion and frontiers stay window-bounded") {
