@@ -658,7 +658,9 @@ object RelationalQueries extends QueryPack {
     * per furthest-level. EXISTS semantics — any view may anchor the chain,
     * not just the earliest — via step-wise equi-joins on user_id with
     * range predicates, so the levels nest (l3 ⊆ l2 ⊆ l1) and the furthest
-    * level is the membership count.
+    * level is the membership count. (j05 is the single-hop complement — a
+    * click→purchase conversion RATE per day; this is the multi-step
+    * chained form with the anchored window, the windowFunnel signature.)
     *
     * Scale shape: every join is keyed on user_id (co-partitioned by user
     * on a cluster — the standard funnel layout); per-user fan-out is
@@ -717,15 +719,20 @@ object RelationalQueries extends QueryPack {
       |  LEFT JOIN l3 ON l3.user_id = u.user_id)
       |GROUP BY level ORDER BY level""".stripMargin
 
-  /** r28 — weekly retention cohorts (the ClickHouse `retention` function's
-    * report): users cohorted by the week of their first signup event;
-    * for each week offset 0–3, how many of the cohort were active (any
-    * event) that week, and the retention ratio. Weeks are Monday-aligned
-    * `date_trunc` in both engines, so offsets are exact multiples of
-    * 604800 s in the UTC session and the integer division is exact.
+  /** r28 — conditioned weekly retention (the ClickHouse
+    * `retention(cond1, cond2, …)` shape proper): users cohorted by the
+    * week of their first SIGNUP event; for each week offset 0–3, how many
+    * of the cohort PURCHASED that week, and the retention ratio — the
+    * behavioral form (did the qualifying action recur?) that
+    * condition-based retention reports. j06 is the engagement complement:
+    * any-activity retention of first-activity cohorts, matrix counts
+    * without ratios.
+    * Weeks are Monday-aligned `date_trunc` in both engines, so offsets
+    * are exact multiples of 604800 s in the UTC session and the integer
+    * division is exact.
     *
     * Scale shape: two user-keyed aggregations (first signup, distinct
-    * activity weeks) joined on user_id, then a groupBy on the tiny
+    * purchase weeks) joined on user_id, then a groupBy on the tiny
     * (cohort, offset) key; the cohort-size side is |weeks| rows and
     * broadcasts into the final ratio join.
     */
@@ -735,7 +742,7 @@ object RelationalQueries extends QueryPack {
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
       .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_ts"))
-    val activity = ev
+    val activity = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
     val active = first.join(activity, "user_id")
@@ -759,7 +766,7 @@ object RelationalQueries extends QueryPack {
     """WITH first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_ts
       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
       |activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
-      |  FROM events),
+      |  FROM events WHERE event_type = 'purchase'),
       |act AS (SELECT f.cohort_ts,
       |    CAST((epoch(CAST(a.wk AS TIMESTAMP))
       |      - epoch(CAST(f.cohort_ts AS TIMESTAMP))) / 604800 AS BIGINT)
