@@ -1108,7 +1108,84 @@ object TextQueries extends QueryPack {
     QueryDef("t37_tokenizer_fertility", t37, Some(t37Sql)),
     QueryDef("t38_vocab_coverage", t38, Some(t38Sql)),
     QueryDef("t39_dsir_weights", t39, Some(t39Sql)),
-    QueryDef("t40_unimax_budget", t40, Some(t40Sql)))
+    QueryDef("t40_unimax_budget", t40, Some(t40Sql)),
+    QueryDef("t41_budget_selection", t41, Some(t41Sql)))
+
+  /** t41 — token-budget greedy data selection (the doc-level knapsack of
+    * data-selection pipelines): spend a fixed token budget (half the
+    * corpus) on the highest quality-density documents — density is
+    * integer micro-TTR per token, `(1e6·n_distinct) div n_toks` — taking
+    * the greedy prefix of the (density DESC, doc_id) order until the
+    * budget would be exceeded, reported as a per-source rollup of what
+    * made the cut.
+    *
+    * Scale shape — the global sort is REFUSED: a naive cumulative window
+    * over (density DESC) sorts the whole corpus into one task. Instead
+    * (a) one map pass computes densities, (b) a ≤978-row coarse-bucket
+    * token-sum aggregate is collected (bounded like the IVF codebook
+    * collects — bucket key = density div 1024, so the count is fixed by
+    * the density RANGE, not the corpus), (c) the driver walks buckets
+    * descending to find the single threshold bucket the budget crosses
+    * inside, and (d) only THAT bucket's docs pay a cumulative window —
+    * every higher bucket is selected wholesale with zero sorting. The
+    * selection is bit-identical to the full-sort prefix (bucket key is
+    * monotone in density, so bucket blocks are contiguous in the sorted
+    * order); adversarial density mass concentrated in one bucket degrades
+    * only that bucket's window back toward the naive sort.
+    */
+  private def t41(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val ws = tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"),
+        size(ws).cast("long").as("n_toks"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .filter(col("n_toks") > 0)
+      .withColumn("dq", expr("(1000000 * n_distinct) div n_toks"))
+      .withColumn("bk", expr("dq div 1024"))
+      .localCheckpoint() // referenced by budget agg, bucket sums, selection
+    val budget = base.agg(expr("sum(n_toks) div 2").as("b"))
+      .collect()(0).getLong(0) // 1 row
+    // bounded collect: density ≤ 1e6 → at most 978 bucket rows
+    val buckets = base.groupBy(col("bk")).agg(sum(col("n_toks")).as("btoks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    var cum = 0L
+    var threshold = Option.empty[Long]
+    buckets.foreach { case (bk, toks) =>
+      if (threshold.isEmpty) {
+        if (cum + toks <= budget) cum += toks
+        else threshold = Some(bk)
+      }
+    }
+    val selected = threshold match {
+      case None => base // the whole corpus fits the budget
+      case Some(tb) =>
+        val high = base.filter(col("bk") > tb)
+        val w = Window.orderBy(col("dq").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tie = base.filter(col("bk") === tb)
+          .withColumn("cum", sum(col("n_toks")).over(w))
+          .filter(col("cum") + lit(cum) <= budget)
+          .drop("cum")
+        high.unionByName(tie)
+    }
+    selected.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val t41Sql =
+    """WITH d AS (SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |  CAST((1000000 * len(list_distinct(string_split(text, ' '))))
+      |    // len(string_split(text, ' ')) AS BIGINT) AS dq
+      | FROM documents WHERE len(string_split(text, ' ')) > 0),
+      |b AS (SELECT CAST(SUM(n_toks) // 2 AS BIGINT) AS budget FROM d),
+      |r AS (SELECT *, SUM(n_toks) OVER (ORDER BY dq DESC, doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM r, b WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin
 
   /** t37 — tokenizer fertility per language: encoded units per word
     * through the real rank-ordered BPE (t08's BpeApply), aggregated by
