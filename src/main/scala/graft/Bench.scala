@@ -275,6 +275,15 @@ object Bench {
     val edgeCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_EDGE_CACHE").contains("0")
     if (edgeCacheOn)
       spark.conf.set("spark.graft.scale.graphEdgeCache", "1")
+    // ...and the per-doc shingle table the same way: d02/d12/d14/d23/d25/
+    // d27/d29 AND the pair-table build above all start from the one
+    // session-materialized (doc_id, lang, source, s3) frame — one
+    // tokenize+shingle corpus scan for the whole dedup pack
+    // (SPARK_GRAFT_BENCH_SHINGLE_CACHE=0 disables it for A/B runs)
+    val shingleCacheOn =
+      !sys.env.get("SPARK_GRAFT_BENCH_SHINGLE_CACHE").contains("0")
+    if (shingleCacheOn)
+      spark.conf.set("spark.graft.scale.shingleCache", "1")
 
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate

@@ -478,11 +478,30 @@ object StreamBench {
     * stage, 24 h chain window. After a user converts its state collapses
     * to one integer, so the state-rows figure tracks users seen while the
     * per-user frontier cost only ever covers the active window. Reported
-    * rate is SOURCE rows/sec through the pipeline (the noise rows are
-    * filtered before the stateful stage, so funnel events are exactly
-    * 3/5 of it — emitted as funnel_events_sustained); transitions out
-    * are at most 3 per user by construction.
+    * rate is SOURCE rows/sec through the pipeline; the post-filter funnel
+    * event count is derived EXACTLY from the consumed value range
+    * ([[funnelSourceEvents]] — partial rounds at stream stop included)
+    * and emitted as funnel_events_sustained; transitions out are at most
+    * 3 per user by construction.
     */
+  /** Exact count of funnel-step rows among rate-source values 0..n-1 under
+    * the funnel arm's layout (round r = (v div users) mod 5; rounds 0/2/4
+    * are steps, 1/3 noise): full 5·users blocks contribute 3·users each,
+    * and the partial tail block is counted interval-by-interval — so the
+    * reported post-filter rate is exact for ANY stop point, not just
+    * whole-block ones.
+    */
+  private[graft] def funnelSourceEvents(n: Long, users: Long): Long = {
+    val block = 5 * users
+    val full = n / block
+    val rem = n % block
+    val tail = Seq(0L, 2L, 4L).map { r =>
+      val lo = r * users
+      math.max(0L, math.min(rem, lo + users) - lo)
+    }.sum
+    full * 3 * users + tail
+  }
+
   private def runFunnel(spark: org.apache.spark.sql.SparkSession, rps: Long,
                         secs: Int, sinkDir: String, ckpt: String,
                         stateStore: String): Unit = {
@@ -501,7 +520,11 @@ object StreamBench {
       .filter(col("step") > 0)
       .as[graft.streaming.FunnelEvent](
         org.apache.spark.sql.Encoders.product[graft.streaming.FunnelEvent])
-    val transitions = StreamingFunnel.detect(events, 24L * 3600 * 1000)
+    // the production form: bounded state via event-time TTL (the horizon
+    // is 2·24 h + 5 s here, far past the bench window, so the arm measures
+    // the same state behavior as detect() plus the timeout bookkeeping)
+    val transitions =
+      StreamingFunnel.detectExpiring(events, 24L * 3600 * 1000, 5000L)
     val sink = new IdempotentParquetSink(sinkDir)
     var elapsed = 0.0
     val progress = withProgressLog(spark) {
@@ -526,9 +549,13 @@ object StreamBench {
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
-    // funnel events are exactly the 3-of-5 rounds that survive the step
-    // filter; the stateful stage never sees the other 40% of source rows
-    val funnelSustained = math.round(inRows * 3.0 / 5.0 / elapsed)
+    // funnel events counted EXACTLY from the consumed value range: the
+    // rate source emits consecutive values 0..inRows-1, so the post-filter
+    // row count is the closed-form count of values whose round ∈ {0,2,4} —
+    // partial 5-round blocks at stream stop included (the former
+    // inRows·3/5 was exact only on whole blocks; round-11 advice)
+    val funnelSustained =
+      math.round(funnelSourceEvents(inRows, users) / elapsed)
     println(s"""{"metric":"funnel_rps","value":$sustained,"unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }

@@ -334,6 +334,71 @@ object Stress {
     System.err.println(f"[stress] joinskew n=$nJoin " +
       f"aqeOn=${minOk(tJoinOn)}%.2fs aqeOff=${minOk(tJoinOff)}%.2fs")
 
+    // ---- funnel-skew arm: ONE power user owning 1/skewMod of all events —
+    // the behavioral-pack hazard the round-11 verdict named. r27's former
+    // chain join materialized V·C (view, click) pairs per user inside the
+    // 24 h window — quadratic for a bot user — and j05's former left-semi
+    // paid C·P predicate evaluations inside one task; both now run as
+    // per-user window frames, so the hot user costs one sorted run. The
+    // arm times r27/j05/r28 on a uniform corpus and on one where user 0
+    // owns 1/skewMod of all rows — same size, same type mix, same time
+    // spread — and reports hot/uniform ratios (the window form's honest
+    // ceiling is the hot partition's share of one executor, NOT a
+    // quadratic blowup; ratios land in the artifact either way).
+    val nFun = sys.env.getOrElse("SPARK_GRAFT_STRESS_FUNNEL_ROWS",
+      "4000000").toLong
+    val funnelQs = Seq("r27_window_funnel", "j05_conversion_funnel",
+      "r28_retention")
+    def funnelDir(hot: Boolean): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_funnel_${if (hot) "hot" else "uni"}")
+        .toString
+      val uid =
+        if (hot) when(pmod(col("id"), lit(skewMod)) === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(100000L)))
+        else pmod(col("id"), lit(100000L))
+      spark.range(nFun).select(
+          col("id").as("event_id"), uid.as("user_id"),
+          element_at(
+            array(lit("view"), lit("click"), lit("purchase"),
+              lit("signup"), lit("other")),
+            (pmod(hash(col("id"), lit("#funnel")), lit(5)) + 1).cast("int"))
+            .as("event_type"),
+          timestamp_millis(lit(1700000000000L) +
+            pmod(col("id") * lit(2654435761L), lit(30L * 86400000L))).as("ts"),
+          lit(1L).as("value"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val (funnelRows, funnelRatios) =
+      if (nFun <= 0) (Seq.empty[(String, Double, Double)], Map.empty[String, Double])
+      else {
+        val uniDir = funnelDir(hot = false)
+        val hotDir = funnelDir(hot = true)
+        // arms interleaved (uniform, hot) per pass like the other skew arms
+        val fRuns = (1 to math.max(runs, passes)).map { _ =>
+          funnelQs.map { q =>
+            val tu = once { SparkEntry.queries(q)(spark, uniDir).count() }
+            val th = once { SparkEntry.queries(q)(spark, hotDir).count() }
+            q -> (tu, th)
+          }.toMap
+        }
+        val rows = funnelQs.map { q =>
+          val tu = minOk(fRuns.map(_(q)._1))
+          val th = minOk(fRuns.map(_(q)._2))
+          (q, tu, th)
+        }
+        val ratios = rows.map { case (q, tu, th) =>
+          q -> (if (tu > 0 && th > 0) th / tu else -1.0)
+        }.toMap
+        rows.foreach { case (q, tu, th) =>
+          System.err.println(f"[stress] funnelskew $q%-22s uniform=$tu%.2fs " +
+            f"hot=$th%.2fs ratio=${ratios(q)}%.2f")
+        }
+        (rows, ratios)
+      }
+
     // flagged superlinear = time ratio past the gate AND unit cost rising
     // (cpo unavailable → the time ratio decides alone, conservatively)
     val superlinear = rows.collect {
@@ -357,6 +422,15 @@ object Stress {
         s""""ranked_window_sec":${minOk(tRanked)},""" +
         s""""runs_keep_first":${arr(tPlain)},"runs_salted":${arr(tSalted)},""" +
         s""""runs_ranked":${arr(tRanked)}}"""
+    val funnelJson = funnelRows.map { case (q, tu, th) =>
+      s""""$q":{"uniform_sec":$tu,"hot_sec":$th,""" +
+        s""""hot_ratio":${f"${funnelRatios(q)}%.3f"}}"""
+    }.mkString("{", ",", "}")
+    // hot/uniform past 3x means the hot user is costing more than its
+    // partition share — the quadratic forms this arm guards against were
+    // 2 orders past that
+    val funnelFlags = funnelRatios.collect {
+      case (q, r) if r > 3.0 || r < 0 => q }.toSeq.sorted
     val full = s"""{"metric":"stress","factor":$factor,"base_sf":"$baseDir",""" +
       s""""docs":${stressRows("documents")},"vecs":${stressRows("embeddings")},""" +
       s""""corpus_build_sec":$tCorpus,"kmk_stress":${kmBase * factor},""" +
@@ -364,6 +438,9 @@ object Stress {
       s""""hot_key_share":${1.0 / skewMod},"aqe_on_sec":${minOk(tJoinOn)},""" +
       s""""aqe_off_sec":${minOk(tJoinOff)},"runs_on":${arr(tJoinOn)},""" +
       s""""runs_off":${arr(tJoinOff)}},""" +
+      s""""funnel_skew":{"rows":$nFun,"hot_user_share":${1.0 / skewMod},""" +
+      s""""queries":$funnelJson,""" +
+      s""""flags":${funnelFlags.map("\"" + _ + "\"").mkString("[", ",", "]")}},""" +
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""timing":"min over $passes separated passes x $runs runs per arm"}"""
     val out = java.nio.file.Paths.get(outPath)
@@ -374,8 +451,13 @@ object Stress {
     val short = rows.map { case (n, _, _, _, _, _, ratio, _, rps, _, _, _, _, _, _) =>
       s""""${n.takeWhile(_ != '_')}":[${f"$ratio%.2f"},$rps]"""
     }.mkString("{", ",", "}")
+    val funnelShort = funnelRatios.toSeq.sortBy(_._1).map { case (q, r) =>
+      s""""${q.takeWhile(_ != '_')}":${f"$r%.2f"}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"stress","factor":$factor,"ratio_rps":$short,""" +
       s""""superlinear":${superlinear.size},""" +
+      s""""funnel_skew_hot_ratio":$funnelShort,""" +
+      s""""funnel_skew_flags":${funnelFlags.size},""" +
       s""""joinskew_on_sec":${f"${minOk(tJoinOn)}%.2f"},""" +
       s""""joinskew_off_sec":${f"${minOk(tJoinOff)}%.2f"},""" +
       s""""skew_keepfirst_sec":${f"${minOk(tPlain)}%.2f"},""" +

@@ -91,4 +91,18 @@ object Scale {
     * see [[graft.queries.MaterializedPairs]]).
     */
   def graphEdgeCache: Boolean = get("graphEdgeCache", 0) == 1
+
+  /** Share one materialized per-doc shingle table — `(doc_id, lang,
+    * source, s3)`, the distinct hashed word-3-shingle arrays — across its
+    * SEVEN building consumers (d02, d12, d14, d23, d25, d27, d29 and the
+    * [[graphEdgeCache]] pair-table build itself) within a session
+    * ("1" = on; test-profile default off so every oracle-checked query
+    * stays self-contained). Tokenize+shingle-hash is one md5 per shingle —
+    * the dominant per-row cost of the dedup pack's corpus scan; at 100 TB
+    * the knob turns seven such scans into one
+    * (see [[graft.queries.MaterializedShingles]]; results are
+    * bit-identical either way — longs and long arrays round-trip parquet
+    * exactly, pinned by ScaleConfSpec).
+    */
+  def shingleCache: Boolean = get("shingleCache", 0) == 1
 }

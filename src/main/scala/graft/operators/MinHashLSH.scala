@@ -86,12 +86,25 @@ object MinHashLSH {
     * hashing the same way.
     */
   def nearDuplicates(docs: DataFrame, docId: Column, text: Column,
-                     shingleN: Int, k: Int, r: Int, threshold: Double): DataFrame = {
-    val withSh = docs.select(docId.as("doc_id"),
-      ShingleHashes(TextFunctions.tokens(text), shingleN).as("shingles"))
-    val sig = signatures(withSh, col("doc_id"), col("shingles"), k)
+                     shingleN: Int, k: Int, r: Int, threshold: Double): DataFrame =
+    nearDuplicatesFrom(
+      docs.select(docId.as("doc_id"),
+        ShingleHashes(TextFunctions.tokens(text), shingleN).as("shingles")),
+      shingles = org.apache.spark.sql.functions.col("shingles"),
+      k = k, r = r, threshold = threshold)
+
+  /** [[nearDuplicates]] from a caller-supplied `(doc_id, <shingles>)`
+    * frame — the seam that lets a session-materialized shingle table
+    * (graft.queries.MaterializedShingles) feed the pair build without a
+    * second tokenize+shingle corpus scan. The frame is referenced three
+    * times (signatures + both verify sides), so callers should pass a
+    * materialized frame.
+    */
+  def nearDuplicatesFrom(withSh: DataFrame, shingles: Column,
+                         k: Int, r: Int, threshold: Double): DataFrame = {
+    val sig = signatures(withSh, col("doc_id"), shingles, k)
     val cand = candidates(banded(sig, k, r))
-    val sets = withSh.select(col("doc_id"), col("shingles"))
+    val sets = withSh.select(col("doc_id"), shingles.as("shingles"))
     cand
       .join(sets.as("sa"), col("i") === col("sa.doc_id"))
       .join(sets.as("sb"), col("j") === col("sb.doc_id"))

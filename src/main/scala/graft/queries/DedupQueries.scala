@@ -86,13 +86,10 @@ object DedupQueries extends QueryPack {
     * when the result feeds a hash join.
     */
   private def d02PairsUnordered(s: SparkSession, dir: String, maxDf: Int): DataFrame =
-    d02PairsFrom(Tables.documents(s, dir)
-      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
-      // the shingle table feeds the posting-list explode AND both size
-      // lookups — one tokenize+shingle pass, materialized (callers with
-      // their own shared shingle frame use d02PairsFrom directly)
-      .localCheckpoint(),
-      maxDf)
+    // the shingle table feeds the posting-list explode AND both size
+    // lookups — one tokenize+shingle pass, materialized per call (knob
+    // off) or once per session (Scale.shingleCache on)
+    d02PairsFrom(MaterializedShingles.s3(s, dir), maxDf)
 
   /** [[d02PairsUnordered]] from a caller-supplied `(doc_id, s3)` shingle
     * table — the seam that lets d23 tokenize+shingle the corpus ONCE and
@@ -473,10 +470,9 @@ object DedupQueries extends QueryPack {
     * cluster-representative dedup.
     */
   private def d12(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("sh"))
+    val sh = MaterializedShingles.s3(s, dir)
     val bands = MinHashLSH.banded(
-      MinHashLSH.signatures(sh, col("doc_id"), col("sh"), 8), 8, 2)
+      MinHashLSH.signatures(sh, col("doc_id"), col("s3"), 8), 8, 2)
     val owners = bands.groupBy(col("band_idx"), col("band_val"))
       .agg(min(col("doc_id")).as("owner"))
     bands.join(owners, Seq("band_idx", "band_val"))
@@ -586,9 +582,9 @@ object DedupQueries extends QueryPack {
     * dimension rides the band key, it never widens the data.
     */
   private def d23(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
-      .localCheckpoint() // ONE tokenize+shingle pass feeds truth AND sigs
+    val sh = MaterializedShingles.s3(s, dir)
+    // ONE tokenize+shingle pass feeds truth AND sigs (session-shared
+    // under Scale.shingleCache)
     val truth = d02PairsFrom(sh, DefaultMaxDf)
       .select(col("i"), col("j")).localCheckpoint()
     val sig = MinHashLSH.signatures(sh, col("doc_id"), col("s3"), 8)
@@ -709,12 +705,11 @@ object DedupQueries extends QueryPack {
     * cluster size, and every true pair pays the full verify).
     */
   private def d27(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = docs.select(col("doc_id"),
-        ShingleHashes(tokens(col("text")), 3).as("sh"))
-      // referenced THREE times (posting-list explode + both verify-side
-      // array joins): tokenize+shingle the corpus once, materialized
-      .localCheckpoint()
+    // referenced THREE times (posting-list explode + both verify-side
+    // array joins): tokenize+shingle the corpus once, materialized
+    // (session-shared under Scale.shingleCache)
+    val sh = MaterializedShingles.s3(s, dir)
+      .select(col("doc_id"), col("s3").as("sh"))
     val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("len"),
       explode(col("sh")).as("w"))
     val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -855,8 +850,10 @@ object DedupQueries extends QueryPack {
     * is |distinct (source, shingle)| — vocabulary-scaled, not doc-scaled.
     */
   private def d29(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = ShingleHashes(tokens(col("text")), 3)
+    // the cached table carries `source`, so both the signature scan and
+    // the exact-Jaccard posting list derive from the one shingle pass
+    val docs = MaterializedShingles.s3(s, dir)
+    val sh = col("s3")
     val sigs = docs.filter(size(sh) > 0)
       .select(col("source"), graft.functions.MinHashSig(sh, OvK).as("sig"))
     val srcSig = sigs.groupBy(col("source"))
@@ -1313,8 +1310,8 @@ object DedupQueries extends QueryPack {
     */
   private def d14(s: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val withSh = Tables.documents(s, dir).select(col("doc_id"),
-      ShingleHashes(tokens(col("text")), 3).as("shingles"))
+    val withSh = MaterializedShingles.s3(s, dir)
+      .select(col("doc_id"), col("s3").as("shingles"))
     val sig = MinHashLSH.signatures(withSh, col("doc_id"), col("shingles"), k)
     val cand = MinHashLSH.candidates(MinHashLSH.banded(sig, k, r = 2))
     val sigA = sig.toDF("ia" +: (0 until k).map(j => s"am$j"): _*)
@@ -1748,10 +1745,9 @@ object DedupQueries extends QueryPack {
     * differs. No cartesian at any size.
     */
   private def d25(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), ShingleHashes(tokens(col("text")), 3).as("s3"))
-      // posting-list explode + two size lookups: shingle the corpus once
-      .localCheckpoint()
+    // posting-list explode + two size lookups: shingle the corpus once
+    // (session-shared under Scale.shingleCache)
+    val sh = MaterializedShingles.s3(s, dir)
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
     val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
     val cl = graft.functions.CollectCapped(DefaultMaxDf)

@@ -133,29 +133,35 @@ object JoinQueries extends QueryPack {
 
   /** j05 — conversion funnel: clicks followed by a purchase from the same
     * user within the next hour, rolled up per click-day. EXISTS semantics
-    * (left-semi with a range conjunct inside the user partition — never a
-    * cartesian), then two small date aggregates joined for the rate.
+    * as a forward-looking RANGE frame over the per-user event-time order —
+    * a click converts iff ANY purchase row lands in (t, t + 1 h], i.e. a
+    * max-over-frame flag — instead of the former click×purchase left-semi
+    * join, whose per-pair predicate evaluation was quadratic in one user's
+    * click/purchase counts (a bot user with C clicks and P purchases cost
+    * C·P comparisons inside one task; the frame costs one sorted sweep).
+    * One shuffle on user_id, the sliding frame advances monotonically, and
+    * the day rollup is a single map-side-combined aggregate — no join at
+    * all. The frame bounds are inclusive in µs, so `(t, t + 1 h]` is
+    * `[t + 1 µs, t + 3600·10⁶ µs]`, matching the join form's strict `>` /
+    * inclusive `<=` at full event-time precision.
     */
   private def j05(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
     val ev = Tables.events(s, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val converted = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") > col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "left_semi")
-    val day = (c: org.apache.spark.sql.Column) => date_format(c, "yyyy-MM-dd")
-    val a = clicks.groupBy(day(col("c_ts")).as("day"))
-      .agg(count(lit(1)).as("n_clicks"))
-    val b = converted.groupBy(day(col("c_ts")).as("day"))
-      .agg(count(lit(1)).as("n_converted"))
-    a.join(b, Seq("day"), "left")
-      .select(col("day"), col("n_clicks"),
-        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
-        (coalesce(col("n_converted"), lit(0L)).cast("double")
-          / col("n_clicks")).as("conv_rate"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("tsu"))
+    val nextHour = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(1L, hourUs)
+    val flagged = ev.withColumn("conv",
+      max(when(col("event_type") === "purchase", 1L)).over(nextHour))
+    flagged.filter(col("event_type") === "click")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("conv") === 1L, 1L).otherwise(0L)).as("n_converted"))
+      .select(col("day"), col("n_clicks"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_clicks")).as("conv_rate"))
       .orderBy(col("day"))
   }
 

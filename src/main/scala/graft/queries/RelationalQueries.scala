@@ -656,42 +656,53 @@ object RelationalQueries extends QueryPack {
     * step reached in the view → click → purchase sequence where the whole
     * chain completes within 24 h of its anchoring view, reported as users
     * per furthest-level. EXISTS semantics — any view may anchor the chain,
-    * not just the earliest — via step-wise equi-joins on user_id with
-    * range predicates, so the levels nest (l3 ⊆ l2 ⊆ l1) and the furthest
-    * level is the membership count. (j05 is the single-hop complement — a
+    * not just the earliest — via per-user running-maximum window frames
+    * over the event-time order (the oracle SQL keeps the equivalent
+    * step-join form as the readable spec). (j05 is the single-hop complement — a
     * click→purchase conversion RATE per day; this is the multi-step
     * chained form with the anchored window, the windowFunnel signature.)
     *
-    * Scale shape: every join is keyed on user_id (co-partitioned by user
-    * on a cluster — the standard funnel layout); per-user fan-out is
-    * bounded by that user's per-step event counts, and each level
-    * collapses to a DISTINCT user set before the next join. No
-    * corpus-wide sort, no window over all events.
+    * Scale shape — NO pair table, ever (round-11 verdict: the former
+    * view×click chain join materialized V·C rows per user inside the
+    * window, quadratic for a bot user): the EXISTS semantics collapse to
+    * two per-user running maxima over the event-time order —
+    *   lv(row)  = latest view strictly before this row
+    *   ba(row)  = max over clicks strictly before this row of lv(click)
+    * A click reaches level 2 iff lv ≥ t₂ − w (some view anchors it inside
+    * the window); a purchase reaches level 3 iff ba ≥ t₃ − w: the click
+    * t₂ < t₃ whose freshest anchor t₁ = ba satisfies t₁ ≥ t₃ − w gives the
+    * chain t₁ < t₂ < t₃ ≤ t₁ + w (t₂ ≤ t₁ + w follows from t₂ < t₃), and
+    * maximizing t₁ is lossless for EXISTS — if the freshest anchor misses
+    * the window no anchor makes it. Both maxima are RANGE frames ending at
+    * −1 µs, so the strict `<` of the join form survives equal timestamps.
+    * One shuffle on user_id (the standard funnel co-partitioning), a
+    * per-user sort shared by both window passes and the per-user max —
+    * per-user cost O(E·log E) and O(1) state, a bot user is just a big
+    * sorted run. Levels nest by construction (a qualifying purchase's
+    * click qualifies, a qualifying click's view exists), so furthest level
+    * = the per-user max of the per-row level.
     */
   private def r27(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    def step(t: String, as: String) =
-      ev.filter(col("event_type") === t)
-        .select(col("user_id"), col("ts").as(as))
-    val users = ev.select(col("user_id")).distinct()
-    val v = step("view", "t1")
-    val l1 = v.select(col("user_id")).distinct()
-    val vc = v.join(step("click", "t2").withColumnRenamed("user_id", "cu"),
-        col("user_id") === col("cu") && col("t2") > col("t1") &&
-          col("t2") <= col("t1") + expr("INTERVAL 24 HOURS"))
-      .select(col("user_id"), col("t1"), col("t2"))
-    val l2 = vc.select(col("user_id")).distinct()
-    val l3 = vc.join(step("purchase", "t3").withColumnRenamed("user_id", "pu"),
-        col("user_id") === col("pu") && col("t3") > col("t2") &&
-          col("t3") <= col("t1") + expr("INTERVAL 24 HOURS"))
-      .select(col("user_id")).distinct()
-    users
-      .join(l1.withColumn("s1", lit(1L)), Seq("user_id"), "left")
-      .join(l2.withColumn("s2", lit(1L)), Seq("user_id"), "left")
-      .join(l3.withColumn("s3", lit(1L)), Seq("user_id"), "left")
-      .select((coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L))
-        + coalesce(col("s3"), lit(0L))).as("level"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val strictPast = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val e1 = ev.withColumn("lv",
+      max(when(col("event_type") === "view", col("tsu"))).over(strictPast))
+    val e2 = e1.withColumn("ba",
+      max(when(col("event_type") === "click", col("lv"))).over(strictPast))
+    val rowLevel =
+      when(col("event_type") === "purchase" &&
+        col("ba") >= col("tsu") - wUs, 3L)
+        .when(col("event_type") === "click" &&
+          col("lv") >= col("tsu") - wUs, 2L)
+        .when(col("event_type") === "view", 1L)
+        .otherwise(0L)
+    e2.groupBy(col("user_id"))
+      .agg(max(rowLevel).as("level"))
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))

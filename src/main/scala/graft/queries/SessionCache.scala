@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped parquet read-through cache — the shared machinery behind
+  * [[MaterializedPairs]] (the near-dup pair table) and
+  * [[MaterializedShingles]] (the per-doc shingle table).
+  *
+  * The cache holds PATHS, not DataFrames — parquet on disk survives the
+  * bench harness's per-query unpersist sweep, which would truncate a
+  * cached localCheckpoint's blocks. Keys are a per-session-INSTANCE UUID
+  * (never an identity hash: those are non-unique across live sessions and
+  * reusable after GC, which could serve a stale table built under a
+  * different conf), the location is shared between driver and executors
+  * (`spark.graft.scale.sessionCachePath`, legacy `graphEdgeCachePath`,
+  * else warehouse-relative), and every root written this JVM is swept on
+  * exit.
+  *
+  * Concurrency: the map holds MEMOIZED THUNKS, not eagerly-built paths.
+  * `computeIfAbsent` only constructs the lazy holder — O(1) under the
+  * bin lock — and the corpus scan + parquet write runs under the holder's
+  * own monitor, outside the map. Two concurrent consumers of the SAME
+  * (session, dir, tag) still serialize on the one build (by design: the
+  * whole point is a single materialization), but a consumer of a
+  * DIFFERENT key that happens to share the hash bin is never blocked for
+  * the duration of a Spark job (round-11 advice item).
+  */
+private[queries] object SessionCache {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), () => String]
+
+  /** Cache roots created this JVM, swept by [[cleanupHook]] on exit. Each
+    * entry carries the Hadoop conf it was written with so remote-FS roots
+    * (HDFS/S3 warehouse) delete through the right filesystem.
+    */
+  private val cacheRoots = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cacheRoots.forEach { (root, conf) =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(conf).delete(p, true)
+        } catch { case _: Throwable => () } // best-effort sweep
+      }
+    }, "graft-session-cache-cleanup"))
+
+  /** A real unique id per session INSTANCE: a fresh UUID minted on first
+    * use and held in a weak map (Spark's own `sessionUUID` has the
+    * semantics we want but is private[sql]). Weak keys mean a dead
+    * session's entry vanishes and a new session can only ever mint a NEW
+    * id.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
+  private def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  /** Where cached tables live: `spark.graft.scale.sessionCachePath` (or the
+    * pre-round-12 name `graphEdgeCachePath`) if set, else warehouse-relative
+    * (`spark.sql.warehouse.dir`) — a location SHARED between driver and
+    * executors on a real cluster. A `createTempDirectory` driver-local path
+    * would only work when driver and executors share a filesystem (local
+    * mode); on the 100 TB cluster shape this knob targets, executors
+    * writing/reading a non-shared local path would fail or silently produce
+    * partial reads.
+    */
+  private def cacheRoot(s: SparkSession): String = {
+    val base = s.conf.getOption("spark.graft.scale.sessionCachePath")
+      .orElse(s.conf.getOption("spark.graft.scale.graphEdgeCachePath"))
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir"))
+    s"${base.stripSuffix("/")}/graft_cache/${sessionId(s)}"
+  }
+
+  /** The cached table for (session, dir, tag), built+written by the FIRST
+    * consumer and read back by every later one. `build` must be
+    * deterministic for the session's conf — the round-trip parity is
+    * spec-pinned per table (ScaleConfSpec).
+    */
+  def readThrough(s: SparkSession, dir: String, tag: String)
+                 (build: => DataFrame): DataFrame = {
+    cleanupHook // register the exit sweep once
+    val key = (sessionId(s), dir, tag)
+    val holder = cache.computeIfAbsent(key, _ => {
+      // lazy val: the build runs on FIRST dereference, under the holder's
+      // monitor — NOT under the ConcurrentHashMap bin lock
+      lazy val path: String = {
+        val root = cacheRoot(s)
+        cacheRoots.putIfAbsent(root, s.sparkContext.hadoopConfiguration)
+        // one subdir per source dir under the session root; the dir string
+        // is hashed so URIs/slashes can't break the path
+        val p = s"$root/${java.lang.Integer.toHexString(dir.hashCode)}/$tag"
+        build.write.mode("overwrite").parquet(p)
+        p
+      }
+      () => path
+    })
+    s.read.parquet(holder())
+  }
+}

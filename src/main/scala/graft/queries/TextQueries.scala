@@ -1144,7 +1144,9 @@ object TextQueries extends QueryPack {
       .withColumn("dq", expr("(1000000 * n_distinct) div n_toks"))
       .withColumn("bk", expr("dq div 1024"))
       .localCheckpoint() // referenced by budget agg, bucket sums, selection
-    val budget = base.agg(expr("sum(n_toks) div 2").as("b"))
+    // coalesce: sum over zero rows is NULL — an empty tokenized corpus
+    // must degrade to empty output (budget 0 selects nothing), not NPE
+    val budget = base.agg(coalesce(expr("sum(n_toks) div 2"), lit(0L)).as("b"))
       .collect()(0).getLong(0) // 1 row
     // bounded collect: density ≤ 1e6 → at most 978 bucket rows
     val buckets = base.groupBy(col("bk")).agg(sum(col("n_toks")).as("btoks"))

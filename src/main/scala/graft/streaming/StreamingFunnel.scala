@@ -108,8 +108,38 @@ object StreamingFunnel {
     * group function once per user (Spark executes FMGWS in batch too);
     * the agreement pin is against the independent [[batchTransitions]]
     * joins either way.
+    *
+    * State note: with NoTimeout a converted user keeps its one-integer
+    * suppression row forever — exact, but state grows with distinct
+    * user_ids. Long-running deployments should use [[detectExpiring]].
     */
   def detect(events: Dataset[FunnelEvent], windowMs: Long)
+    : Dataset[FunnelTransition] =
+    stateful(events, windowMs, expireAfterWatermark = false)
+
+  /** [[detect]] with BOUNDED state for long-running deployments: the
+    * input gets an event-time watermark of `watermarkDelayMs`, and a
+    * user whose watermark passes `maxTs + 2·window + delay` is dropped
+    * via EventTimeTimeout — by then every frontier entry is already
+    * outside the 2-window disorder horizon, so dropping a NON-converted
+    * user's state cannot change any future in-contract output. What the
+    * TTL trades away is only the duplicate-suppression integer: a user
+    * returning after an idle gap longer than the horizon re-reports
+    * levels from 1 (the standard streaming TTL contract — at-least-once
+    * per level instead of exactly-once, state O(users active within the
+    * horizon) instead of O(users ever seen)). Streaming-only: batch
+    * execution has no watermark for EventTimeTimeout — use [[detect]]
+    * there (StreamingFunnelSpec pins agreement between the two for
+    * in-horizon traffic).
+    */
+  def detectExpiring(events: Dataset[FunnelEvent], windowMs: Long,
+                     watermarkDelayMs: Long): Dataset[FunnelTransition] =
+    stateful(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      windowMs, expireAfterWatermark = true)
+
+  private def stateful(events: Dataset[FunnelEvent], windowMs: Long,
+                       expireAfterWatermark: Boolean)
     : Dataset[FunnelTransition] = {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stEnc: Encoder[FunnelUserState] =
@@ -119,6 +149,10 @@ object StreamingFunnel {
 
     def fn(user: Long, evs: Iterator[FunnelEvent],
            state: GroupState[FunnelUserState]): Iterator[FunnelTransition] = {
+      if (state.hasTimedOut) { // expiring mode only: idle past the horizon
+        state.remove()
+        return Iterator.empty
+      }
       val seq = evs.toSeq
       val sorted =
         if (seq.lengthCompare(2) < 0) seq
@@ -163,11 +197,23 @@ object StreamingFunnel {
         } else st = st.copy(maxTs = math.max(st.maxTs, micros(e.ts)))
       }
       state.update(st)
+      if (expireAfterWatermark) {
+        // horizon: once the watermark passes maxTs + 2·window nothing in
+        // this user's frontiers can legally extend (the 2-window prune
+        // already emptied them); clamp above the current watermark — a
+        // user whose only events arrived very late would otherwise set a
+        // timeout in the past, which Spark rejects
+        val horizonMs = st.maxTs / 1000L + 2 * windowMs + 1
+        state.setTimeoutTimestamp(
+          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+      }
       out.iterator
     }
 
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (expireAfterWatermark) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** The independent batch twin: r27's EXISTS step joins, reporting each

@@ -30,6 +30,7 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(Scale.cellQuota == 10)
     assert(Scale.maxDf == 1000)
     assert(!Scale.graphEdgeCache)
+    assert(!Scale.shingleCache)
   }
 
   test("graphEdgeCache changes cost attribution, never results") {
@@ -52,6 +53,36 @@ class ScaleConfSpec extends SparkSpecBase {
     names.foreach { n =>
       assert(on(n) == off(n), s"$n cached != uncached")
     }
+  }
+
+  test("shingleCache changes cost attribution, never results") {
+    // seven dedup pipelines (and the pair-table build) start from the one
+    // session-materialized (doc_id, lang, source, s3) table when the knob
+    // is on; the committed oracles run with it OFF — this parity pins that
+    // the parquet round-trip is bit-identical on consumers covering the
+    // jac doubles (d02), the multi-width band sweep (d23), the
+    // prefix-filter arrays (d27, array_intersect is element-ORDER
+    // sensitive in cost, order must survive the round-trip), and the
+    // source-keyed signature rollup (d29)
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("d02_ngram_jaccard", "d23_band_sweep",
+      "d27_prefix_filter_join", "d29_source_overlap")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"dedup pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("shingleCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
+    // and composed with the pair-table cache (the full bench profile):
+    // a MaterializedPairs consumer built FROM the cached shingle table
+    val both = withScale("shingleCache" -> "1", "graphEdgeCache" -> "1") {
+      run("d03_minhash_lsh")
+    }
+    assert(both == run("d03_minhash_lsh"), "d03 under both knobs != plain")
   }
 
   test("queryK override re-scales DataFrame result and oracle SQL together") {

@@ -106,6 +106,56 @@ class StreamingFunnelSpec extends SparkSpecBase {
       s"late click must still chain (got levels $levels)")
   }
 
+  test("detectExpiring: agrees in-horizon, drops state past it, re-admits") {
+    // 1-minute window, 1 s watermark delay: u1 converts, u2 stays partial;
+    // then traffic 10 h later pushes the watermark far past their
+    // maxTs + 2·window horizon — both state rows must vanish (the round-11
+    // advice leak), later users' rows must remain, and a returning expired
+    // user re-reports level 1 (the documented at-least-once TTL trade)
+    val Wm = 60000L
+    val h = 3600L
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.detectExpiring(in.toDS(), Wm, 1000L)
+      .writeStream.format("memory").queryName("sfun_expire")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(
+        FunnelEvent(1L, t(0), 1), FunnelEvent(1L, t(1), 2),
+        FunnelEvent(1L, t(2), 3), // u1 converted: state is the integer
+        FunnelEvent(2L, t(0), 1)) // u2 partial: state is a frontier
+      q.processAllAvailable()
+      val inHorizon = spark.table("sfun_expire").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(inHorizon == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)),
+        "in-horizon transitions must match detect()'s")
+      in.addData(FunnelEvent(3L, t(10 * h), 1)) // advances the watermark
+      q.processAllAvailable()
+      in.addData(FunnelEvent(4L, t(10 * h + 1), 1)) // timeouts fire here
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L,
+        s"u1/u2 must be expired, u3/u4 retained (state rows: $stateRows)")
+      // the expired converted user returns: level 1 re-reported
+      in.addData(FunnelEvent(1L, t(10 * h + 2), 1))
+      q.processAllAvailable()
+      val u1L1 = spark.table("sfun_expire").collect()
+        .count(r => r.getLong(0) == 1L && r.getInt(1) == 1)
+      assert(u1L1 == 2, "an expired user re-reports level 1 on return")
+    } finally q.stop()
+  }
+
+  test("funnel arm post-filter count: closed form == brute force at any stop") {
+    val users = 7L
+    for (n <- Seq(0L, 1L, 5L, 13L, 34L, 35L, 36L, 70L, 99L, 105L, 176L)) {
+      val brute = (0L until n).count { v =>
+        val r = (v / users) % 5; r == 0 || r == 2 || r == 4
+      }
+      assert(StreamBench.funnelSourceEvents(n, users) == brute.toLong,
+        s"n=$n")
+    }
+  }
+
   test("state collapses after conversion and frontiers stay window-bounded") {
     val h = 3600L
     // a user who converts immediately, then floods views
