@@ -466,8 +466,14 @@ object StreamBench {
     val sunk = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    // measured state FOOTPRINT, not just row count — the whole point of the
+    // Bloom path is that state stays at shards x bitsPerShard regardless of
+    // key cardinality, and distinct keys here grow with every consumed value
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val distinctOffered = inRows - inRows / 10 // the value-1 fold dedups 1/10
     val sustained = math.round(sunk / elapsed)
-    println(s"""{"metric":"bloom_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"admitted":$sunk,"state_rows":$stateRows,"shards":$shards,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"bloom_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"distinct_keys_offered":$distinctOffered,"admitted":$sunk,"state_rows":$stateRows,"state_bytes":$stateBytes,"shards":$shards,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -664,8 +670,15 @@ object StreamBench {
       .getOrElse(0L)
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    // measured state FOOTPRINT: 5 sketch rows (one per group) regardless
+    // of how many distinct items the Zipf tail generates
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val distinctItems = out
+      .map(_.select(countDistinct(col("item"))).collect()(0).getLong(0))
+      .getOrElse(0L)
     val sustained = math.round(nEvents / elapsed)
-    println(s"""{"metric":"topk_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"snapshot_rows":$nSnapRows,"max_n_total":$maxSeen,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"topk_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"snapshot_rows":$nSnapRows,"max_n_total":$maxSeen,"tracked_distinct_items":$distinctItems,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -86,18 +86,54 @@ object DedupQueries extends QueryPack {
     * when the result feeds a hash join.
     */
   private def d02PairsUnordered(s: SparkSession, dir: String, maxDf: Int): DataFrame =
-    // the shingle table feeds the posting-list explode AND both size
-    // lookups — one tokenize+shingle pass, materialized per call (knob
-    // off) or once per session (Scale.shingleCache on)
-    d02PairsFrom(MaterializedShingles.s3(s, dir), maxDf)
+    // derived from the family's shared candidate table (one
+    // tokenize+shingle pass materialized per call knob-off, the whole
+    // pair build shared per session knob-on)
+    withJac(overlapPairs(s, dir, maxDf))
+      .select(col("i"), col("j"), col("jac"))
+      .filter(col("jac") >= 0.3)
 
   /** [[d02PairsUnordered]] from a caller-supplied `(doc_id, s3)` shingle
-    * table — the seam that lets d23 tokenize+shingle the corpus ONCE and
-    * feed the same materialized frame to both the truth set and the
-    * MinHash signatures (text scanning and shingle hashing is the per-row
-    * cost that doubles at 100 TB if each consumer rescans).
+    * table — the seam that shares the one tokenize+shingle pass (text
+    * scanning and shingle hashing is the per-row cost that doubles at
+    * 100 TB if each consumer rescans).
     */
-  private def d02PairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
+  private def d02PairsFrom(sh: DataFrame, maxDf: Int): DataFrame =
+    withJac(overlapPairsFrom(sh, maxDf))
+      .select(col("i"), col("j"), col("jac"))
+      .filter(col("jac") >= 0.3)
+
+  /** Exact-Jaccard column over an [[overlapPairsFrom]] row — derived from
+    * the integer (c, n_i, n_j) at read time, so the cached parquet carries
+    * only integers and the doubles are computed identically on both the
+    * cached and inline paths (bit-identical by construction, not by
+    * round-trip).
+    */
+  private def withJac(p: DataFrame): DataFrame =
+    p.withColumn("jac", col("c").cast("double") /
+      (col("n_i") + col("n_j") - col("c")).cast("double"))
+
+  /** The shingle-set overlap family's SHARED candidate pair table:
+    * `(i, j, c, n_i, n_j)` — exact intersection count and both set sizes
+    * for every df-capped candidate pair that passes EITHER report
+    * predicate of the family (d02/d23-truth's jac ≥ 0.3, d25's one-sided
+    * containment ≥ [[ContainmentMin]]); each consumer re-applies its exact
+    * predicate, so pre-filtering to the UNION keeps the materialized table
+    * output-sized (the unfiltered candidate set — every pair sharing one
+    * shingle — is the one intermediate you never want on disk at 100 TB).
+    * With [[graft.config.Scale.shingleCache]] on, the table is built once
+    * per (session, sfDir, maxDf) and d02, d23's truth set, and d25 all
+    * read it back: one explode + two shuffles for the family instead of
+    * three. The maxDf knob value is part of the cache tag — a mid-session
+    * conf change can never serve a stale cap.
+    */
+  private def overlapPairs(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    def build = overlapPairsFrom(MaterializedShingles.s3(s, dir), maxDf)
+    if (!graft.config.Scale.shingleCache) build
+    else SessionCache.readThrough(s, dir, s"ovp$maxDf")(build)
+  }
+
+  private def overlapPairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
     val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
     // Group-pairs form, not a self-join: Spark doesn't reuse the exploded
@@ -118,13 +154,17 @@ object DedupQueries extends QueryPack {
     val pairs = groups.select(explode(pairExpr).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("c"))
+    val c = col("c").cast("double")
     pairs
       .join(sizes.as("ca"), col("i") === col("ca.doc_id"))
       .join(sizes.as("cb"), col("j") === col("cb.doc_id"))
-      .select(col("i"), col("j"),
-        (col("c").cast("double") /
-          (col("ca.n") + col("cb.n") - col("c")).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.3)
+      .select(col("i"), col("j"), col("c"),
+        col("ca.n").cast("long").as("n_i"),
+        col("cb.n").cast("long").as("n_j"))
+      .filter(
+        c / (col("n_i") + col("n_j") - col("c")).cast("double") >= 0.3 ||
+        c / col("n_i").cast("double") >= ContainmentMin ||
+        c / col("n_j").cast("double") >= ContainmentMin)
   }
 
   private val d02Sql = shingleCte +
@@ -583,9 +623,14 @@ object DedupQueries extends QueryPack {
     */
   private def d23(s: SparkSession, dir: String): DataFrame = {
     val sh = MaterializedShingles.s3(s, dir)
-    // ONE tokenize+shingle pass feeds truth AND sigs (session-shared
-    // under Scale.shingleCache)
-    val truth = d02PairsFrom(sh, DefaultMaxDf)
+    // ONE tokenize+shingle pass feeds truth AND sigs. Knob off, the truth
+    // derives from THIS query's sh frame (no second scan); knob on it
+    // reads the session-shared overlap-pair table outright — the whole
+    // d02 pair build, not just the shingle scan, is then paid once per
+    // session across d02/d23/d25.
+    val truth = (if (graft.config.Scale.shingleCache)
+        d02PairsUnordered(s, dir, DefaultMaxDf)
+      else d02PairsFrom(sh, DefaultMaxDf))
       .select(col("i"), col("j")).localCheckpoint()
     val sig = MinHashLSH.signatures(sh, col("doc_id"), col("s3"), 8)
     val bandCols = BandSweepRs.flatMap { r =>
@@ -1744,34 +1789,16 @@ object DedupQueries extends QueryPack {
     * counts from the join multiplicity; only the final scoring expression
     * differs. No cartesian at any size.
     */
-  private def d25(s: SparkSession, dir: String): DataFrame = {
-    // posting-list explode + two size lookups: shingle the corpus once
-    // (session-shared under Scale.shingleCache)
-    val sh = MaterializedShingles.s3(s, dir)
-    val ex = sh.select(col("doc_id"), explode(col("s3")).as("sng"))
-    val sizes = sh.select(col("doc_id"), size(col("s3")).as("n"))
-    val cl = graft.functions.CollectCapped(DefaultMaxDf)
-    val groups = ex.groupBy(col("sng"))
-      .agg(sort_array(cl(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .filter(size(col("ds")) <= DefaultMaxDf)
-    val pairExpr = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
-        y => struct(x.as("i"), y.as("j")))))
-    val pairs = groups.select(explode(pairExpr).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("c"))
-    pairs
-      .join(sizes.as("ca"), col("i") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("j") === col("cb.doc_id"))
-      .select(col("i"), col("j"), col("c"),
-        col("ca.n").cast("long").as("n_i"),
-        col("cb.n").cast("long").as("n_j"),
-        (col("c").cast("double") / col("ca.n").cast("double")).as("cont_i"),
-        (col("c").cast("double") / col("cb.n").cast("double")).as("cont_j"))
+  private def d25(s: SparkSession, dir: String): DataFrame =
+    // the family's shared candidate table (explode + group-pairs + size
+    // joins) with the containment predicate re-applied exactly — see
+    // overlapPairs; the machinery is d02's, only the scoring differs
+    overlapPairs(s, dir, DefaultMaxDf)
+      .select(col("i"), col("j"), col("c"), col("n_i"), col("n_j"),
+        (col("c").cast("double") / col("n_i").cast("double")).as("cont_i"),
+        (col("c").cast("double") / col("n_j").cast("double")).as("cont_j"))
       .filter(greatest(col("cont_i"), col("cont_j")) >= ContainmentMin)
       .orderBy(col("i"), col("j"))
-  }
 
   private val d25Sql = shingleCte +
     s"""

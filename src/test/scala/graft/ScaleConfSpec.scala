@@ -66,7 +66,7 @@ class ScaleConfSpec extends SparkSpecBase {
     // source-keyed signature rollup (d29)
     def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSeq
-    val names = Seq("d02_ngram_jaccard", "d23_band_sweep",
+    val names = Seq("d02_ngram_jaccard", "d23_band_sweep", "d25_containment",
       "d27_prefix_filter_join", "d29_source_overlap")
     names.foreach(n => assert(SparkEntry.queries.contains(n),
       s"dedup pack name $n moved — update this spec"))
