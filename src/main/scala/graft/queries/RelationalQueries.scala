@@ -649,7 +649,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r25_dq_audit", r25, Some(r25Sql)),
     QueryDef("r26_basket_lift", r26, Some(r26Sql)),
     QueryDef("r27_window_funnel", r27, Some(r27Sql)),
-    QueryDef("r28_retention", r28, Some(r28Sql)))
+    QueryDef("r28_retention", r28, Some(r28Sql)),
+    QueryDef("r29_strict_funnel", r29, Some(r29Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for): per user, the furthest
@@ -793,6 +794,74 @@ object RelationalQueries extends QueryPack {
       |  CAST(n_active AS DOUBLE) / cohort_users AS retention
       |FROM active JOIN sizes ON sizes.cohort_ts = active.cohort_ts
       |ORDER BY cohort, "offset"""".stripMargin
+
+  /** r29 — STRICT-ORDER windowed funnel (ClickHouse `windowFunnel(w)(…)`
+    * with the `strict_order` mode, the second of the sink engine's funnel
+    * semantics): the view → click → purchase chain counts only when the
+    * three events are CONSECUTIVE in the user's full event sequence — any
+    * intervening event of any type breaks the chain ("A→B→D→C stops
+    * finding A→B→C at D") — and the whole chain completes within 24 h of
+    * its anchoring view. r27 is the EXISTS complement (any view may
+    * anchor, interventions don't matter); the strict mode is what
+    * product analytics uses to measure UNINTERRUPTED flows (did the user
+    * go view→click→purchase directly, or wander?). Reported as users per
+    * furthest strict level, like r27.
+    *
+    * Semantics: per user, events are sequenced by (ts, event_id) — the
+    * deterministic total order both engines share; a purchase reaches
+    * strict level 3 iff its two immediate predecessors are click then
+    * view with t₃ ≤ t₁ + w; a click reaches 2 iff its immediate
+    * predecessor is a view with t₂ ≤ t₁ + w. Levels nest (the sequence
+    * order makes t₂ ≤ t₃ ≤ t₁ + w), so furthest = per-user max.
+    *
+    * Scale shape: ONE window pass — two lag() pairs over the per-user
+    * (ts, event_id) sort, then the per-user max and a 4-row census. No
+    * joins, no pair table; a bot user costs one sorted run (the same
+    * skew-proof shape r27/j05 moved to this round, stressed by the
+    * funnel-skew arm).
+    */
+  private def r29(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val p1t = lag(col("event_type"), 1).over(seq)
+    val p1u = lag(col("tsu"), 1).over(seq)
+    val p2t = lag(col("event_type"), 2).over(seq)
+    val p2u = lag(col("tsu"), 2).over(seq)
+    val rowLevel =
+      when(col("event_type") === "purchase" && p1t === "click" &&
+        p2t === "view" && col("tsu") <= p2u + wUs, 3L)
+        .when(col("event_type") === "click" && p1t === "view" &&
+          col("tsu") <= p1u + wUs, 2L)
+        .when(col("event_type") === "view", 1L)
+        .otherwise(0L)
+    ev.withColumn("lvl", rowLevel)
+      .groupBy(col("user_id"))
+      .agg(max(col("lvl")).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  private val r29Sql =
+    """WITH w AS (SELECT user_id, event_type, ts,
+      |  LAG(event_type, 1) OVER u AS p1t, LAG(ts, 1) OVER u AS p1ts,
+      |  LAG(event_type, 2) OVER u AS p2t, LAG(ts, 2) OVER u AS p2ts
+      | FROM events WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |l AS (SELECT user_id, MAX(CASE
+      |    WHEN event_type = 'purchase' AND p1t = 'click' AND p2t = 'view'
+      |         AND ts <= p2ts + INTERVAL 24 HOUR THEN 3
+      |    WHEN event_type = 'click' AND p1t = 'view'
+      |         AND ts <= p1ts + INTERVAL 24 HOUR THEN 2
+      |    WHEN event_type = 'view' THEN 1 ELSE 0 END) AS level
+      |  FROM w GROUP BY user_id)
+      |SELECT CAST(level AS BIGINT) AS level,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM l GROUP BY level ORDER BY level""".stripMargin
 
   /** r26 — market-basket association lift: the top co-purchased part
     * pairs ranked by lift = P(a,b)/(P(a)·P(b)) over order baskets, with a
