@@ -150,6 +150,9 @@ object StreamBench {
     if (op == "funnel") {
       runFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "strictfunnel") {
+      runStrictFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -563,6 +566,65 @@ object StreamBench {
     val funnelSustained =
       math.round(funnelSourceEvents(inRows, users) / elapsed)
     println(s"""{"metric":"funnel_rps","value":$sustained,"unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=strictfunnel measures the live STRICT-ORDER
+    * windowed funnel (StreamingStrictFunnel — r29's streaming form): 100k
+    * concurrent users laddering view → click → purchase in consecutive
+    * rounds, then two noise rounds per cycle. Unlike the EXISTS arm there
+    * is NO pre-filter — strict order means every event (noise included)
+    * flows through the stateful stage, because any intervening event
+    * breaks a chain; the reported rate is therefore rows through the
+    * STATE STORE per second, and state is six numbers per user (the
+    * last-two-events context — the smallest funnel state possible).
+    */
+  private def runStrictFunnel(spark: org.apache.spark.sql.SparkSession,
+                              rps: Long, secs: Int, sinkDir: String,
+                              ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingStrictFunnel
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    // round r ∈ [0,5): r=0 view, r=1 click, r=2 purchase (consecutive per
+    // user — the strict chain completes), r∈{3,4} noise (step 0, KEPT)
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val step = when(round === 0, 1).when(round === 1, 2)
+      .when(round === 2, 3).otherwise(0)
+    val events = raw.select(pmod(col("value"), lit(users)).as("user_id"),
+        col("timestamp").as("ts"), step.as("step"))
+      .as[graft.streaming.StrictFunnelEvent](
+        org.apache.spark.sql.Encoders.product[graft.streaming.StrictFunnelEvent])
+    val transitions =
+      StreamingStrictFunnel.detectExpiring(events, 24L * 3600 * 1000, 5000L)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = transitions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nTrans = out.map(_.count()).getOrElse(0L)
+    val nConverted = out.map(_.filter(col("level") === 3).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"strict_funnel_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event entering the strict funnel: unlike [[FunnelEvent]], `step` 0
+  * (a non-funnel event) is KEPT — strict order means any intervening event
+  * breaks the chain, so the stateful stage must see every event to know
+  * what "immediately preceding" means.
+  */
+case class StrictFunnelEvent(user_id: Long, ts: Timestamp, step: Int)
+
+/** Per-user strict-funnel state — CONSTANT size, the smallest state of any
+  * funnel form: the last two events' (step, epoch-µs) — the only context
+  * "consecutive in sequence" can ever need — plus the furthest level
+  * reported and the max event time seen.
+  */
+case class StrictFunnelState(p1Step: Int, p1Ts: Long, p2Step: Int, p2Ts: Long,
+                             reached: Int, maxTs: Long)
+
+/** Streaming STRICT-ORDER windowed funnel — r29's ClickHouse
+  * `windowFunnel(strict_order)` shape LIVE: per user, emit a transition
+  * the moment the view → click → purchase chain completes with NO
+  * intervening event of any type ("A→B→D→C stops finding A→B→C at D"),
+  * the whole chain within `windowMs` of its anchoring view.
+  *
+  * Agreement (pinned by StreamingStrictFunnelSpec): for event-time-ordered
+  * delivery the transition stream equals [[batchTransitions]] — the r29
+  * lag-window computation reporting each level's minimal completion time —
+  * row for row, and the per-user furthest-level census equals r29's.
+  *
+  * Disorder contract: strict order is SEQUENCE-defined, so events are
+  * judged in arrival-batch event-time order (each micro-batch is sorted by
+  * (event time, step) before the state update — ties between distinct
+  * events at the same µs resolve by step, the batch side's event_id is
+  * not part of the streaming schema); an event arriving a batch late is
+  * sequenced after everything already judged, the standard
+  * arrival-evaluation contract.
+  *
+  * Scale shape: state is SIX numbers per user — no frontier, no history —
+  * because an event can only ever chain to its two immediate predecessors;
+  * the stateful stage keys on user_id. [[detectExpiring]] bounds even that:
+  * a user idle past `window + delay` can be dropped LOSSLESSLY for chain
+  * detection (a chain spanning a ≥window gap between consecutive events
+  * violates the anchor window by definition), trading only the
+  * duplicate-suppression integer — a returning expired user re-reports
+  * from level 1.
+  */
+object StreamingStrictFunnel {
+
+  val Steps = 3
+
+  /** Project a raw events frame into the strict funnel's typed input,
+    * mapping `steps(i)` to step i+1 and every OTHER event type to step 0
+    * (kept — it breaks chains).
+    */
+  def strictEvents(events: DataFrame, userCol: Column, tsCol: Column,
+                   typeCol: Column, steps: Seq[String]): Dataset[StrictFunnelEvent] = {
+    require(steps.length == Steps, s"funnel is $Steps steps")
+    implicit val enc: Encoder[StrictFunnelEvent] =
+      Encoders.product[StrictFunnelEvent]
+    val idx = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(typeCol === t, lit(i + 1)).otherwise(acc)
+    }
+    events.select(userCol.as("user_id"), tsCol.as("ts"), idx.as("step"))
+      .as[StrictFunnelEvent]
+  }
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** The stateful stage, exact form: NoTimeout, state lives as long as the
+    * user (use [[detectExpiring]] for long-running deployments).
+    */
+  def detect(events: Dataset[StrictFunnelEvent], windowMs: Long)
+    : Dataset[FunnelTransition] =
+    stateful(events, windowMs, expire = None)
+
+  /** [[detect]] with BOUNDED state: event-time watermark of
+    * `watermarkDelayMs`, users expired once the watermark passes
+    * `maxTs + window + delay`. Lossless for chain detection (see class
+    * doc); re-admission re-reports from level 1. Streaming-only.
+    */
+  def detectExpiring(events: Dataset[StrictFunnelEvent], windowMs: Long,
+                     watermarkDelayMs: Long): Dataset[FunnelTransition] =
+    stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      windowMs, expire = Some(watermarkDelayMs))
+
+  private def stateful(events: Dataset[StrictFunnelEvent], windowMs: Long,
+                       expire: Option[Long]): Dataset[FunnelTransition] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[StrictFunnelState] =
+      Encoders.product[StrictFunnelState]
+    implicit val outEnc: Encoder[FunnelTransition] =
+      Encoders.product[FunnelTransition]
+    val windowUs = windowMs * 1000L
+
+    def fn(user: Long, evs: Iterator[StrictFunnelEvent],
+           state: GroupState[StrictFunnelState]): Iterator[FunnelTransition] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val seq = evs.toSeq
+      val sorted =
+        if (seq.lengthCompare(2) < 0) seq
+        else seq.sortBy(e => (micros(e.ts), e.step))
+      var st = state.getOption
+        .getOrElse(StrictFunnelState(0, Long.MinValue, 0, Long.MinValue,
+          0, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        val rowLevel = e.step match {
+          case 1 => 1
+          case 2 =>
+            if (st.p1Step == 1 && t <= st.p1Ts + windowUs) 2 else 0
+          case 3 =>
+            if (st.p1Step == 2 && st.p2Step == 1 && t <= st.p2Ts + windowUs) 3
+            else 0
+          case _ => 0
+        }
+        if (rowLevel > st.reached) {
+          // a row can raise reached by at most one: level 2 requires the
+          // immediately preceding view (reached >= 1 already), level 3 the
+          // immediately preceding qualifying click (reached >= 2 already)
+          out += FunnelTransition(user, rowLevel, e.ts)
+        }
+        st = StrictFunnelState(e.step, t, st.p1Step, st.p1Ts,
+          math.max(st.reached, rowLevel), math.max(st.maxTs, t))
+      }
+      state.update(st)
+      expire.foreach { delay =>
+        val horizonMs = st.maxTs / 1000L + windowMs + delay + 1
+        state.setTimeoutTimestamp(
+          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The independent batch twin — r29's lag-window computation, reporting
+    * each user's (level, minimal completion event time): exactly the rows
+    * [[detect]] emits on an ordered stream. Ties inside one (user, ts)
+    * microsecond are ordered by step, matching the streaming sort.
+    */
+  def batchTransitions(events: DataFrame, userCol: Column, tsCol: Column,
+                       typeCol: Column, steps: Seq[String],
+                       windowMs: Long): DataFrame = {
+    require(steps.length == Steps, s"funnel is $Steps steps")
+    import org.apache.spark.sql.expressions.Window
+    val wUs = windowMs * 1000L
+    val idx = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(typeCol === t, lit(i + 1)).otherwise(acc)
+    }
+    val ev = events.select(userCol.as("user_id"), tsCol.as("ts"),
+      unix_micros(tsCol).as("tsu"), idx.as("step"))
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("step"))
+    val p1s = lag(col("step"), 1).over(seq)
+    val p1u = lag(col("tsu"), 1).over(seq)
+    val p2s = lag(col("step"), 2).over(seq)
+    val p2u = lag(col("tsu"), 2).over(seq)
+    val rowLevel =
+      when(col("step") === 3 && p1s === 2 && p2s === 1 &&
+        col("tsu") <= p2u + wUs, 3)
+        .when(col("step") === 2 && p1s === 1 && col("tsu") <= p1u + wUs, 2)
+        .when(col("step") === 1, 1)
+        .otherwise(0)
+    val lv = ev.withColumn("lvl", rowLevel)
+    (1 to Steps).map { l =>
+      lv.filter(col("lvl") >= l)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("ts"))
+        .withColumn("level", lit(l))
+    }.reduce(_ unionByName _)
+      .select(col("user_id"), col("level"), col("ts"))
+  }
+}

@@ -114,6 +114,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("funnel family plans have NO join at all (r27/r29/j05 window forms)") {
+    // the round-12 de-quadratic rewrites: r27's former view x click chain
+    // join materialized V*C rows per user (a bot user is quadratic), j05's
+    // left-semi paid C*P predicate evaluations in one task. The window
+    // forms must never regress to a join — one user-keyed exchange, sorted
+    // frames, aggregation.
+    for (q <- Seq("r27_window_funnel", "r29_strict_funnel",
+        "j05_conversion_funnel")) {
+      val s = planString(run(q))
+      assert(!s.toLowerCase.contains("join"), s"$q must stay join-free")
+      assert(s.contains("Window"), s"$q computes via window frames")
+    }
+  }
+
   test("dedup keepFirst is a single-exchange hash aggregate, not a window sort") {
     val df = run("q05_dedup_keep_first")
     val s = planString(df)
