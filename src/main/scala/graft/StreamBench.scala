@@ -593,7 +593,8 @@ object StreamBench {
     val step = when(round === 0, 1).when(round === 1, 2)
       .when(round === 2, 3).otherwise(0)
     val events = raw.select(pmod(col("value"), lit(users)).as("user_id"),
-        col("timestamp").as("ts"), step.as("step"))
+        col("timestamp").as("ts"), step.as("step"),
+        col("value").as("event_id"))
       .as[graft.streaming.StrictFunnelEvent](
         org.apache.spark.sql.Encoders.product[graft.streaming.StrictFunnelEvent])
     val transitions =

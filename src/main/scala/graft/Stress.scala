@@ -348,7 +348,7 @@ object Stress {
     val nFun = sys.env.getOrElse("SPARK_GRAFT_STRESS_FUNNEL_ROWS",
       "4000000").toLong
     val funnelQs = Seq("r27_window_funnel", "j05_conversion_funnel",
-      "r28_retention")
+      "r28_retention", "r29_strict_funnel")
     def funnelDir(hot: Boolean): String = {
       val d = java.nio.file.Files
         .createTempDirectory(s"graft_funnel_${if (hot) "hot" else "uni"}")
@@ -376,6 +376,20 @@ object Stress {
       else {
         val uniDir = funnelDir(hot = false)
         val hotDir = funnelDir(hot = true)
+        // the two 4M-row corpora are deleted when the arm completes (and by
+        // a shutdown hook if it doesn't — repeated stress invocations must
+        // not leak tmp disk; round-12 advice, mirroring the SessionCache
+        // exit sweep)
+        def sweepFunnelDirs(): Unit = Seq(uniDir, hotDir).foreach { d =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Throwable => () } // best-effort
+        }
+        val sweepHook = new Thread(() => sweepFunnelDirs(), "graft-funnel-sweep")
+        Runtime.getRuntime.addShutdownHook(sweepHook)
+        try {
         // arms interleaved (uniform, hot) per pass like the other skew arms
         val fRuns = (1 to math.max(runs, passes)).map { _ =>
           funnelQs.map { q =>
@@ -397,6 +411,11 @@ object Stress {
             f"hot=$th%.2fs ratio=${ratios(q)}%.2f")
         }
         (rows, ratios)
+        } finally {
+          sweepFunnelDirs()
+          try Runtime.getRuntime.removeShutdownHook(sweepHook)
+          catch { case _: IllegalStateException => () } // already shutting down
+        }
       }
 
     // flagged superlinear = time ratio past the gate AND unit cost rising

@@ -130,7 +130,7 @@ object DedupQueries extends QueryPack {
   private def overlapPairs(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     def build = overlapPairsFrom(MaterializedShingles.s3(s, dir), maxDf)
     if (!graft.config.Scale.shingleCache) build
-    else SessionCache.readThrough(s, dir, s"ovp$maxDf")(build)
+    else SessionCache.readThrough(s, dir, SessionCache.tag("ovp", maxDf))(build)
   }
 
   private def overlapPairsFrom(sh: DataFrame, maxDf: Int): DataFrame = {

@@ -74,10 +74,27 @@ private[queries] object SessionCache {
     s"${base.stripSuffix("/")}/graft_cache/${sessionId(s)}"
   }
 
+  /** Build a cache tag from a base name plus EVERY knob value the build
+    * reads — the [[readThrough]] invariant made mechanical. Callers fold
+    * each parameter/conf that changes the built table's contents in here
+    * instead of hand-concatenating (round-12 advice: nothing but caller
+    * discipline kept build-affecting knobs inside the tag).
+    */
+  def tag(base: String, knobs: Any*): String =
+    if (knobs.isEmpty) base else base + ":" + knobs.mkString("_")
+
   /** The cached table for (session, dir, tag), built+written by the FIRST
     * consumer and read back by every later one. `build` must be
     * deterministic for the session's conf — the round-trip parity is
     * spec-pinned per table (ScaleConfSpec).
+    *
+    * INVARIANT — the tag MUST encode every knob the build reads: the key
+    * is (session, dir, tag) and nothing else, so a conf value that alters
+    * the built table but is absent from the tag would serve a stale table
+    * to a later consumer running under a different value mid-session.
+    * Construct tags with [[tag]] (base + knob values) rather than a bare
+    * string whenever the build takes parameters; a parameterless build
+    * (e.g. MaterializedShingles' fixed k=3 shingles) may use a constant.
     */
   def readThrough(s: SparkSession, dir: String, tag: String)
                  (build: => DataFrame): DataFrame = {

@@ -9,9 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event entering the strict funnel: unlike [[FunnelEvent]], `step` 0
   * (a non-funnel event) is KEPT — strict order means any intervening event
   * breaks the chain, so the stateful stage must see every event to know
-  * what "immediately preceding" means.
+  * what "immediately preceding" means. `event_id` is the tie-breaker:
+  * both this operator and r29 sequence a user's events by the
+  * (ts, event_id) total order, so same-microsecond events resolve
+  * identically in every form (round-12 advice — the former (ts, step)
+  * sort diverged from r29 on ties).
   */
-case class StrictFunnelEvent(user_id: Long, ts: Timestamp, step: Int)
+case class StrictFunnelEvent(user_id: Long, ts: Timestamp, step: Int,
+                             event_id: Long)
 
 /** Per-user strict-funnel state — CONSTANT size, the smallest state of any
   * funnel form: the last two events' (step, epoch-µs) — the only context
@@ -34,10 +39,10 @@ case class StrictFunnelState(p1Step: Int, p1Ts: Long, p2Step: Int, p2Ts: Long,
   *
   * Disorder contract: strict order is SEQUENCE-defined, so events are
   * judged in arrival-batch event-time order (each micro-batch is sorted by
-  * (event time, step) before the state update — ties between distinct
-  * events at the same µs resolve by step, the batch side's event_id is
-  * not part of the streaming schema); an event arriving a batch late is
-  * sequenced after everything already judged, the standard
+  * (event time, event_id) before the state update — the SAME total order
+  * r29 and [[batchTransitions]] sequence by, so same-microsecond ties
+  * resolve identically in all three forms); an event arriving a batch
+  * late is sequenced after everything already judged, the standard
   * arrival-evaluation contract.
   *
   * Scale shape: state is SIX numbers per user — no frontier, no history —
@@ -58,14 +63,16 @@ object StreamingStrictFunnel {
     * (kept — it breaks chains).
     */
   def strictEvents(events: DataFrame, userCol: Column, tsCol: Column,
-                   typeCol: Column, steps: Seq[String]): Dataset[StrictFunnelEvent] = {
+                   typeCol: Column, idCol: Column,
+                   steps: Seq[String]): Dataset[StrictFunnelEvent] = {
     require(steps.length == Steps, s"funnel is $Steps steps")
     implicit val enc: Encoder[StrictFunnelEvent] =
       Encoders.product[StrictFunnelEvent]
     val idx = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
       when(typeCol === t, lit(i + 1)).otherwise(acc)
     }
-    events.select(userCol.as("user_id"), tsCol.as("ts"), idx.as("step"))
+    events.select(userCol.as("user_id"), tsCol.as("ts"), idx.as("step"),
+        idCol.cast("long").as("event_id"))
       .as[StrictFunnelEvent]
   }
 
@@ -107,7 +114,7 @@ object StreamingStrictFunnel {
       val seq = evs.toSeq
       val sorted =
         if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (micros(e.ts), e.step))
+        else seq.sortBy(e => (micros(e.ts), e.event_id))
       var st = state.getOption
         .getOrElse(StrictFunnelState(0, Long.MinValue, 0, Long.MinValue,
           0, Long.MinValue))
@@ -150,10 +157,12 @@ object StreamingStrictFunnel {
   /** The independent batch twin — r29's lag-window computation, reporting
     * each user's (level, minimal completion event time): exactly the rows
     * [[detect]] emits on an ordered stream. Ties inside one (user, ts)
-    * microsecond are ordered by step, matching the streaming sort.
+    * microsecond are ordered by `idCol` — the same (ts, event_id) total
+    * order the streaming sort and r29 use, so all three forms agree even
+    * on tie-heavy corpora (round-12 advice).
     */
   def batchTransitions(events: DataFrame, userCol: Column, tsCol: Column,
-                       typeCol: Column, steps: Seq[String],
+                       typeCol: Column, idCol: Column, steps: Seq[String],
                        windowMs: Long): DataFrame = {
     require(steps.length == Steps, s"funnel is $Steps steps")
     import org.apache.spark.sql.expressions.Window
@@ -162,9 +171,10 @@ object StreamingStrictFunnel {
       when(typeCol === t, lit(i + 1)).otherwise(acc)
     }
     val ev = events.select(userCol.as("user_id"), tsCol.as("ts"),
-      unix_micros(tsCol).as("tsu"), idx.as("step"))
+      unix_micros(tsCol).as("tsu"), idx.as("step"),
+      idCol.cast("long").as("event_id"))
     val seq = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsu"), col("step"))
+      .orderBy(col("tsu"), col("event_id"))
     val p1s = lag(col("step"), 1).over(seq)
     val p1u = lag(col("tsu"), 1).over(seq)
     val p2s = lag(col("step"), 2).over(seq)

@@ -122,9 +122,18 @@ class PlanSpec extends SparkSpecBase {
     // frames, aggregation.
     for (q <- Seq("r27_window_funnel", "r29_strict_funnel",
         "j05_conversion_funnel")) {
-      val s = planString(run(q))
-      assert(!s.toLowerCase.contains("join"), s"$q must stay join-free")
-      assert(s.contains("Window"), s"$q computes via window frames")
+      val df = run(q)
+      // match on executed-plan NODE TYPES, not plan text — an alias or
+      // relation name containing "join" must not fail this spuriously,
+      // and a future join exec node must not slip past a string match
+      // (round-12 advice)
+      val joins = planOf(df).collectWithSubqueries {
+        // BaseJoinExec covers every join node incl. CartesianProductExec
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty,
+        s"$q must stay join-free, found: ${joins.map(_.nodeName).mkString(", ")}")
+      assert(planString(df).contains("Window"), s"$q computes via window frames")
     }
   }
 
