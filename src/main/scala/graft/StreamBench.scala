@@ -153,6 +153,9 @@ object StreamBench {
     if (op == "strictfunnel") {
       runStrictFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "retention") {
+      runRetention(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -626,6 +629,71 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"strict_funnel_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=retention measures the live conditioned
+    * retention (StreamingRetention — r28's streaming form): each 5-round
+    * cycle brings 100k FRESH users who sign up (round 0, week 0) then
+    * purchase in weeks 0–3 (rounds 1–4), so every row is a state-store
+    * visit and each user settles at exactly 5 exactly-once deltas
+    * (1 size + 4 offsets). Event time is synthesized per round (weeks
+    * apart — the offsets are real week arithmetic, not wall clock); the
+    * exact NoTimeout form is measured, so state is one 4-number row per
+    * user ever seen and the reported `state_rows` growth is the honest
+    * per-user cost (detectExpiring bounds it in deployments; the horizon
+    * drop is spec-pinned, not re-measured here).
+    */
+  private def runRetention(spark: org.apache.spark.sql.SparkSession,
+                           rps: Long, secs: Int, sinkDir: String,
+                           ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{RetentionEvent, StreamingRetention}
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    val weekMs = 7L * 86400000L
+    val baseMs = 1700438400000L // 2023-11-20, a Monday
+    // round r ∈ [0,5): r=0 signup (week 0), r≥1 purchase in week r-1;
+    // each cycle is a NEW cohort of users so state grows like live traffic
+    val cycle = expr(s"value div ${users * 5}")
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val userId = (pmod(col("value"), lit(users)) + cycle * users).as("user_id")
+    val tsMs = lit(baseMs) + cycle * lit(weekMs * 8) +
+      when(round === 0, 0L).otherwise((round - 1) * weekMs + 3600000L) +
+      pmod(col("value"), lit(users))
+    val events = raw.select(userId, timestamp_millis(tsMs).as("ts"),
+        when(round === 0, 1).otherwise(2).as("kind"))
+      .as[RetentionEvent](
+        org.apache.spark.sql.Encoders.product[RetentionEvent])
+    val deltas = StreamingRetention.detect(events, nOffsets = 4)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = deltas.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nDeltas = out.map(_.count()).getOrElse(0L)
+    val nSizes = out.map(_.filter(col("offset") === -1).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
