@@ -284,6 +284,13 @@ object Bench {
       !sys.env.get("SPARK_GRAFT_BENCH_SHINGLE_CACHE").contains("0")
     if (shingleCacheOn)
       spark.conf.set("spark.graft.scale.shingleCache", "1")
+    // ...and the recall harness's ground truth: s05/s14/s16 score their
+    // ANN/truncation/projection arms against ONE materialized exact
+    // top-3 table instead of re-running the O(k·n) scoring pass each
+    // (SPARK_GRAFT_BENCH_GT_CACHE=0 disables it for A/B runs)
+    val gtCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_GT_CACHE").contains("0")
+    if (gtCacheOn)
+      spark.conf.set("spark.graft.scale.groundTruthCache", "1")
 
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate

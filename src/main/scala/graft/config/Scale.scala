@@ -105,4 +105,18 @@ object Scale {
     * exactly, pinned by ScaleConfSpec).
     */
   def shingleCache: Boolean = get("shingleCache", 0) == 1
+
+  /** Share the recall harness's materialized inputs — the quantized
+    * vector base, the fixed [[queryK]] query sample, the exact
+    * full-dimension top-3 ground truth, and its 1-row totals — across
+    * the THREE recall-measuring queries (s05, s14, s16) within a session
+    * ("1" = on; test-profile default off so every oracle-checked query
+    * stays self-contained). The exact ground truth is an O(k·n) corpus
+    * scoring pass each query repeated per bench pass; at 100 TB a vector
+    * deployment computes it once and scores every ANN/truncation/
+    * projection arm against the same table (results are bit-identical
+    * either way — quantized longs, ids and IEEE doubles round-trip
+    * parquet exactly, pinned by ScaleConfSpec).
+    */
+  def groundTruthCache: Boolean = get("groundTruthCache", 0) == 1
 }

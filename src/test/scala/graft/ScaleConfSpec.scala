@@ -85,6 +85,26 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(both == run("d03_minhash_lsh"), "d03 under both knobs != plain")
   }
 
+  test("groundTruthCache changes cost attribution, never results") {
+    // s05/s14/s16 share one materialized exact-ground-truth scoring pass
+    // when the knob is on; the committed oracles run with it OFF — this
+    // parity pins that the quantized-long vectors, the md5-ordered query
+    // sample, and the recall doubles all round-trip the parquet cache
+    // bit-identically across all three consumers
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("s05_ann_recall", "s14_mrl_recall", "s16_jl_recall")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"similarity pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("groundTruthCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
+  }
+
   test("queryK override re-scales DataFrame result and oracle SQL together") {
     withScale("queryK" -> "10") {
       val df = SparkEntry.queries("s01_knn_bruteforce")(spark, sf("sf0.001"))
