@@ -156,6 +156,9 @@ object StreamBench {
     if (op == "retention") {
       runRetention(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "kmv") {
+      runKMV(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -694,6 +697,65 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=kmv measures the live KMV distinct-count
+    * (StreamingKMV — r13's sketch streaming): EVERY source value is a
+    * never-seen-before key split across 4 groups, so true cardinality
+    * grows without bound while state stays 4 synopses × 64 hashes — the
+    * cardinality-independence claim bloom makes for dedup, here for
+    * counting, at ~5 orders of magnitude less state. The md5 runs in
+    * codegen before the stateful stage; the JVM fold only merges sorted
+    * hex strings. The JSON line carries the worst per-group relative
+    * error vs the closed-form true distinct count (value mod 4 ⇒
+    * ⌈rows/4⌉-ish per group), so accuracy lands in the artifact next to
+    * throughput.
+    */
+  private def runKMV(spark: org.apache.spark.sql.SparkSession, rps: Long,
+                     secs: Int, sinkDir: String, ckpt: String,
+                     stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingKMV
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val events = StreamingKMV.keyedHashes(raw,
+      concat(lit("g"), pmod(col("value"), lit(4))), col("value"))
+    val snaps = StreamingKMV.track(events, k = 64)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = snaps.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val worstErr = out.map { df =>
+      val rows = StreamingKMV.latest(df).collect()
+      rows.map { r =>
+        val g = r.getAs[String]("group").stripPrefix("g").toLong
+        // values are 0..inRows-1; group g holds ceil((inRows - g) / 4)
+        val truth = ((inRows - g + 3) / 4).toDouble
+        math.abs(r.getAs[Double]("est_distinct") - truth) / truth
+      }.max
+    }.getOrElse(-1.0)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"kmv_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

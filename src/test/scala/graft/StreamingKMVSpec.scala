@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{KeyedHash, StreamingKMV}
+
+/** Streaming KMV distinct-count (StreamingKMV, r13's live form): the
+  * synopsis is deterministic and order-FREE, so streaming agrees with the
+  * batch sketch bit-for-bit with no ordered-delivery caveat; sub-k groups
+  * report exactly; state is k hashes per group at any stream length.
+  */
+class StreamingKMVSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private var n = 0
+  private def tmp(): String = {
+    n += 1
+    java.nio.file.Files.createTempDirectory(s"graft_skmv_$n").toString
+  }
+
+  test("below k distinct values the synopsis is the set: estimate exact") {
+    val evs = (1 to 40).map(i => KeyedHash("g", md5Hex(s"v$i"))) ++
+      (1 to 40).map(i => KeyedHash("g", md5Hex(s"v$i"))) // repeats fold away
+    val out = StreamingKMV.track(evs.toDS(), k = 64).collect()
+    assert(out.length == 1)
+    assert(out.head.n_total == 80L && out.head.n_tracked == 40L)
+    assert(out.head.kth_frac == -1.0 && out.head.est_distinct == 40.0,
+      "under k the estimate must be the exact distinct count")
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("arrival order cannot matter: shuffled replay produces the same sketch") {
+    val vals = (1 to 500).map(i => s"item_$i")
+    val fwd = vals.map(v => KeyedHash("g", md5Hex(v)))
+    val rev = fwd.reverse
+    val a = StreamingKMV.track(fwd.toDS(), k = 64).collect()
+      .maxBy(_.n_total)
+    val b = StreamingKMV.track(rev.toDS(), k = 64).collect()
+      .maxBy(_.n_total)
+    assert(a == b, "a min-k set is order-free — forward == reversed replay")
+    assert(a.kth_frac > 0 && a.n_tracked == 64)
+  }
+
+  test("streaming micro-batches agree with the r13 batch sketch bit-for-bit") {
+    val dir = sf("sf0.001")
+    val raw = Tables.events(spark, dir)
+    // same value, same md5, same global scope as r13 (group constant)
+    val typed = StreamingKMV.keyedHashes(raw, lit("all"), col("event_id"))
+      .collect()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedHash]
+    val q = StreamingKMV.track(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("skmv_agree")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    val last = try {
+      typed.grouped(700).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+      spark.table("skmv_agree")
+        .as[graft.streaming.KmvSnapshot].collect().maxBy(_.n_total)
+    } finally q.stop()
+    val r13 = SparkEntry.queries("r13_kmv_cardinality")(spark, dir)
+      .collect().head
+    assert(last.kth_frac == r13.getAs[Double]("kth_frac"),
+      "the streaming kth fraction must equal the batch sketch exactly")
+    assert(last.est_distinct == r13.getAs[Double]("est_distinct"),
+      "the streaming estimate must equal the batch estimate exactly")
+    assert(last.n_total == raw.count(), "every observation folded")
+  }
+
+  test("per-group tracking: independent sketches, state bounded at k each") {
+    val evs = (1 to 2000).map { i =>
+      KeyedHash(s"g${i % 3}", md5Hex(s"u${i % 700}"))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedHash]
+    val q = StreamingKMV.track(in.toDS(), k = 16)
+      .writeStream.format("memory").queryName("skmv_groups")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      evs.grouped(500).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+      val latest = StreamingKMV.latest(spark.table("skmv_groups"))
+        .collect().map(r => r.getAs[String]("group") ->
+          (r.getAs[Long]("n_tracked"), r.getAs[Double]("est_distinct"))).toMap
+      assert(latest.keySet == Set("g0", "g1", "g2"))
+      // the sketch is deterministic: fold the same input in plain Scala
+      // and require the per-group estimates EQUAL the streaming ones
+      // (k=16 is deliberately coarse — exactness of the synopsis, not
+      // accuracy of the estimate, is the property under test)
+      val expected = evs.groupBy(_.group).map { case (g, es) =>
+        val kth = es.map(_.hh).distinct.sorted.take(16).last
+        g -> 15.0 / StreamingKMV.fracOf(kth)
+      }
+      latest.foreach { case (g, (tracked, est)) =>
+        assert(tracked == 16L, "synopsis truncates at k")
+        assert(est == expected(g), s"$g estimate must equal the exact fold")
+      }
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 3L, "one state row per group")
+    } finally q.stop()
+  }
+}
