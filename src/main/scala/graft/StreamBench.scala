@@ -159,6 +159,9 @@ object StreamBench {
     if (op == "kmv") {
       runKMV(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "seqcount") {
+      runSeqCount(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -697,6 +700,60 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=seqcount measures the live greedy sequence
+    * counter (StreamingSeqCount — r30's streaming form): 100k concurrent
+    * users cycling view → click → view → click → noise, so each 5-round
+    * cycle completes two journeys per user and the noise round (20% of
+    * the stream) is dropped by the codegen pre-filter before the state
+    * store. State is TWO LONGS per user — the smallest of any stateful
+    * operator here; the reported rate is source rows/s with the
+    * post-filter state-store rate derivable from the 4/5 pattern share.
+    */
+  private def runSeqCount(spark: org.apache.spark.sql.SparkSession,
+                          rps: Long, secs: Int, sinkDir: String,
+                          ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingSeqCount
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val etype = when(round === 0 || round === 2, "view")
+      .when(round === 1 || round === 3, "click").otherwise("other")
+    val events = StreamingSeqCount.seqEvents(
+      raw.select(pmod(col("value"), lit(users)).as("u"),
+        col("timestamp").as("ts"), etype.as("et"), col("value").as("id")),
+      col("u"), col("ts"), col("et"), col("id"), "view", "click")
+    val matches = StreamingSeqCount.detectExpiring(events, 5000L)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = matches.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nMatches = out.map(_.count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"seqcount_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"matches":$nMatches,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -650,7 +650,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r26_basket_lift", r26, Some(r26Sql)),
     QueryDef("r27_window_funnel", r27, Some(r27Sql)),
     QueryDef("r28_retention", r28, Some(r28Sql)),
-    QueryDef("r29_strict_funnel", r29, Some(r29Sql)))
+    QueryDef("r29_strict_funnel", r29, Some(r29Sql)),
+    QueryDef("r30_sequence_count", r30, Some(r30Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for): per user, the furthest
@@ -862,6 +863,60 @@ object RelationalQueries extends QueryPack {
       |SELECT CAST(level AS BIGINT) AS level,
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM l GROUP BY level ORDER BY level""".stripMargin
+
+  /** r30 — greedy non-overlapping sequence counting (ClickHouse
+    * `sequenceCount('(?1).*(?2)')(ts, view, click)` — the third of the
+    * sink engine's sequence analytics after r27's EXISTS windowFunnel and
+    * r29's strict_order mode): per user, HOW MANY separate view → click
+    * journeys happened, scanning left to right and never reusing an
+    * event — the repeat-engagement count that a funnel level (did it
+    * happen at all) cannot express. Reported as users per match count;
+    * users with view/click activity but no completed journey land in the
+    * matches = 0 row, users with NEITHER event type never enter the scan
+    * (the pushed filter is the point — they carry no signal).
+    *
+    * Semantics: over the user's view/click subsequence in (ts, event_id)
+    * order, the greedy non-overlapping match count equals the number of
+    * clicks whose immediate predecessor IN THE SUBSEQUENCE is a view —
+    * each view-run → click-run boundary completes exactly one match and
+    * greedy matching resets there (the run-collapse argument in the
+    * scaladoc of [[graft.streaming.StreamingSeqCount]], whose live form
+    * this is the batch twin of).
+    *
+    * Scale shape: the type filter pushes into the scan (only view/click
+    * rows leave it), then ONE window pass — a single lag() — and a
+    * two-level aggregation onto the tiny match-count key. No joins; a
+    * bot user costs one sorted run (the funnel-skew-arm shape).
+    */
+  private def r30(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val hit = when(col("event_type") === "click" &&
+      lag(col("event_type"), 1).over(seq) === "view", 1L).otherwise(0L)
+    ev.withColumn("hit", hit)
+      .groupBy(col("user_id"))
+      .agg(sum(col("hit")).as("matches"))
+      .groupBy(col("matches"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("matches"))
+  }
+
+  private val r30Sql =
+    """WITH f AS (SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE event_type IN ('view', 'click')),
+      |w AS (SELECT user_id, event_type,
+      |  LAG(event_type, 1) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev FROM f),
+      |m AS (SELECT user_id, CAST(SUM(CASE WHEN event_type = 'click'
+      |    AND prev = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      |  FROM w GROUP BY user_id)
+      |SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY matches ORDER BY matches""".stripMargin
 
   /** r26 — market-basket association lift: the top co-purchased part
     * pairs ranked by lift = P(a,b)/(P(a)·P(b)) over order baskets, with a

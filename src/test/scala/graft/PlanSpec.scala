@@ -121,7 +121,7 @@ class PlanSpec extends SparkSpecBase {
     // forms must never regress to a join — one user-keyed exchange, sorted
     // frames, aggregation.
     for (q <- Seq("r27_window_funnel", "r29_strict_funnel",
-        "j05_conversion_funnel")) {
+        "j05_conversion_funnel", "r30_sequence_count")) {
       val df = run(q)
       // match on executed-plan NODE TYPES, not plan text — an alias or
       // relation name containing "join" must not fail this spuriously,
@@ -135,6 +135,15 @@ class PlanSpec extends SparkSpecBase {
         s"$q must stay join-free, found: ${joins.map(_.nodeName).mkString(", ")}")
       assert(planString(df).contains("Window"), s"$q computes via window frames")
     }
+  }
+
+  test("r30 pattern filter pushes into the events scan") {
+    // sequenceCount's `.*` means non-pattern events can never matter, so
+    // the view/click restriction must reach the parquet scan — at 100 TB
+    // the state machine sees two event types, not the whole stream
+    val s = planString(run("r30_sequence_count"))
+    assert(s.contains("In(event_type") || s.contains("EqualTo(event_type"),
+      "the two-type pattern filter must be a pushed scan filter")
   }
 
   test("dedup keepFirst is a single-exchange hash aggregate, not a window sort") {
