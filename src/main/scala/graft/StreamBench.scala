@@ -645,10 +645,14 @@ object StreamBench {
     * visit and each user settles at exactly 5 exactly-once deltas
     * (1 size + 4 offsets). Event time is synthesized per round (weeks
     * apart — the offsets are real week arithmetic, not wall clock); the
-    * exact NoTimeout form is measured, so state is one 4-number row per
-    * user ever seen and the reported `state_rows` growth is the honest
-    * per-user cost (detectExpiring bounds it in deployments; the horizon
-    * drop is spec-pinned, not re-measured here).
+    * exact NoTimeout form is measured by default, so state is one
+    * 4-number row per user ever seen and the reported `state_rows`
+    * growth is the honest per-user cost. SPARK_GRAFT_STREAM_TTL=1
+    * switches to the production `detectExpiring` form: cycles advance
+    * event time 8 weeks apiece while the horizon is nOffsets=4 weeks +
+    * delay, so earlier cohorts expire as later ones arrive and
+    * `state_rows` reads the bounded HORIZON population, not users ever
+    * seen — the artifact pair is the state-bound claim, measured.
     */
   private def runRetention(spark: org.apache.spark.sql.SparkSession,
                            rps: Long, secs: Int, sinkDir: String,
@@ -672,7 +676,11 @@ object StreamBench {
         when(round === 0, 1).otherwise(2).as("kind"))
       .as[RetentionEvent](
         org.apache.spark.sql.Encoders.product[RetentionEvent])
-    val deltas = StreamingRetention.detect(events, nOffsets = 4)
+    val ttl = sys.env.get("SPARK_GRAFT_STREAM_TTL").contains("1")
+    val deltas =
+      if (ttl) StreamingRetention.detectExpiring(events, nOffsets = 4,
+        watermarkDelayMs = 5000L)
+      else StreamingRetention.detect(events, nOffsets = 4)
     val sink = new IdempotentParquetSink(sinkDir)
     var elapsed = 0.0
     val progress = withProgressLog(spark) {
@@ -699,7 +707,7 @@ object StreamBench {
     val stateBytes = progress.lastOption
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","mode":"${if (ttl) "ttl" else "exact"}","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
