@@ -103,6 +103,17 @@ class ScaleConfSpec extends SparkSpecBase {
     names.foreach { n =>
       assert(on(n) == off(n), s"$n cached != uncached")
     }
+    // and the FULL bench profile — all three session caches on at once
+    // (the exact conf the sweep runs under): one recall consumer and one
+    // pair-table consumer must still match their committed-oracle runs
+    val full = withScale("groundTruthCache" -> "1", "shingleCache" -> "1",
+      "graphEdgeCache" -> "1") {
+      Seq("s14_mrl_recall", "d03_minhash_lsh").map(n => n -> run(n)).toMap
+    }
+    assert(full("s14_mrl_recall") == run("s14_mrl_recall"),
+      "s14 under the full bench profile != plain")
+    assert(full("d03_minhash_lsh") == run("d03_minhash_lsh"),
+      "d03 under the full bench profile != plain")
   }
 
   test("queryK override re-scales DataFrame result and oracle SQL together") {
