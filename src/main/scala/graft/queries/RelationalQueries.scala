@@ -651,7 +651,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r27_window_funnel", r27, Some(r27Sql)),
     QueryDef("r28_retention", r28, Some(r28Sql)),
     QueryDef("r29_strict_funnel", r29, Some(r29Sql)),
-    QueryDef("r30_sequence_count", r30, Some(r30Sql)))
+    QueryDef("r30_sequence_count", r30, Some(r30Sql)),
+    QueryDef("r31_dedup_funnel", r31, Some(r31Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for): per user, the furthest
@@ -917,6 +918,117 @@ object RelationalQueries extends QueryPack {
       |  FROM w GROUP BY user_id)
       |SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM m GROUP BY matches ORDER BY matches""".stripMargin
+
+  /** r31 — dedup-strict windowed funnel (ClickHouse
+    * `windowFunnel(strict_dedup)` — completing the sink engine's funnel
+    * mode family: r27 is the default EXISTS mode, r29 `strict_order`;
+    * the fourth mode, `strict_increase`, requires strictly increasing
+    * chain timestamps and is already r27's behavior — its comparisons
+    * are strictly-greater on both sides, so same-microsecond events
+    * never chain there):
+    * a REPEATED event of a condition the chain already holds interrupts
+    * it — "view, click, click, purchase" stops at level 2 (the second
+    * click re-matches the held condition 2), while unrelated event types
+    * pass freely (unlike strict_order, where ANY intervening event
+    * breaks the chain). r31 therefore sits strictly between r27 and r29:
+    * V,C,C,P is 3 / 2 / 2 and V,signup,C is 2 / 2 / 1 under
+    * r27 / r31 / r29 respectively. Reported as users per furthest level,
+    * every user censused, like r29.
+    *
+    * Semantics (EXISTS over anchors, the family's reading): for each
+    * anchor view a, the chain's click is THE FIRST click after a — valid
+    * iff it lands within the 24 h window and before the next view after
+    * a (a second view re-matches held condition 1); the chain's purchase
+    * is the first purchase after that click — valid iff within the
+    * anchor's window and before both the next view and the next click
+    * after the chain click. A user's level is the max over their
+    * anchors. All sequencing is the family's (ts, event_id) total order.
+    *
+    * Scale shape: join-free — ONE user-keyed sort feeds three stacked
+    * window passes (per-row sequence position; next-view/click/purchase
+    * positions; the first following click row's own lookahead carried as
+    * a struct min), then the per-user max and a 4-row census. A bot user
+    * costs one sorted run; the oracle uses equi-joins on the computed
+    * positions instead of struct window mins, pinning the identical
+    * semantics through an independent formulation.
+    */
+  private def r31(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUs = 24L * 3600 * 1000000L
+    val inf = Long.MaxValue
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val fr = Window.partitionBy(col("user_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(1L, Window.unboundedFollowing)
+    val e0 = ev.withColumn("pos", row_number().over(ord))
+    val e1 = e0
+      .withColumn("nv",
+        min(when(col("event_type") === "view", col("pos"))).over(fr))
+      .withColumn("nc", min(when(col("event_type") === "click",
+        struct(col("pos"), col("tsu")))).over(fr))
+      .withColumn("np", min(when(col("event_type") === "purchase",
+        struct(col("pos"), col("tsu")))).over(fr))
+    // the first following CLICK row, carrying ITS OWN lookahead: struct
+    // min orders by pos (unique, first field), so this is a windowed
+    // "fetch the next click row" without a self-join
+    val e2 = e1.withColumn("ci", min(when(col("event_type") === "click",
+      struct(col("pos"), col("tsu"),
+        coalesce(col("nv"), lit(inf)).as("nv2"),
+        coalesce(col("nc").getField("pos"), lit(inf)).as("nc2"),
+        col("np").getField("pos").as("npPos"),
+        col("np").getField("tsu").as("npTsu")))).over(fr))
+    val isView = col("event_type") === "view"
+    val cOk = col("ci").isNotNull &&
+      col("ci").getField("tsu") <= col("tsu") + wUs &&
+      col("ci").getField("pos") < coalesce(col("nv"), lit(inf))
+    val pOk = cOk && col("ci").getField("npTsu").isNotNull &&
+      col("ci").getField("npTsu") <= col("tsu") + wUs &&
+      col("ci").getField("npPos") <
+        least(col("ci").getField("nv2"), col("ci").getField("nc2"))
+    val rowLevel = when(isView && pOk, 3L).when(isView && cOk, 2L)
+      .when(isView, 1L).otherwise(0L)
+    e2.groupBy(col("user_id"))
+      .agg(max(rowLevel).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  private val r31Sql =
+    """WITH e AS (SELECT user_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS pos FROM events),
+      |n AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'view' THEN pos END) OVER f AS nv,
+      |    MIN(CASE WHEN event_type = 'click' THEN pos END) OVER f AS ncpos,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN pos END) OVER f AS nppos
+      |  FROM e WINDOW f AS (PARTITION BY user_id ORDER BY pos
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |a AS (SELECT v.user_id, v.ts AS t1, v.nv AS vnv, v.ncpos AS vnc,
+      |    c.ts AS t2, c.nv AS cnv, c.ncpos AS cnc, c.nppos AS cnp, p.ts AS t3
+      |  FROM n v
+      |  LEFT JOIN n c ON c.user_id = v.user_id AND c.pos = v.ncpos
+      |  LEFT JOIN n p ON p.user_id = c.user_id AND p.pos = c.nppos
+      |  WHERE v.event_type = 'view'),
+      |lv AS (SELECT user_id, MAX(CASE
+      |    WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 24 HOUR
+      |     AND vnc < COALESCE(vnv, 9223372036854775807)
+      |     AND t3 IS NOT NULL AND t3 <= t1 + INTERVAL 24 HOUR
+      |     AND cnp < LEAST(COALESCE(cnv, 9223372036854775807),
+      |                     COALESCE(cnc, 9223372036854775807)) THEN 3
+      |    WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 24 HOUR
+      |     AND vnc < COALESCE(vnv, 9223372036854775807) THEN 2
+      |    ELSE 1 END) AS level
+      |  FROM a GROUP BY user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CAST(COALESCE(lv.level, 0) AS BIGINT) AS level,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM u LEFT JOIN lv ON lv.user_id = u.user_id
+      |GROUP BY 1 ORDER BY level""".stripMargin
 
   /** r26 — market-basket association lift: the top co-purchased part
     * pairs ranked by lift = P(a,b)/(P(a)·P(b)) over order baskets, with a

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** The windowFunnel mode family on discriminating corpora: r27 (default
+  * EXISTS), r31 (strict_dedup — a repeated HELD condition interrupts),
+  * r29 (strict_order — ANY intervening event interrupts) form a strict
+  * hierarchy, and each mode's documented discriminator behaves exactly
+  * as claimed.
+  */
+class FunnelModesSpec extends SparkSpecBase {
+
+  private val H = 3600L
+  private def t(sec: Long): Timestamp = new Timestamp(1700000000000L + sec * 1000)
+
+  /** Write a tiny events corpus and return its dir. Rows: (user, type,
+    * second-offset); event_id is the row index (the family tie-breaker).
+    */
+  private def corpus(rows: Seq[(Long, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmodes").toString
+    rows.zipWithIndex
+      .map { case ((u, et, sec), i) => (i.toLong, u, et, t(sec), 1L) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def census(name: String, dir: String): Map[Long, Long] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("the three modes rank V,C,C,P / V,signup,C,P / V,P,C exactly as documented") {
+    val dir = corpus(Seq(
+      // u1: V C C P — the second click re-matches held condition 2:
+      // default 3, strict_dedup 2, strict_order 2
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: V signup C P — a NON-condition event intervenes: default 3,
+      // strict_dedup 3 (unrelated types pass freely), strict_order 1
+      (2L, "view", 0L), (2L, "signup", 10L), (2L, "click", 20L), (2L, "purchase", 30L),
+      // u3: the clean chain — 3 in every mode
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "purchase", 20L),
+      // u4: V V C P — the second view is a fresh anchor in all modes: 3/3/3
+      (4L, "view", 0L), (4L, "view", 10L), (4L, "click", 20L), (4L, "purchase", 30L),
+      // u5: V P C — purchase precedes the click: 2 / 2 / 1
+      (5L, "view", 0L), (5L, "purchase", 10L), (5L, "click", 20L),
+      // u6: no funnel events at all — level 0 everywhere
+      (6L, "signup", 0L), (6L, "other", 10L),
+      // u7: the click lands outside the 24 h anchor window — level 1
+      (7L, "view", 0L), (7L, "click", 25L * H)))
+    val expected = Map(
+      "r27_window_funnel" -> Map(1L -> Seq(3L), 2L -> Seq(3L), 3L -> Seq(3L),
+        4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
+      "r31_dedup_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(3L),
+        4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
+      "r29_strict_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(1L), 3L -> Seq(3L),
+        4L -> Seq(3L), 5L -> Seq(1L), 6L -> Seq(0L), 7L -> Seq(1L)))
+    expected.foreach { case (q, perUser) =>
+      val want = perUser.values.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(census(q, dir) == want, s"$q census mismatch (want $want)")
+    }
+  }
+
+  test("mode hierarchy: per-user level is monotone default >= dedup >= order") {
+    // on real data every user's r27 level must dominate r31's, and r31's
+    // must dominate r29's — the containment that makes the three modes a
+    // family rather than three unrelated scores. Compare per-level
+    // cumulative counts (users at level >= L), which is the per-user
+    // dominance statement expressed on the census tables.
+    val dir = sf("sf0.001")
+    def cum(name: String): Map[Long, Long] = {
+      val c = census(name, dir)
+      (0L to 3L).map(l => l -> c.filter(_._1 >= l).values.sum).toMap
+    }
+    val (c27, c31, c29) = (cum("r27_window_funnel"), cum("r31_dedup_funnel"),
+      cum("r29_strict_funnel"))
+    (1L to 3L).foreach { l =>
+      assert(c27(l) >= c31(l), s"default must dominate strict_dedup at level $l")
+      assert(c31(l) >= c29(l), s"strict_dedup must dominate strict_order at level $l")
+    }
+    assert(c27(0L) == c31(0L) && c31(0L) == c29(0L),
+      "all three census the same user universe")
+  }
+}

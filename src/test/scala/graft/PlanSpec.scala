@@ -121,7 +121,7 @@ class PlanSpec extends SparkSpecBase {
     // forms must never regress to a join — one user-keyed exchange, sorted
     // frames, aggregation.
     for (q <- Seq("r27_window_funnel", "r29_strict_funnel",
-        "j05_conversion_funnel", "r30_sequence_count")) {
+        "j05_conversion_funnel", "r30_sequence_count", "r31_dedup_funnel")) {
       val df = run(q)
       // match on executed-plan NODE TYPES, not plan text — an alias or
       // relation name containing "join" must not fail this spuriously,
