@@ -162,6 +162,9 @@ object StreamBench {
     if (op == "seqcount") {
       runSeqCount(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "dedupfunnel") {
+      runDedupFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -708,6 +711,63 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","mode":"${if (ttl) "ttl" else "exact"}","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=dedupfunnel measures the live DEDUP-STRICT
+    * windowed funnel (StreamingDedupFunnel — r31's streaming form):
+    * the same 5-round ladder as the strict arm (view → click →
+    * purchase then two noise rounds), but unlike strict order the mode
+    * ignores unrelated types, so the codegen pre-filter drops the 40%
+    * noise share before the state store and the machine holds FIVE
+    * numbers per user — the reported rate is SOURCE rows/s with the
+    * state-store rate at 3/5 of it by construction.
+    */
+  private def runDedupFunnel(spark: org.apache.spark.sql.SparkSession,
+                             rps: Long, secs: Int, sinkDir: String,
+                             ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedupFunnel
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val etype = when(round === 0, "view").when(round === 1, "click")
+      .when(round === 2, "purchase").otherwise("other")
+    val events = StreamingDedupFunnel.dedupEvents(
+      raw.select(pmod(col("value"), lit(users)).as("u"),
+        col("timestamp").as("ts"), etype.as("et"), col("value").as("id")),
+      col("u"), col("ts"), col("et"), col("id"),
+      Seq("view", "click", "purchase"))
+    val transitions =
+      StreamingDedupFunnel.detectExpiring(events, 24L * 3600 * 1000, 5000L)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = transitions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nTrans = out.map(_.count()).getOrElse(0L)
+    val nConverted = out.map(_.filter(col("level") === 3).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"dedup_funnel_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
