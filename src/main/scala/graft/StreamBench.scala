@@ -868,12 +868,16 @@ object StreamBench {
     val out = sunkOrEmpty(sink, spark)
     val worstErr = out.map { df =>
       val rows = StreamingKMV.latest(df).collect()
-      rows.map { r =>
-        val g = r.getAs[String]("group").stripPrefix("g").toLong
-        // values are 0..inRows-1; group g holds ceil((inRows - g) / 4)
-        val truth = ((inRows - g + 3) / 4).toDouble
-        math.abs(r.getAs[Double]("est_distinct") - truth) / truth
-      }.max
+      // every source value is distinct, so each group's true cardinality
+      // IS the snapshot's own n_total — no drift vs listener-summed input
+      // rows, and an empty sink folds to the -1.0 sentinel instead of
+      // throwing on .max of an empty collection
+      rows.foldLeft(-1.0) { (acc, r) =>
+        val truth = r.getAs[Long]("n_total").toDouble
+        if (truth <= 0) acc
+        else math.max(acc,
+          math.abs(r.getAs[Double]("est_distinct") - truth) / truth)
+      }
     }.getOrElse(-1.0)
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)

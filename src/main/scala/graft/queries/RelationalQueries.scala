@@ -652,32 +652,40 @@ object RelationalQueries extends QueryPack {
     QueryDef("r28_retention", r28, Some(r28Sql)),
     QueryDef("r29_strict_funnel", r29, Some(r29Sql)),
     QueryDef("r30_sequence_count", r30, Some(r30Sql)),
-    QueryDef("r31_dedup_funnel", r31, Some(r31Sql)))
+    QueryDef("r31_dedup_funnel", r31, Some(r31Sql)),
+    QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
-    * the reference's sink engine is famous for): per user, the furthest
-    * step reached in the view → click → purchase sequence where the whole
-    * chain completes within 24 h of its anchoring view, reported as users
-    * per furthest-level. EXISTS semantics — any view may anchor the chain,
-    * not just the earliest — via per-user running-maximum window frames
-    * over the event-time order (the oracle SQL keeps the equivalent
-    * step-join form as the readable spec). (j05 is the single-hop complement — a
-    * click→purchase conversion RATE per day; this is the multi-step
-    * chained form with the anchored window, the windowFunnel signature.)
+    * the reference's sink engine is famous for), DEFAULT mode: per user,
+    * the furthest step reached in the view → click → purchase sequence
+    * where the whole chain completes within 24 h of its anchoring view,
+    * reported as users per furthest-level. EXISTS semantics — any view
+    * may anchor the chain, not just the earliest — via per-user
+    * running-maximum window frames over the family's shared (ts,
+    * event_id) total order (the oracle SQL keeps the equivalent step-join
+    * form as the readable spec). Same-microsecond events chain in
+    * event_id order, exactly as r29/r31 sequence them — the one corpus
+    * class where the default mode and r33's `strict_increase` diverge
+    * (FunnelModesSpec pins the tie corpus on both). (j05 is the
+    * single-hop complement — a click→purchase conversion RATE per day;
+    * this is the multi-step chained form with the anchored window, the
+    * windowFunnel signature.)
     *
     * Scale shape — NO pair table, ever (round-11 verdict: the former
     * view×click chain join materialized V·C rows per user inside the
     * window, quadratic for a bot user): the EXISTS semantics collapse to
-    * two per-user running maxima over the event-time order —
-    *   lv(row)  = latest view strictly before this row
+    * two per-user running maxima over the sequence order —
+    *   lv(row)  = latest view strictly before this row in the sequence
     *   ba(row)  = max over clicks strictly before this row of lv(click)
     * A click reaches level 2 iff lv ≥ t₂ − w (some view anchors it inside
     * the window); a purchase reaches level 3 iff ba ≥ t₃ − w: the click
-    * t₂ < t₃ whose freshest anchor t₁ = ba satisfies t₁ ≥ t₃ − w gives the
-    * chain t₁ < t₂ < t₃ ≤ t₁ + w (t₂ ≤ t₁ + w follows from t₂ < t₃), and
-    * maximizing t₁ is lossless for EXISTS — if the freshest anchor misses
-    * the window no anchor makes it. Both maxima are RANGE frames ending at
-    * −1 µs, so the strict `<` of the join form survives equal timestamps.
+    * at t₂ whose freshest anchor t₁ = ba satisfies t₁ ≥ t₃ − w gives the
+    * chain t₁ ≤ t₂ ≤ t₃ ≤ t₁ + w in sequence order (t₂ ≤ t₁ + w follows
+    * from t₂ ≤ t₃), and maximizing t₁ is lossless for EXISTS — if the
+    * freshest anchor misses the window no anchor makes it. Both maxima
+    * are ROWS frames ending one row back over the (tsu, event_id) sort,
+    * so "strictly before" means strictly before IN THE SEQUENCE — ties
+    * chain, in the deterministic order both engines share.
     * One shuffle on user_id (the standard funnel co-partitioning), a
     * per-user sort shared by both window passes and the per-user max —
     * per-user cost O(E·log E) and O(1) state, a bot user is just a big
@@ -686,6 +694,72 @@ object RelationalQueries extends QueryPack {
     * = the per-user max of the per-row level.
     */
   private def r27(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+    val strictPast = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val e1 = ev.withColumn("lv",
+      max(when(col("event_type") === "view", col("tsu"))).over(strictPast))
+    val e2 = e1.withColumn("ba",
+      max(when(col("event_type") === "click", col("lv"))).over(strictPast))
+    val rowLevel =
+      when(col("event_type") === "purchase" &&
+        col("ba") >= col("tsu") - wUs, 3L)
+        .when(col("event_type") === "click" &&
+          col("lv") >= col("tsu") - wUs, 2L)
+        .when(col("event_type") === "view", 1L)
+        .otherwise(0L)
+    e2.groupBy(col("user_id"))
+      .agg(max(rowLevel).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  private val r27Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id, ts AS t1, event_id AS i1 FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts AS t2, event_id AS i2 FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS t3, event_id AS i3 FROM events WHERE event_type = 'purchase'),
+      |l1 AS (SELECT DISTINCT user_id FROM v),
+      |vc AS (SELECT v.user_id, v.t1, c.t2, c.i2 FROM v JOIN c ON c.user_id = v.user_id
+      |  AND (c.t2 > v.t1 OR (c.t2 = v.t1 AND c.i2 > v.i1))
+      |  AND c.t2 <= v.t1 + INTERVAL 24 HOUR),
+      |l2 AS (SELECT DISTINCT user_id FROM vc),
+      |l3 AS (SELECT DISTINCT vc.user_id FROM vc JOIN p ON p.user_id = vc.user_id
+      |  AND (p.t3 > vc.t2 OR (p.t3 = vc.t2 AND p.i3 > vc.i2))
+      |  AND p.t3 <= vc.t1 + INTERVAL 24 HOUR)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+      |  SELECT CAST(
+      |      CASE WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN l2.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN l3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+      |  FROM u
+      |  LEFT JOIN l1 ON l1.user_id = u.user_id
+      |  LEFT JOIN l2 ON l2.user_id = u.user_id
+      |  LEFT JOIN l3 ON l3.user_id = u.user_id)
+      |GROUP BY level ORDER BY level""".stripMargin
+
+  /** r33 — strict_increase windowed funnel (the fourth and last of
+    * ClickHouse's `windowFunnel` modes, completing the family next to
+    * r27 default / r29 strict_order / r31 strict_dedup): identical to
+    * the default mode except that chained steps must have STRICTLY
+    * INCREASING timestamps — a same-microsecond view → click pair chains
+    * under r27 (the family's (ts, event_id) order sequences them) but
+    * not here. On tie-free corpora the two modes agree exactly;
+    * FunnelModesSpec pins both the agreement and the tie divergence.
+    *
+    * Scale shape: r27's two running maxima with RANGE frames ending at
+    * −1 µs over the event-time order instead of ROWS frames over the
+    * sequence order — the strict `<` of the chain comparisons lives in
+    * the frame bound, everything else (one user_id shuffle, one per-user
+    * sort, O(1) state) is shared with the default mode.
+    */
+  private def r33(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
     val ev = Tables.events(s, dir)
@@ -711,7 +785,7 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("level"))
   }
 
-  private val r27Sql =
+  private val r33Sql =
     """WITH u AS (SELECT DISTINCT user_id FROM events),
       |v AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
       |c AS (SELECT user_id, ts AS t2 FROM events WHERE event_type = 'click'),
@@ -920,12 +994,11 @@ object RelationalQueries extends QueryPack {
       |FROM m GROUP BY matches ORDER BY matches""".stripMargin
 
   /** r31 — dedup-strict windowed funnel (ClickHouse
-    * `windowFunnel(strict_dedup)` — completing the sink engine's funnel
-    * mode family: r27 is the default EXISTS mode, r29 `strict_order`;
-    * the fourth mode, `strict_increase`, requires strictly increasing
-    * chain timestamps and is already r27's behavior — its comparisons
-    * are strictly-greater on both sides, so same-microsecond events
-    * never chain there):
+    * `windowFunnel(strict_dedup)` — the sink engine's funnel mode
+    * family: r27 is the default EXISTS mode, r29 `strict_order`, r33
+    * `strict_increase` — which differs from the default only on
+    * same-microsecond ties, where its strictly-greater timestamp
+    * comparisons refuse to chain):
     * a REPEATED event of a condition the chain already holds interrupts
     * it — "view, click, click, purchase" stops at level 2 (the second
     * click re-matches the held condition 2), while unrelated event types

@@ -13,13 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class SeqEvent(user_id: Long, ts: Timestamp, step: Int, event_id: Long)
 
-/** Per-user sequence-counter state — TWO numbers: the state machine's
-  * position (0 = seeking the first condition, 1 = seeking the second)
-  * and the matches completed so far. The smallest per-user state of any
+/** Per-user sequence-counter state — the state machine's position
+  * (0 = seeking the first condition, 1 = seeking the second), the
+  * matches completed so far, and the largest event time seen (µs) so
+  * the expiry horizon is monotone across batches: a batch of
+  * late-arriving older events must never pull the timeout earlier than
+  * maxTs + delay (the same maxTs persistence StreamingRetention and
+  * StreamingDedupFunnel use). Still the smallest per-user state of any
   * operator here: greedy non-overlapping matching never needs history,
   * only which condition it is waiting for.
   */
-case class SeqCountState(seeking: Int, matches: Long)
+case class SeqCountState(seeking: Int, matches: Long, maxTs: Long)
 
 /** One completed match: the user's nth view → click journey, stamped
   * with the completing click's event time.
@@ -103,8 +107,8 @@ object StreamingSeqCount extends Serializable {
         state.remove()
         return Iterator.empty
       }
-      var st = state.getOption.getOrElse(SeqCountState(0, 0L))
-      var maxTs = Long.MinValue
+      var st = state.getOption.getOrElse(SeqCountState(0, 0L, Long.MinValue))
+      var maxTs = st.maxTs
       val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
       val seq = evs.toSeq
       val sorted =
@@ -113,14 +117,14 @@ object StreamingSeqCount extends Serializable {
       sorted.foreach { e =>
         maxTs = math.max(maxTs, micros(e.ts))
         if (st.seeking == 0 && e.step == 1)
-          st = SeqCountState(1, st.matches)
+          st = SeqCountState(1, st.matches, maxTs)
         else if (st.seeking == 1 && e.step == 2) {
-          st = SeqCountState(0, st.matches + 1)
+          st = SeqCountState(0, st.matches + 1, maxTs)
           out += SeqMatch(user, st.matches, e.ts)
         } // a view while seeking a click, or a click while seeking a
           // view, advances nothing — greedy matching ignores it
       }
-      state.update(st)
+      state.update(st.copy(maxTs = maxTs))
       expire.foreach { delay =>
         val horizonMs = maxTs / 1000L + delay + 1
         state.setTimeoutTimestamp(

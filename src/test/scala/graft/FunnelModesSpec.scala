@@ -53,6 +53,9 @@ class FunnelModesSpec extends SparkSpecBase {
     val expected = Map(
       "r27_window_funnel" -> Map(1L -> Seq(3L), 2L -> Seq(3L), 3L -> Seq(3L),
         4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
+      "r33_strict_increase_funnel" -> Map(1L -> Seq(3L), 2L -> Seq(3L),
+        3L -> Seq(3L), 4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L),
+        7L -> Seq(1L)),
       "r31_dedup_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(3L),
         4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
       "r29_strict_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(1L), 3L -> Seq(3L),
@@ -61,6 +64,30 @@ class FunnelModesSpec extends SparkSpecBase {
       val want = perUser.values.flatten.groupBy(identity).view
         .mapValues(_.size.toLong).toMap
       assert(census(q, dir) == want, s"$q census mismatch (want $want)")
+    }
+  }
+
+  test("same-microsecond ties: r27/r29/r31 chain in (ts, event_id) order; r33 refuses") {
+    val dir = corpus(Seq(
+      // u1: view then click AT THE SAME MICROSECOND, event_id orders them
+      // view-first — the family's total order chains them (level 2 in
+      // default, strict_dedup AND strict_order: the pair is adjacent),
+      // but strict_increase requires t2 > t1 and stops at level 1
+      (1L, "view", 0L), (1L, "click", 0L),
+      // u2: the same tie with event_id ordering the CLICK first — no
+      // mode may chain (the view is not before the click in the family
+      // order; strict_increase has no increasing pair either)
+      (2L, "click", 0L), (2L, "view", 0L)))
+    val expected = Map(
+      "r27_window_funnel" -> Map(1L -> 2L, 2L -> 1L),
+      "r31_dedup_funnel" -> Map(1L -> 2L, 2L -> 1L),
+      "r29_strict_funnel" -> Map(1L -> 2L, 2L -> 1L),
+      "r33_strict_increase_funnel" -> Map(1L -> 1L, 2L -> 1L))
+    expected.foreach { case (q, perUser) =>
+      val want = perUser.values.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(census(q, dir) == want,
+        s"$q tie-corpus census mismatch (want $want)")
     }
   }
 
@@ -77,11 +104,16 @@ class FunnelModesSpec extends SparkSpecBase {
     }
     val (c27, c31, c29) = (cum("r27_window_funnel"), cum("r31_dedup_funnel"),
       cum("r29_strict_funnel"))
+    val c33 = cum("r33_strict_increase_funnel")
     (1L to 3L).foreach { l =>
       assert(c27(l) >= c31(l), s"default must dominate strict_dedup at level $l")
       assert(c31(l) >= c29(l), s"strict_dedup must dominate strict_order at level $l")
+      // strict_increase only removes chains (same-microsecond ties) from
+      // the default mode; it is incomparable with dedup/order, which
+      // remove a DIFFERENT chain class
+      assert(c27(l) >= c33(l), s"default must dominate strict_increase at level $l")
     }
-    assert(c27(0L) == c31(0L) && c31(0L) == c29(0L),
-      "all three census the same user universe")
+    assert(c27(0L) == c31(0L) && c31(0L) == c29(0L) && c29(0L) == c33(0L),
+      "all four census the same user universe")
   }
 }
