@@ -653,6 +653,7 @@ object RelationalQueries extends QueryPack {
     QueryDef("r29_strict_funnel", r29, Some(r29Sql)),
     QueryDef("r30_sequence_count", r30, Some(r30Sql)),
     QueryDef("r31_dedup_funnel", r31, Some(r31Sql)),
+    QueryDef("r32_sequence_match", r32, Some(r32Sql)),
     QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
@@ -962,20 +963,17 @@ object RelationalQueries extends QueryPack {
     * rows leave it), then ONE window pass — a single lag() — and a
     * two-level aggregation onto the tiny match-count key. No joins; a
     * bot user costs one sorted run (the funnel-skew-arm shape).
+    * Since round 14 this is an INSTANCE of the sequence-pattern engine:
+    * [[graft.operators.SequenceMatch.countGreedy2]] is the compiled form
+    * of the run-boundary reduction, shared with r32's pattern family.
     */
   private def r30(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir)
-      .filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
         col("event_id"), col("event_type"))
-    val seq = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsu"), col("event_id"))
-    val hit = when(col("event_type") === "click" &&
-      lag(col("event_type"), 1).over(seq) === "view", 1L).otherwise(0L)
-    ev.withColumn("hit", hit)
-      .groupBy(col("user_id"))
-      .agg(sum(col("hit")).as("matches"))
+    graft.operators.SequenceMatch.countGreedy2(ev, "user_id", "tsu",
+        "event_id", col("event_type") === "view",
+        col("event_type") === "click")
       .groupBy(col("matches"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("matches"))
@@ -992,6 +990,107 @@ object RelationalQueries extends QueryPack {
       |  FROM w GROUP BY user_id)
       |SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM m GROUP BY matches ORDER BY matches""".stripMargin
+
+  /** r32 — the sequenceMatch pattern family (ClickHouse
+    * `sequenceMatch('(?1)…(?K)')(ts, cond1, …)` with arbitrary condition
+    * chains, `.*`/adjacency gaps and per-gap time bounds — the general
+    * engine the bespoke funnel/sequence queries r27/r29/r30/r31/r33 are
+    * instances of): five distinct patterns over the event stream, each
+    * reported as (users entering the scan, users matched, match rate).
+    * The patterns exercise every gap kind the typed representation
+    * supports: a 3-step `.*` chain, two upper time bounds (click within
+    * 1 h of a view; purchase within 24 h of a signup), subsequence
+    * adjacency, and a LOWER bound (purchase at least 1 h after a view —
+    * the delayed-conversion shape no windowFunnel mode can ask).
+    *
+    * Semantics and the proof that one pass of running extrema is exact
+    * live in [[graft.operators.SequenceMatch]]; the oracle pins each
+    * pattern through an independent formulation (EXISTS step-joins with
+    * the family's (ts, event_id) sequence order, and a lag() scan for
+    * the adjacency pattern).
+    *
+    * Scale shape: per pattern, the condition filter pushes into the
+    * scan, then stacked window passes over ONE user-keyed sort — no
+    * joins, no pair table; the five per-pattern aggregates are 1-row
+    * frames unioned at the end. A bot user costs one sorted run per
+    * pattern (skew-arm stressed like the funnel family).
+    */
+  private def r32(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SequenceMatch
+    import graft.operators.SequenceMatch._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+    def et(t: String) = col("event_type") === t
+    val pats: Seq[(String, Pattern)] = Seq(
+      "p1_vcp_any" -> Pattern(
+        Seq(et("view"), et("click"), et("purchase")), Seq(AnyGap, AnyGap)),
+      "p2_vc_within_1h" -> Pattern(
+        Seq(et("view"), et("click")), Seq(Within(3600L))),
+      "p3_sp_within_24h" -> Pattern(
+        Seq(et("signup"), et("purchase")), Seq(Within(86400L))),
+      "p4_vc_adjacent" -> Pattern(
+        Seq(et("view"), et("click")), Seq(Adjacent)),
+      "p5_vp_after_1h" -> Pattern(
+        Seq(et("view"), et("purchase")), Seq(AtLeast(3600L))))
+    pats.map { case (nm, p) =>
+      SequenceMatch.matchesPerUser(ev, "user_id", "tsu", "event_id", p)
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(when(col("matched"), 1L).otherwise(0L)), lit(0L))
+            .as("n_matched"))
+        .select(lit(nm).as("pattern"), col("n_users"), col("n_matched"),
+          (col("n_matched").cast("double") / col("n_users"))
+            .as("match_rate"))
+    }.reduce(_ unionAll _).orderBy(col("pattern"))
+  }
+
+  private val r32Sql =
+    """WITH p1u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events WHERE event_type IN ('view','click','purchase')),
+      |p1m AS (SELECT CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_matched
+      |  FROM events v
+      |  JOIN events c ON c.user_id = v.user_id AND v.event_type = 'view'
+      |    AND c.event_type = 'click'
+      |    AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+      |  JOIN events p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |    AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))),
+      |p2u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events WHERE event_type IN ('view','click')),
+      |p2m AS (SELECT CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_matched
+      |  FROM events v JOIN events c ON c.user_id = v.user_id
+      |    AND v.event_type = 'view' AND c.event_type = 'click'
+      |    AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+      |    AND c.ts <= v.ts + INTERVAL 3600 SECOND),
+      |p3u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events WHERE event_type IN ('signup','purchase')),
+      |p3m AS (SELECT CAST(COUNT(DISTINCT sg.user_id) AS BIGINT) AS n_matched
+      |  FROM events sg JOIN events p ON p.user_id = sg.user_id
+      |    AND sg.event_type = 'signup' AND p.event_type = 'purchase'
+      |    AND (p.ts > sg.ts OR (p.ts = sg.ts AND p.event_id > sg.event_id))
+      |    AND p.ts <= sg.ts + INTERVAL 86400 SECOND),
+      |p4s AS (SELECT user_id, event_type, LAG(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE event_type IN ('view','click')),
+      |p4m AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_matched
+      |  FROM p4s WHERE event_type = 'click' AND prev = 'view'),
+      |p5m AS (SELECT CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_matched
+      |  FROM events v JOIN events p ON p.user_id = v.user_id
+      |    AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |    AND p.ts >= v.ts + INTERVAL 3600 SECOND),
+      |p5u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events WHERE event_type IN ('view','purchase'))
+      |SELECT pattern, n_users, n_matched,
+      |  CAST(n_matched AS DOUBLE) / n_users AS match_rate FROM (
+      |  SELECT 'p1_vcp_any' AS pattern, n_users, n_matched FROM p1u, p1m
+      |  UNION ALL
+      |  SELECT 'p2_vc_within_1h', n_users, n_matched FROM p2u, p2m
+      |  UNION ALL
+      |  SELECT 'p3_sp_within_24h', n_users, n_matched FROM p3u, p3m
+      |  UNION ALL
+      |  SELECT 'p4_vc_adjacent', p2u.n_users, n_matched FROM p2u, p4m
+      |  UNION ALL
+      |  SELECT 'p5_vp_after_1h', n_users, n_matched FROM p5u, p5m)
+      |ORDER BY pattern""".stripMargin
 
   /** r31 — dedup-strict windowed funnel (ClickHouse
     * `windowFunnel(strict_dedup)` — the sink engine's funnel mode
