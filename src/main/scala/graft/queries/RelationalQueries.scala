@@ -1755,27 +1755,35 @@ object RelationalQueries extends QueryPack {
 
   /** r13 — KMV (k-minimum-values) distinct-count sketch, checked against
     * the exact answer: hash every distinct event_id to a uniform fraction
-    * (md5 → first 8 hex digits / 2³²), keep the k smallest hashes, estimate
-    * |distinct| as (k−1)/kth_fraction. Unlike HLL registers, the KMV
-    * synopsis is fully deterministic and engine-portable — any engine with
-    * md5 reproduces the identical k-set, estimate, and relative error, so
-    * the sketch itself is oracle-checkable (and mergeable: the union of two
-    * k-sets re-truncated to k IS the sketch of the union — the property
-    * that makes it a one-pass distributed aggregate).
+    * (md5 → first 15 hex digits as a 60-bit long prefix / 2⁶⁰), keep the
+    * k smallest prefixes, estimate |distinct| as (k−1)/kth_fraction.
+    * Unlike HLL registers, the KMV synopsis is fully deterministic and
+    * engine-portable — any engine with md5 reproduces the identical
+    * k-set, estimate, and relative error, so the sketch itself is
+    * oracle-checkable (and mergeable: the union of two k-sets
+    * re-truncated to k IS the sketch of the union — the property that
+    * makes it a one-pass distributed aggregate).
+    *
+    * The 60-bit long domain (round 14) is shared BIT-FOR-BIT with
+    * [[graft.streaming.StreamingKMV]] — the live form keeps 64 longs per
+    * group instead of 64 hex strings; the synopsis is defined over
+    * DISTINCT prefixes so the ~n²/2⁶¹ prefix-collision event collapses
+    * identically in every engine, and the 60-bit integer → double cast
+    * rounds nearest-even identically in Spark and DuckDB.
     *
     * Scale shape: distinct() is one map-side-combined exchange on the key;
     * the k-smallest selection plans as TakeOrderedAndProject (≤ k rows
-    * leave any partition — at 100 TB the ordering ships 64 hashes per
+    * leave any partition — at 100 TB the ordering ships 64 longs per
     * partition, not the key set); the estimate is a 1-row reduction.
-    * Ordering is on the full 128-bit hex string, so 32-bit fraction
-    * collisions cannot make the kth element ambiguous.
     */
   private def r13(s: SparkSession, dir: String): DataFrame = {
-    val hh = Tables.events(s, dir).select(col("event_id")).distinct()
-      .select(md5(col("event_id").cast("string")).as("hh"))
-    val kset = hh.orderBy(col("hh")).limit(KmvK)
-      .select((conv(substring(col("hh"), 1, 8), 16, 10).cast("long")
-        .cast("double") / lit(4294967296.0)).as("frac"))
+    val pref = Tables.events(s, dir).select(col("event_id")).distinct()
+      .select(conv(substring(md5(col("event_id").cast("string")), 1, 15),
+        16, 10).cast("long").as("hp"))
+      .distinct()
+    val kset = pref.orderBy(col("hp")).limit(KmvK)
+      .select((col("hp").cast("double") /
+        lit(graft.streaming.StreamingKMV.Domain)).as("frac"))
     val exact = Tables.events(s, dir).select(col("event_id")).distinct()
       .agg(count(lit(1)).as("exact_distinct"))
     val est = lit((KmvK - 1).toDouble) / col("kth_frac")
@@ -1792,9 +1800,11 @@ object RelationalQueries extends QueryPack {
 
   private val r13Sql =
     s"""WITH u AS (SELECT DISTINCT event_id FROM events),
-       |h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hh FROM u),
-       |ks AS (SELECT hh FROM h ORDER BY hh LIMIT $KmvK),
-       |f AS (SELECT MAX(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) / 4294967296.0)
+       |h AS (SELECT DISTINCT CAST(('0x' ||
+       |    substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hp
+       |  FROM u),
+       |ks AS (SELECT hp FROM h ORDER BY hp LIMIT $KmvK),
+       |f AS (SELECT MAX(CAST(hp AS DOUBLE) / 1152921504606846976.0)
        |        AS kth_frac FROM ks),
        |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM u)
        |SELECT CAST($KmvK AS BIGINT) AS k, kth_frac,
