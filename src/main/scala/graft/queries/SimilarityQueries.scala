@@ -1438,17 +1438,29 @@ object SimilarityQueries extends QueryPack {
 
   /** s22 — hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
     * Clarke's 1/(60+rank)): the modern RAG retrieval shape — a LEXICAL arm
-    * (idf-weighted token overlap, integer weights 1e6 DIV df) and a
-    * SEMANTIC arm (exact quantized cosine, s01's machinery) each produce a
-    * per-query top-10; fusion sums each arm's reciprocal rank and keeps
-    * the fused top-5. Lexical-only hits (exact keywords the embedding
-    * smears) and semantic-only hits (paraphrases sharing no tokens) both
-    * survive — the reason production retrieval runs both arms. Queries are
-    * the fixed sample; vec_id ≡ doc_id is the fixture convention (q13).
+    * (idf-weighted token overlap, integer weights 1e6 DIV df, stopwords
+    * df-capped out) and a SEMANTIC arm (exact quantized cosine, s01's
+    * machinery) each produce a per-query top-10; fusion sums each arm's
+    * reciprocal rank and keeps the fused top-5. Lexical-only hits (exact
+    * keywords the embedding smears) and semantic-only hits (paraphrases
+    * sharing no tokens) both survive — the reason production retrieval
+    * runs both arms. Queries are the fixed sample; vec_id ≡ doc_id is the
+    * fixture convention (q13).
+    *
+    * The df cap (round 14): tokens in more than 1/5 of the corpus are
+    * STOPWORDS — their idf weight is ≤ 1e6·5/|docs| (~0 at scale) but
+    * their posting-list JOIN volume is proportional to the whole corpus,
+    * which made the uncapped join this registry's most expensive stage.
+    * Capping df ≤ |docs|/5 removes them from BOTH the query tokens and
+    * the candidate side before any row materializes; the oracle SQL
+    * mirrors the cap, so the check stays value-exact (the lexical arm is
+    * now stopword-pruned BM25-style scoring — the standard production
+    * form — rather than all-token overlap).
     *
     * Scale shape: both arms are fixed-k probes (semantic: broadcast
     * queries × corpus map pass; lexical: broadcast query token sets,
-    * token-keyed equi-join weighted so stopword mass contributes ~nothing);
+    * token-keyed equi-join whose posting list excludes df > |docs|/5
+    * tokens — join volume rides the capped df, never the corpus size);
     * ranks ride query-keyed windows over ≤10·k rows; fusion is a keyed
     * full-outer join of two top-10 lists.
     */
@@ -1463,15 +1475,19 @@ object SimilarityQueries extends QueryPack {
       // referenced THREE times below (df table, query tokens, candidate
       // side of the lexical join): one tokenize+explode pass, not three
       .localCheckpoint()
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs)) // 1-row total
+      .filter(col("df") * lit(5) <= col("n_docs"))
+      .select(col("w"), col("df"))
     val qtok = tok
       .join(broadcast(ids.select(col("vec_id").as("doc_id"))), "doc_id")
       .select(col("doc_id").as("query_id"), col("w"))
     val lw = Window.partitionBy(col("query_id"))
       .orderBy(col("lex_score").desc, col("cand_id"))
-    val lex = qtok.join(tok, Seq("w"))
+    val lex = qtok.join(dfw, Seq("w")) // cap + weight BEFORE the posting join
+      .join(tok, Seq("w"))
       .filter(col("doc_id") =!= col("query_id"))
-      .join(dfw, Seq("w"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("1000000 DIV df")).as("lex_score"))
       .withColumnRenamed("doc_id", "cand_id")
@@ -1508,13 +1524,15 @@ object SimilarityQueries extends QueryPack {
       |        ORDER BY cos DESC, cand_id) AS rk FROM p) WHERE rk <= 10),
       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
       |  AS w FROM documents),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
       |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY w),
+      |dfk AS (SELECT w, df FROM dfw, nd WHERE df * 5 <= n_docs),
       |qt AS (SELECT doc_id AS query_id, w FROM tok
       |  WHERE doc_id IN (SELECT vec_id FROM qs)),
       |sc AS (SELECT qt.query_id, t.doc_id AS cand_id,
       |    CAST(SUM(1000000 // d.df) AS BIGINT) AS lex_score
-      |  FROM qt JOIN tok t ON t.w = qt.w AND t.doc_id <> qt.query_id
-      |  JOIN dfw d ON d.w = qt.w
+      |  FROM qt JOIN dfk d ON d.w = qt.w
+      |  JOIN tok t ON t.w = qt.w AND t.doc_id <> qt.query_id
       |  GROUP BY qt.query_id, t.doc_id),
       |lex AS (SELECT query_id, cand_id,
       |  CAST(rk AS BIGINT) AS lex_rank FROM (
