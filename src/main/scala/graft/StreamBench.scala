@@ -156,6 +156,9 @@ object StreamBench {
     if (op == "retention") {
       runRetention(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "quantile") {
+      runQuantile(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
     if (op == "kmv") {
       runKMV(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
@@ -885,6 +888,65 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"kmv_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=quantile measures the live mergeable quantile
+    * sketch (StreamingQuantileHist — r34's fixed-resolution integer
+    * histogram streaming): the anomaly arm's value distribution (values
+    * ~100k ± 1000 with a 1/97 spike at 150k) over 5 event-type groups,
+    * 1200 50-unit buckets on [95k, 155k) — state is 5 × 1202 longs
+    * FOREVER, regardless of stream length; the JVM fold is one array
+    * increment per row. The JSON line carries each percentile's
+    * cross-group range so the spike's ~1% mass landing in p99 (and NOT
+    * in p50/p90) is visible in the artifact next to throughput.
+    */
+  private def runQuantile(spark: org.apache.spark.sql.SparkSession,
+                          rps: Long, secs: Int, sinkDir: String,
+                          ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{QHistConfig, StreamingQuantileHist}
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val vq = when(pmod(col("value"), lit(97)) === 0, lit(150000L))
+      .otherwise(lit(100000L) +
+        (pmod(hash(col("value")), lit(2001)) - lit(1000)).cast("long"))
+    val cfg = QHistConfig(lo = 95000L, width = 50L, buckets = 1200)
+    val events = StreamingQuantileHist.grouped(
+      raw.select(concat(lit("t"), pmod(col("value"), lit(5))).as("g"),
+        vq.as("v")),
+      col("g"), col("v"))
+    val snaps = StreamingQuantileHist.track(events, cfg)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = snaps.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    def range(p: String): String = out.map { df =>
+      val vs = StreamingQuantileHist.latest(df)
+        .collect().map(_.getAs[Long](p))
+      if (vs.isEmpty) "[]" else s"[${vs.min},${vs.max}]"
+    }.getOrElse("[]")
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"quantile_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"p50_range":${range("p50")},"p90_range":${range("p90")},"p99_range":${range("p99")},"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

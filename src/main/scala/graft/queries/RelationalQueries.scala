@@ -654,7 +654,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r30_sequence_count", r30, Some(r30Sql)),
     QueryDef("r31_dedup_funnel", r31, Some(r31Sql)),
     QueryDef("r32_sequence_match", r32, Some(r32Sql)),
-    QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)))
+    QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)),
+    QueryDef("r34_hist_quantiles", r34, Some(r34Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for), DEFAULT mode: per user,
@@ -1813,6 +1814,59 @@ object RelationalQueries extends QueryPack {
        |  ABS(${KmvK - 1}.0 / kth_frac - CAST(exact_distinct AS DOUBLE))
        |    / CAST(exact_distinct AS DOUBLE) AS rel_err
        |FROM f, x""".stripMargin
+
+  /** r34 — fixed-resolution histogram quantiles (the mergeable,
+    * BIT-EXACT quantile sketch next to r05's exact percentiles: r05
+    * answers "the exact p99" with a full sort, this answers "the p99 to
+    * one bucket width" with a sketch whose union is an elementwise SUM —
+    * the only quantile structure that is one-pass, mergeable across
+    * partitions/engines/streams AND deterministic, where KLL/t-digest
+    * reproduce only in distribution): per event type, the p50/p90/p99 of
+    * the value column quantized to cents, over 512 one-unit buckets on
+    * [0, 512), reported as the first cumulative-rank crossing's bucket
+    * upper bound with rank = ⌈n·p/100⌉ in pure integer arithmetic.
+    * [[graft.streaming.StreamingQuantileHist]] is the LIVE twin — same
+    * geometry, same rank rule, snapshot == this query bit-for-bit on
+    * shared rows (StreamingQuantileHistSpec pins it).
+    *
+    * Scale shape: a map-side-combined count on the (type, bucket) key —
+    * at most groups × 514 rows ever shuffle regardless of input size —
+    * then a window pass over that tiny frame; the full sort r05 pays
+    * never happens.
+    */
+  private def r34(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(col("event_type").as("grp"),
+        expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cv"))
+    graft.streaming.StreamingQuantileHist
+      .batchQuantiles(cents, "grp", "cv",
+        graft.streaming.QHistConfig(lo = 0L, width = 100L, buckets = 512))
+      .orderBy(col("grp"))
+  }
+
+  private val r34Sql =
+    """WITH v AS (SELECT event_type AS grp,
+      |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cv
+      |  FROM events),
+      |b AS (SELECT grp, CASE WHEN cv < 0 THEN 0
+      |    WHEN (cv - 0) // 100 >= 512 THEN 513
+      |    ELSE ((cv - 0) // 100) + 1 END AS bucket FROM v),
+      |c AS (SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM b GROUP BY grp, bucket),
+      |m AS (SELECT grp, bucket, c,
+      |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n_total
+      |  FROM c),
+      |u AS (SELECT grp, n_total, cum,
+      |    CASE WHEN bucket <= 0 THEN 0 WHEN bucket > 512
+      |      THEN 9223372036854775807 ELSE bucket * 100 END AS ub
+      |  FROM m)
+      |SELECT grp, MAX(n_total) AS n_total,
+      |  MIN(CASE WHEN cum >= (n_total * 50 + 99) // 100 THEN ub END) AS p50,
+      |  MIN(CASE WHEN cum >= (n_total * 90 + 99) // 100 THEN ub END) AS p90,
+      |  MIN(CASE WHEN cum >= (n_total * 99 + 99) // 100 THEN ub END) AS p99
+      |FROM u GROUP BY grp ORDER BY grp""".stripMargin
 
   /** r16 — chi-square distribution drift: split the event stream at the
     * midpoint of its time range and test whether the event-type mix of the
