@@ -779,7 +779,9 @@ object StreamBench {
     * users cycling view → click → view → click → noise, so each 5-round
     * cycle completes two journeys per user and the noise round (20% of
     * the stream) is dropped by the codegen pre-filter before the state
-    * store. State is TWO LONGS per user — the smallest of any stateful
+    * store. State is THREE LONGS per user (seek position, match count,
+    * monotone max event time for the expiry horizon) — the smallest of
+    * any stateful
     * operator here; the reported rate is source rows/s with the
     * post-filter state-store rate derivable from the 4/5 pattern share.
     */

@@ -126,6 +126,66 @@ object SequenceMatch {
       .agg(max(col(s"_rt${pattern.steps.size}").isNotNull).as("matched"))
   }
 
+  /** windowFunnel EXISTS levels — the K-step generalization of r27/r33's
+    * two-pass construction, making the DEFAULT and STRICT_INCREASE
+    * funnel modes instances of this engine too: per user, the furthest
+    * step k such that a chain step₁ < … < stepₖ completes within
+    * `windowSeconds` of its ANCHORING step-1 event (an anchor-window
+    * constraint, which [[matchesPerUser]]'s per-gap bounds deliberately
+    * cannot express — the windowFunnel window binds every step to the
+    * FIRST, not to its predecessor).
+    *
+    * Construction: carry Aₖ(row) = the anchor time of the best (latest-
+    * anchored) step-prefix chain ending at row; A₁ = own ts on a step-1
+    * row, Aₖ = running max of A₍ₖ₋₁₎ over strictly-preceding rows on a
+    * step-k row, carried UNCONDITIONALLY — a chain whose anchor misses
+    * THIS row's window can never revive later (any later row has a
+    * larger ts), so validity is checked only where a level is claimed:
+    * level(row) ≥ k iff condₖ(row) ∧ Mₖ ≥ ts(row) − w. Maximizing the
+    * anchor is lossless for EXISTS (r27's scaladoc argument), and the
+    * intermediate steps of a level-k claim are inside the window for
+    * free (tsᵢ < tsₖ ≤ anchor + w). Levels nest by construction, so the
+    * per-user level is the max of per-row levels.
+    *
+    * `strictIncrease` selects the mode: false = the family's
+    * (ts, event_id) sequence order (ROWS frames — same-microsecond ties
+    * chain; ClickHouse default), true = strictly increasing event time
+    * (RANGE frames ending −1 µs; ClickHouse `strict_increase`). The two
+    * differ ONLY on ties — FunnelModesSpec pins the divergence corpus.
+    *
+    * Returns (user, level) with EVERY user censused (level 0 = no
+    * step-1 event). Scale shape: unchanged from the bespoke r27 — K−1
+    * stacked running maxima over one user-keyed sort, no joins, O(1)
+    * per-row state; a bot user is one sorted run.
+    */
+  def funnelLevels(events: DataFrame, user: String, tsu: String,
+                   tie: String, steps: Seq[Column], windowSeconds: Long,
+                   strictIncrease: Boolean): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val wUs = windowSeconds * 1000000L
+    val strictPast =
+      if (strictIncrease)
+        Window.partitionBy(col(user)).orderBy(col(tsu))
+          .rangeBetween(Window.unboundedPreceding, -1L)
+      else
+        Window.partitionBy(col(user)).orderBy(col(tsu), col(tie))
+          .rowsBetween(Window.unboundedPreceding, -1L)
+    var df = events.withColumn("_a1", when(steps.head, col(tsu)))
+    for (k <- 2 to steps.size) {
+      df = df.withColumn(s"_m$k",
+          max(col(s"_a${k - 1}")).over(strictPast))
+        .withColumn(s"_a$k", when(steps(k - 1), col(s"_m$k")))
+    }
+    // fold low→high so the HIGHEST satisfied level wraps outermost and
+    // wins when step conditions overlap
+    val rowLevel = (2 to steps.size).foldLeft(
+      when(steps.head, 1L).otherwise(0L)) { (tail, k) =>
+      when(steps(k - 1) && col(s"_m$k") >= col(tsu) - wUs, k.toLong)
+        .otherwise(tail)
+    }
+    df.groupBy(col(user)).agg(max(rowLevel).as("level"))
+  }
+
   /** Greedy non-overlapping match COUNT of the 2-step any-gap pattern
     * `(?first).*(?second)` — ClickHouse `sequenceCount` — per user, for
     * DISJOINT conditions (no row matches both). The run-boundary

@@ -694,29 +694,19 @@ object RelationalQueries extends QueryPack {
     * sorted run. Levels nest by construction (a qualifying purchase's
     * click qualifies, a qualifying click's view exists), so furthest level
     * = the per-user max of the per-row level.
+    * Since round 14 this is an INSTANCE of the sequence-pattern engine:
+    * [[graft.operators.SequenceMatch.funnelLevels]] is the K-step
+    * compiled form of exactly this running-anchor-maximum construction.
     */
   private def r27(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("tsu"))
-    val strictPast = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsu"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val e1 = ev.withColumn("lv",
-      max(when(col("event_type") === "view", col("tsu"))).over(strictPast))
-    val e2 = e1.withColumn("ba",
-      max(when(col("event_type") === "click", col("lv"))).over(strictPast))
-    val rowLevel =
-      when(col("event_type") === "purchase" &&
-        col("ba") >= col("tsu") - wUs, 3L)
-        .when(col("event_type") === "click" &&
-          col("lv") >= col("tsu") - wUs, 2L)
-        .when(col("event_type") === "view", 1L)
-        .otherwise(0L)
-    e2.groupBy(col("user_id"))
-      .agg(max(rowLevel).as("level"))
+    graft.operators.SequenceMatch.funnelLevels(ev, "user_id", "tsu",
+        "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSeconds = 24L * 3600, strictIncrease = false)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))
@@ -759,29 +749,19 @@ object RelationalQueries extends QueryPack {
     * −1 µs over the event-time order instead of ROWS frames over the
     * sequence order — the strict `<` of the chain comparisons lives in
     * the frame bound, everything else (one user_id shuffle, one per-user
-    * sort, O(1) state) is shared with the default mode.
+    * sort, O(1) state) is shared with the default mode. Like r27, an
+    * instance of [[graft.operators.SequenceMatch.funnelLevels]] — the
+    * mode IS the `strictIncrease` knob.
     */
   private def r33(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
+      .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("tsu"))
-    val strictPast = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
-      .rangeBetween(Window.unboundedPreceding, -1L)
-    val e1 = ev.withColumn("lv",
-      max(when(col("event_type") === "view", col("tsu"))).over(strictPast))
-    val e2 = e1.withColumn("ba",
-      max(when(col("event_type") === "click", col("lv"))).over(strictPast))
-    val rowLevel =
-      when(col("event_type") === "purchase" &&
-        col("ba") >= col("tsu") - wUs, 3L)
-        .when(col("event_type") === "click" &&
-          col("lv") >= col("tsu") - wUs, 2L)
-        .when(col("event_type") === "view", 1L)
-        .otherwise(0L)
-    e2.groupBy(col("user_id"))
-      .agg(max(rowLevel).as("level"))
+    graft.operators.SequenceMatch.funnelLevels(ev, "user_id", "tsu",
+        "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSeconds = 24L * 3600, strictIncrease = true)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))

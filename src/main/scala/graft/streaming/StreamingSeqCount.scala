@@ -51,13 +51,13 @@ case class SeqMatch(user_id: Long, n: Long, ts: Timestamp)
   * not retroactively create a match.
   *
   * Scale shape: the type filter runs in codegen before the shuffle
-  * (only pattern-relevant rows reach the state store), state is TWO
+  * (only pattern-relevant rows reach the state store), state is THREE
   * numbers per user, and the match stream is output-sized (one row per
   * completed journey). Nothing needs a watermark to stay bounded, but
   * [[detectExpiring]] drops idle users anyway — losslessly for the
   * MACHINE POSITION (a returning user restarts seeking a view, which
   * can only under-count by the one journey in flight at expiry) — for
-  * deployments where even two longs per lifetime user is too much.
+  * deployments where even three longs per lifetime user is too much.
   */
 object StreamingSeqCount extends Serializable {
 
@@ -78,7 +78,7 @@ object StreamingSeqCount extends Serializable {
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
-  /** The stateful stage, exact form: NoTimeout, two longs per user for
+  /** The stateful stage, exact form: NoTimeout, three longs per user for
     * the stream's lifetime.
     */
   def detect(events: Dataset[SeqEvent]): Dataset[SeqMatch] =

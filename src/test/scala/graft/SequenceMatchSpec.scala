@@ -109,6 +109,44 @@ class SequenceMatchSpec extends SparkSpecBase {
     assert(matched(df, p) == Map(1L -> true))
   }
 
+  test("funnelLevels: K-step anchored window, anchor renewal, level nesting") {
+    val steps = Seq(et("view"), et("click"), et("signup"), et("purchase"))
+    def levels(df: org.apache.spark.sql.DataFrame,
+               strict: Boolean): Map[Long, Long] =
+      SequenceMatch.funnelLevels(df, "user_id", "tsu", "event_id",
+          steps, windowSeconds = 100L, strictIncrease = strict)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = ev(
+      // u1: the clean 4-step chain inside the 100 s anchor window
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "signup", 20L),
+      (1L, "purchase", 30L),
+      // u2: the purchase falls outside the ANCHOR window (not the gap
+      // to its predecessor) — level 3, the windowFunnel discriminator
+      (2L, "view", 0L), (2L, "click", 10L), (2L, "signup", 20L),
+      (2L, "purchase", 150L),
+      // u3: a renewed anchor at 60 s carries the chain to 4 where the
+      // earliest anchor would have failed — the running-max exactness
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "view", 60L),
+      (3L, "click", 70L), (3L, "signup", 80L), (3L, "purchase", 150L),
+      // u4: steps out of order and no anchoring view — level 0
+      (4L, "click", 0L), (4L, "signup", 10L))
+    val want = Map(1L -> 4L, 2L -> 3L, 3L -> 4L, 4L -> 0L)
+    assert(levels(df, strict = false) == want)
+    assert(levels(df, strict = true) == want,
+      "tie-free corpora: the two modes agree exactly")
+  }
+
+  test("funnelLevels strictIncrease knob: ties chain only in sequence mode") {
+    val steps = Seq(et("view"), et("click"))
+    val df = ev((1L, "view", 0L), (1L, "click", 0L))
+    def lvl(strict: Boolean): Long =
+      SequenceMatch.funnelLevels(df, "user_id", "tsu", "event_id",
+          steps, windowSeconds = 100L, strictIncrease = strict)
+        .collect().head.getLong(1)
+    assert(lvl(strict = false) == 2L, "(ts, event_id) order chains the tie")
+    assert(lvl(strict = true) == 1L, "strictly-increasing ts refuses it")
+  }
+
   test("countGreedy2 equals the greedy non-overlapping scan") {
     // V C C V V C: greedy consumes (V@0,C@10) and (V@30,C@50) — 2; the
     // middle C@20 and V@40 are the runs the boundary count collapses

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.{SeqEvent, StreamingSeqCount}
 
 /** Streaming greedy sequence counting (StreamingSeqCount, r30's live
-  * form): non-overlapping view→click journeys counted with two longs of
+  * form): non-overlapping view→click journeys counted with three longs of
   * state per user; ordered delivery agrees with r30's single-lag batch
   * census.
   */
