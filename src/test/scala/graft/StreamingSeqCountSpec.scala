@@ -70,6 +70,41 @@ class StreamingSeqCountSpec extends SparkSpecBase {
     assert(r30.values.sum == active, "r30 censuses exactly the active users")
   }
 
+  test("a late batch of older events cannot pull the expiry horizon earlier") {
+    // the round-14 ADVICE fix: the horizon is maxTs + delay over the
+    // user's WHOLE history (maxTs persisted in state), not over the
+    // latest batch. User A anchors a journey at 200 s (horizon 230 s),
+    // then receives an OLDER view at 180 s — above the 170 s watermark,
+    // so it is delivered, but below A's maxTs. Without the persisted
+    // maxTs the timeout would recompute from 180 s (horizon 210 s) and
+    // the watermark passing 215 s would expire the in-flight journey —
+    // the completing click at 220 s would count nothing. With the fix
+    // the horizon stays 230 s and the match lands.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SeqEvent]
+    val q = StreamingSeqCount.detectExpiring(in.toDS(),
+        watermarkDelayMs = 30000L)
+      .writeStream.format("memory").queryName("sseq_monotone")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(SeqEvent(1L, t(200), 1, 1), // A: open view, horizon 230 s
+        SeqEvent(2L, t(140), 1, 2))          // wm after this batch: 170 s
+      q.processAllAvailable()
+      in.addData(SeqEvent(1L, t(180), 1, 3)) // A: older-than-maxTs view, above wm
+      q.processAllAvailable()
+      in.addData(SeqEvent(2L, t(245), 2, 4)) // B completes; wm -> 215 s
+      q.processAllAvailable()
+      in.addData(SeqEvent(2L, t(246), 1, 5)) // timeout sweep at wm 215 s:
+      q.processAllAvailable()                // A (230 s) must survive
+      in.addData(SeqEvent(1L, t(220), 2, 6)) // A's click completes the journey
+      q.processAllAvailable()
+      val a = spark.table("sseq_monotone").as[graft.streaming.SeqMatch]
+        .collect().filter(_.user_id == 1L)
+      assert(a.map(_.n).toSeq == Seq(1L) && a.head.ts == t(220),
+        "the in-flight journey must survive the late batch and complete")
+    } finally q.stop()
+  }
+
   test("detectExpiring drops idle users; machine position is the only loss") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SeqEvent]
