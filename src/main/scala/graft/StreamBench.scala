@@ -159,6 +159,9 @@ object StreamBench {
     if (op == "quantile") {
       runQuantile(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "seqmatch") {
+      runSeqMatch(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
     if (op == "kmv") {
       runKMV(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
@@ -827,6 +830,66 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"seqcount_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"matches":$nMatches,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=seqmatch measures the live sequenceMatch
+    * pattern engine (StreamingSeqMatch — r32's engine streaming): 100k
+    * concurrent users cycling view → click → purchase → other → other,
+    * matched against the 3-step pattern view −(within 1 h)− click −(.*)−
+    * purchase, so every user completes exactly once (hits = users) and
+    * the 40% noise share drops in the codegen mask filter before the
+    * shuffle. State is the machine's 2 extrema longs + 2 adjacency
+    * booleans + 2 scalars per user regardless of stream length; after
+    * the first cycle the stage is a pure already-matched fold — the
+    * steady-state cost of monitoring a matched population.
+    */
+  private def runSeqMatch(spark: org.apache.spark.sql.SparkSession,
+                          rps: Long, secs: Int, sinkDir: String,
+                          ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SequenceMatch.{AnyGap, Within}
+    import graft.streaming.StreamingSeqMatch
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val etype = when(round === 0, "view").when(round === 1, "click")
+      .when(round === 2, "purchase").otherwise("other")
+    val events = StreamingSeqMatch.patternEvents(
+      raw.select(pmod(col("value"), lit(users)).as("u"),
+        col("timestamp").as("ts"), etype.as("et"), col("value").as("id")),
+      col("u"), col("ts"), col("id"),
+      Seq(col("et") === "view", col("et") === "click",
+        col("et") === "purchase"))
+    val hits = StreamingSeqMatch.detectExpiring(events,
+      Seq(Within(3600L), AnyGap), watermarkDelayMs = 5000L)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = hits.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nHits = out.map(_.count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"seqmatch_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"hits":$nHits,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -146,6 +146,33 @@ class PlanSpec extends SparkSpecBase {
       "the two-type pattern filter must be a pushed scan filter")
   }
 
+  test("r32 pattern filters push into every per-pattern events scan") {
+    // each sequenceMatch pattern filters to its own condition set before
+    // the user-keyed sort — at 100 TB a 2-type pattern scans two event
+    // types, and the adjacency semantics ('non-pattern events are
+    // skipped') is exactly what makes the pushed filter lossless
+    val s = planString(run("r32_sequence_match"))
+    assert(s.contains("In(event_type") || s.contains("EqualTo(event_type"),
+      "pattern condition sets must reach the parquet scans")
+    assert(!s.contains("CartesianProduct"))
+    // the union of 1-row per-pattern aggregates must not re-sort globally:
+    // every sort in the plan is a per-user window sort
+    assert(!s.toLowerCase.contains("rangepartitioning(pattern"),
+      "the 5-row result needs no global range exchange before the sort")
+  }
+
+  test("r34 histogram quantiles shuffle buckets, not rows") {
+    // the sketch property in plan form: the only exchange carries the
+    // (grp, bucket) partial counts — at most groups x 514 rows — never
+    // the events themselves; partial aggregation must sit below it
+    val df = run("r34_hist_quantiles")
+    val s = planString(df)
+    assert(s.contains("HashAggregate"), "bucket counts must partial-combine")
+    assert("hashpartitioning\\(grp".r.findAllIn(s).size >= 1,
+      "the shuffle key is the group (window partitioning), not raw rows")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("dedup keepFirst is a single-exchange hash aggregate, not a window sort") {
     val df = run("q05_dedup_keep_first")
     val s = planString(df)
