@@ -69,6 +69,7 @@ object Stress {
     "d07_neardup_clusters" -> "documents",
     "d08_corpus_dedup" -> "documents",
     "d15_semdedup" -> "embeddings",
+    "s18_mmr_diversity" -> "embeddings",
     "s02_ann_lsh" -> "embeddings",
     "s10_kmeans" -> "embeddings",
     "s11_cluster_sample" -> "embeddings",
@@ -349,7 +350,7 @@ object Stress {
       "4000000").toLong
     val funnelQs = Seq("r27_window_funnel", "j05_conversion_funnel",
       "r28_retention", "r29_strict_funnel", "r32_sequence_match",
-      "r33_strict_increase_funnel")
+      "r33_strict_increase_funnel", "r35_sequence_next_node")
     def funnelDir(hot: Boolean): String = {
       val d = java.nio.file.Files
         .createTempDirectory(s"graft_funnel_${if (hot) "hot" else "uni"}")

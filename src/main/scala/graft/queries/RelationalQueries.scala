@@ -655,7 +655,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r31_dedup_funnel", r31, Some(r31Sql)),
     QueryDef("r32_sequence_match", r32, Some(r32Sql)),
     QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)),
-    QueryDef("r34_hist_quantiles", r34, Some(r34Sql)))
+    QueryDef("r34_hist_quantiles", r34, Some(r34Sql)),
+    QueryDef("r35_sequence_next_node", r35, Some(r35Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for), DEFAULT mode: per user,
@@ -1847,6 +1848,61 @@ object RelationalQueries extends QueryPack {
       |  MIN(CASE WHEN cum >= (n_total * 90 + 99) // 100 THEN ub END) AS p90,
       |  MIN(CASE WHEN cum >= (n_total * 99 + 99) // 100 THEN ub END) AS p99
       |FROM u GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** r35 — sequence next-node (ClickHouse
+    * `sequenceNextNode('forward', 'first_match')(…)` — the path-analysis
+    * member of the sequence family: r27/r29/r31/r33 say how FAR users
+    * get, r30 how OFTEN, r32 WHETHER a pattern exists; this says WHERE
+    * USERS GO NEXT after converting): per user, take the FIRST completed
+    * view → click journey — exactly r30's first greedy match, the click
+    * whose immediate view/click-subsequence predecessor is a view,
+    * earliest in the family's (ts, event_id) order — and report the
+    * event type of the next event in the user's FULL sequence (any
+    * type; `none` when the converting click is the user's last event).
+    * Census: (next_node, n_users) over users with ≥1 completed journey.
+    *
+    * Scale shape: ONE user-keyed sort shared by four window passes
+    * (global position + lead; subsequence lag; whole-partition min for
+    * the first boundary), then a census on the tiny next-node key. No
+    * joins — the oracle uses an equi-join on the computed first
+    * position as the independent formulation.
+    */
+  private def r35(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val user = Window.partitionBy(col("user_id"))
+    val e0 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("pos", row_number().over(ord))
+      .withColumn("nxt", lead(col("event_type"), 1).over(ord))
+    val f = e0.filter(col("event_type").isin("view", "click"))
+      .withColumn("prev", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("pos"))))
+    val b = f.filter(col("event_type") === "click" && col("prev") === "view")
+      .withColumn("fpos", min(col("pos")).over(user))
+      .filter(col("pos") === col("fpos"))
+    b.select(coalesce(col("nxt"), lit("none")).as("next_node"))
+      .groupBy(col("next_node"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("next_node"))
+  }
+
+  private val r35Sql =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER w AS pos, LEAD(event_type) OVER w AS nxt
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, event_type, pos, nxt,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY pos) AS prev
+      |  FROM e WHERE event_type IN ('view', 'click')),
+      |b AS (SELECT user_id, pos, nxt FROM f
+      |  WHERE event_type = 'click' AND prev = 'view'),
+      |fb AS (SELECT user_id, MIN(pos) AS fpos FROM b GROUP BY user_id)
+      |SELECT COALESCE(b.nxt, 'none') AS next_node,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM b JOIN fb ON fb.user_id = b.user_id AND b.pos = fb.fpos
+      |GROUP BY next_node ORDER BY next_node""".stripMargin
 
   /** r16 — chi-square distribution drift: split the event stream at the
     * midpoint of its time range and test whether the event-type mix of the

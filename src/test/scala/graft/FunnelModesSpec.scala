@@ -91,6 +91,29 @@ class FunnelModesSpec extends SparkSpecBase {
     }
   }
 
+  test("r35 next-node: first greedy journey, full-sequence successor, none at end") {
+    val dir = corpus(Seq(
+      // u1: clean journey, the next event is the purchase
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2: the converting click is the user's last event -> 'none'
+      (2L, "view", 0L), (2L, "click", 10L),
+      // u3: FIRST journey's click at 10 s, its successor is the second
+      // click — later journeys must not contribute
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "click", 20L),
+      (3L, "view", 30L), (3L, "click", 40L),
+      // u4: click precedes the view — no journey, excluded entirely
+      (4L, "click", 0L), (4L, "view", 10L),
+      // u5: a signup between view and click is skipped by the
+      // subsequence (journey completes), but the NEXT NODE reads the
+      // FULL sequence — the error event right after the click
+      (5L, "view", 0L), (5L, "signup", 5L), (5L, "click", 10L),
+      (5L, "error", 15L)))
+    val got = SparkEntry.queries("r35_sequence_next_node")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("purchase" -> 1L, "none" -> 1L, "click" -> 1L,
+      "error" -> 1L))
+  }
+
   test("mode hierarchy: per-user level is monotone default >= dedup >= order") {
     // on real data every user's r27 level must dominate r31's, and r31's
     // must dominate r29's — the containment that makes the three modes a
