@@ -707,7 +707,8 @@ object RelationalQueries extends QueryPack {
         "event_id",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"),
-        windowSeconds = 24L * 3600, strictIncrease = false)
+        windowSeconds = 24L * 3600,
+        mode = graft.operators.SequenceMatch.Default)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))
@@ -762,7 +763,8 @@ object RelationalQueries extends QueryPack {
         "event_id",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"),
-        windowSeconds = 24L * 3600, strictIncrease = true)
+        windowSeconds = 24L * 3600,
+        mode = graft.operators.SequenceMatch.StrictIncrease)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))
@@ -873,34 +875,28 @@ object RelationalQueries extends QueryPack {
     * predecessor is a view with t₂ ≤ t₁ + w. Levels nest (the sequence
     * order makes t₂ ≤ t₃ ≤ t₁ + w), so furthest = per-user max.
     *
-    * Scale shape: ONE window pass — two lag() pairs over the per-user
+    * Scale shape: ONE window pass — the consecutiveness makes the chain
+    * ending at each row unique, so the engine's running maxima
+    * degenerate to lag(1) anchor carries over the per-user
     * (ts, event_id) sort, then the per-user max and a 4-row census. No
     * joins, no pair table; a bot user costs one sorted run (the same
     * skew-proof shape r27/j05 moved to this round, stressed by the
-    * funnel-skew arm).
+    * funnel-skew arm). Since round 15 an INSTANCE of the
+    * sequence-pattern engine:
+    * [[graft.operators.SequenceMatch.funnelLevels]] with the
+    * [[graft.operators.SequenceMatch.StrictOrder]] mode — the former
+    * bespoke lag-pair construction, generalized to K steps there.
     */
   private def r29(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wUs = 24L * 3600 * 1000000L // the 24 h chain window, in µs
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("tsu"))
-    val seq = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsu"), col("event_id"))
-    val p1t = lag(col("event_type"), 1).over(seq)
-    val p1u = lag(col("tsu"), 1).over(seq)
-    val p2t = lag(col("event_type"), 2).over(seq)
-    val p2u = lag(col("tsu"), 2).over(seq)
-    val rowLevel =
-      when(col("event_type") === "purchase" && p1t === "click" &&
-        p2t === "view" && col("tsu") <= p2u + wUs, 3L)
-        .when(col("event_type") === "click" && p1t === "view" &&
-          col("tsu") <= p1u + wUs, 2L)
-        .when(col("event_type") === "view", 1L)
-        .otherwise(0L)
-    ev.withColumn("lvl", rowLevel)
-      .groupBy(col("user_id"))
-      .agg(max(col("lvl")).as("level"))
+    graft.operators.SequenceMatch.funnelLevels(ev, "user_id", "tsu",
+        "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSeconds = 24L * 3600,
+        mode = graft.operators.SequenceMatch.StrictOrder)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))
@@ -1098,55 +1094,29 @@ object RelationalQueries extends QueryPack {
     * after the chain click. A user's level is the max over their
     * anchors. All sequencing is the family's (ts, event_id) total order.
     *
-    * Scale shape: join-free — ONE user-keyed sort feeds three stacked
-    * window passes (per-row sequence position; next-view/click/purchase
-    * positions; the first following click row's own lookahead carried as
-    * a struct min), then the per-user max and a 4-row census. A bot user
+    * Scale shape: join-free — ONE user-keyed sort feeds the stacked
+    * window passes (per-row sequence position; per-step next-event
+    * positions; the greedy next-step rows fetched by nested struct
+    * minima), then the per-user max and a 4-row census. A bot user
     * costs one sorted run; the oracle uses equi-joins on the computed
     * positions instead of struct window mins, pinning the identical
-    * semantics through an independent formulation.
+    * semantics through an independent formulation. Since round 15 an
+    * INSTANCE of the sequence-pattern engine:
+    * [[graft.operators.SequenceMatch.funnelLevels]] with the
+    * [[graft.operators.SequenceMatch.StrictDedup]] mode — the former
+    * bespoke 3-step struct-min construction, generalized to K steps
+    * there.
     */
   private def r31(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wUs = 24L * 3600 * 1000000L
-    val inf = Long.MaxValue
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("tsu"))
-    val ord = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsu"), col("event_id"))
-    val fr = Window.partitionBy(col("user_id"))
-      .orderBy(col("pos"))
-      .rowsBetween(1L, Window.unboundedFollowing)
-    val e0 = ev.withColumn("pos", row_number().over(ord))
-    val e1 = e0
-      .withColumn("nv",
-        min(when(col("event_type") === "view", col("pos"))).over(fr))
-      .withColumn("nc", min(when(col("event_type") === "click",
-        struct(col("pos"), col("tsu")))).over(fr))
-      .withColumn("np", min(when(col("event_type") === "purchase",
-        struct(col("pos"), col("tsu")))).over(fr))
-    // the first following CLICK row, carrying ITS OWN lookahead: struct
-    // min orders by pos (unique, first field), so this is a windowed
-    // "fetch the next click row" without a self-join
-    val e2 = e1.withColumn("ci", min(when(col("event_type") === "click",
-      struct(col("pos"), col("tsu"),
-        coalesce(col("nv"), lit(inf)).as("nv2"),
-        coalesce(col("nc").getField("pos"), lit(inf)).as("nc2"),
-        col("np").getField("pos").as("npPos"),
-        col("np").getField("tsu").as("npTsu")))).over(fr))
-    val isView = col("event_type") === "view"
-    val cOk = col("ci").isNotNull &&
-      col("ci").getField("tsu") <= col("tsu") + wUs &&
-      col("ci").getField("pos") < coalesce(col("nv"), lit(inf))
-    val pOk = cOk && col("ci").getField("npTsu").isNotNull &&
-      col("ci").getField("npTsu") <= col("tsu") + wUs &&
-      col("ci").getField("npPos") <
-        least(col("ci").getField("nv2"), col("ci").getField("nc2"))
-    val rowLevel = when(isView && pOk, 3L).when(isView && cOk, 2L)
-      .when(isView, 1L).otherwise(0L)
-    e2.groupBy(col("user_id"))
-      .agg(max(rowLevel).as("level"))
+    graft.operators.SequenceMatch.funnelLevels(ev, "user_id", "tsu",
+        "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSeconds = 24L * 3600,
+        mode = graft.operators.SequenceMatch.StrictDedup)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("level"))

@@ -179,10 +179,15 @@ object StreamingQuantileHist extends Serializable {
       s"""CASE WHEN $value < ${cfg.lo} THEN 0
          |  WHEN (($value - ${cfg.lo}) DIV ${cfg.width}) >= $b THEN ${b + 1}
          |  ELSE (($value - ${cfg.lo}) DIV ${cfg.width}) + 1 END""".stripMargin)
+    // Long-typed literals + a BIGINT cast on bucket: with int-sized lo/width
+    // the bare interpolation would evaluate `bucket * width` in 32-bit
+    // arithmetic and silently wrap (non-ANSI Spark) past 2^31, diverging
+    // from the streaming twin's `lo + i.toLong * width`.
     val ub = expr(
-      s"""CASE WHEN bucket <= 0 THEN ${cfg.lo}
+      s"""CASE WHEN bucket <= 0 THEN ${cfg.lo}L
          |  WHEN bucket > $b THEN ${Long.MaxValue}L
-         |  ELSE ${cfg.lo} + bucket * ${cfg.width} END""".stripMargin)
+         |  ELSE ${cfg.lo}L + CAST(bucket AS BIGINT) * ${cfg.width}L END"""
+        .stripMargin)
     val wAll = Window.partitionBy(col(group))
     val wCum = wAll.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0L)

@@ -177,12 +177,70 @@ class SequenceMatchSpec extends SparkSpecBase {
     }
     def count(needle: String): Int =
       s.sliding(needle.length).count(_ == needle)
-    // one hash exchange on user_id feeding every window level (the group
-    // census reuses the partitioning), one shared sort
-    assert(count("Exchange hashpartitioning(user_id") == 1,
-      s"expected one user_id exchange, plan:\n$s")
-    assert(count("Sort [") == 1 && s.contains("Sort [user_id"),
+    // one hash exchange on the user key feeding every window level (the
+    // group census reuses the partitioning), one shared sort — the key is
+    // the engine's canonical `_u` projection of user_id
+    assert(count("Exchange hashpartitioning(_u") == 1,
+      s"expected one user-key exchange, plan:\n$s")
+    assert(count("Sort [") == 1 && s.contains("Sort [_u"),
       s"expected the levels to share one user-keyed sort, plan:\n$s")
     assert(count("Window ") >= 2, s"expected stacked window passes, plan:\n$s")
+  }
+
+  test("strict modes generalize past K=3: a 4-step chain under all four modes") {
+    val steps = Seq(et("view"), et("click"), et("signup"), et("purchase"))
+    def levels(df: DataFrame, mode: FunnelMode): Map[Long, Long] =
+      SequenceMatch.funnelLevels(df, "user_id", "tsu", "event_id",
+          steps, windowSeconds = 1000L, mode)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = ev(
+      // u1: the clean consecutive 4-chain — 4 in every mode
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "signup", 20L),
+      (1L, "purchase", 30L),
+      // u2: an unrelated `other` event between signup and purchase —
+      // strict_order breaks at 3, default/dedup pass (4)
+      (2L, "view", 0L), (2L, "click", 10L), (2L, "signup", 20L),
+      (2L, "other", 25L), (2L, "purchase", 30L),
+      // u3: a REPEATED signup (held condition 3) before the purchase —
+      // strict_dedup stops at 3, strict_order breaks at 3 too (the
+      // repeat intervenes), default still 4
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "signup", 20L),
+      (3L, "signup", 25L), (3L, "purchase", 30L),
+      // u4: a repeated CLICK between click and signup — dedup stops at
+      // 2 (condition 2 held), default reaches 4 (the second click also
+      // RE-ANCHORS level 2, chains to signup/purchase)
+      (4L, "view", 0L), (4L, "click", 10L), (4L, "click", 15L),
+      (4L, "signup", 20L), (4L, "purchase", 30L))
+    assert(levels(df, Default) ==
+      Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L))
+    assert(levels(df, StrictIncrease) ==
+      Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L),
+      "tie-free corpus: strict_increase == default")
+    assert(levels(df, StrictOrder) ==
+      Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+    assert(levels(df, StrictDedup) ==
+      Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("strict_dedup: greedy advance takes the FIRST matching event, window binds to the anchor") {
+    val steps = Seq(et("view"), et("click"), et("purchase"))
+    def lvl(df: DataFrame): Map[Long, Long] =
+      SequenceMatch.funnelLevels(df, "user_id", "tsu", "event_id",
+          steps, windowSeconds = 100L, StrictDedup)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = ev(
+      // u1: greedy binds the chain to the FIRST click; the purchase
+      // follows a second click (held condition 2 repeats) — level 2,
+      // even though skipping to the second click would have reached 3
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "click", 20L),
+      (1L, "purchase", 30L),
+      // u2: a second VIEW re-anchors — the chain from the later anchor
+      // reaches 3 where the first anchor's chain is interrupted
+      (2L, "view", 0L), (2L, "view", 10L), (2L, "click", 20L),
+      (2L, "purchase", 30L),
+      // u3: the purchase lands outside the ANCHOR window though within
+      // 100 s of the click — level 2, the windowFunnel discriminator
+      (3L, "view", 0L), (3L, "click", 60L), (3L, "purchase", 120L))
+    assert(lvl(df) == Map(1L -> 2L, 2L -> 3L, 3L -> 2L))
   }
 }
