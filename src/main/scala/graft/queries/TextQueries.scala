@@ -1844,31 +1844,35 @@ object TextQueries extends QueryPack {
     * BEFORE the per-doc sum (t35's discipline: float-sum order never
     * matters), so the cross-engine hash is exact.
     *
-    * Scale shape: the bucket table is FIXED size (1024 rows) regardless of
-    * corpus — one map-side-combined aggregate, localCheckpoint'd so the
-    * corpus is exploded once for the model, with target and raw counts in
-    * the same pass (one `sum(when)` beside the `count`); totals derive
-    * from the 1024-row table, not a corpus rescan. Scoring is one more
-    * corpus pass: per-(doc, bucket) counts broadcast-joined against the
-    * 1024-row weight table, then one doc-keyed agg. No corpus-sized build
-    * side, no shuffle wider than (doc_id, bucket).
+    * Scale shape: ONE corpus explode, ever (round-15: the former plan ran
+    * it twice — once for the model, once for scoring). The corpus explodes
+    * into a map-side-combined per-(doc_id, lang, bucket) count, which is
+    * localCheckpoint'd and feeds BOTH sides: the 1024-row model table is a
+    * second tiny aggregate over it (lang is per-doc, so summing the
+    * per-doc counts is exactly the former per-bucket count), and scoring
+    * is the same table broadcast-joined against the 1024-row weight table,
+    * then one doc-keyed agg. The checkpoint is at most docs × 1024 rows —
+    * corpus-bounded, far below the bigram explode it replaces. No
+    * corpus-sized build side, no shuffle wider than (doc_id, bucket).
     */
   private def t39(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-    def feats(df: DataFrame): DataFrame = df.select(col("doc_id"), col("lang"),
+    val perDoc = base.select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
           concat_ws(" ", element_at(col("ws"), i.cast("int")),
             element_at(col("ws"), (i + 1).cast("int"))))).as("bg"))
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("bg")), 1, 13), 16, 10).cast("long"),
           lit(DsirBuckets)).as("b"))
-    val perB = feats(base)
-      .groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    val perB = perDoc
+      .groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("ct"))
     val tot = perB.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val lw = perB.crossJoin(broadcast(tot))
       .select(col("b"),
@@ -1877,8 +1881,7 @@ object TextQueries extends QueryPack {
           ((col("cr") + 1).cast("double") *
             (col("tt") + DsirBuckets).cast("double"))) * 1e6)
           .cast("long").as("lw"))
-    feats(base)
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    perDoc
       .join(broadcast(lw), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_feats"),
