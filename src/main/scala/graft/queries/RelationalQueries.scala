@@ -656,7 +656,8 @@ object RelationalQueries extends QueryPack {
     QueryDef("r32_sequence_match", r32, Some(r32Sql)),
     QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)),
     QueryDef("r34_hist_quantiles", r34, Some(r34Sql)),
-    QueryDef("r35_sequence_next_node", r35, Some(r35Sql)))
+    QueryDef("r35_sequence_next_node", r35, Some(r35Sql)),
+    QueryDef("r36_sequence_prev_node", r36, Some(r36Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for), DEFAULT mode: per user,
@@ -1873,6 +1874,77 @@ object RelationalQueries extends QueryPack {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM b JOIN fb ON fb.user_id = b.user_id AND b.pos = fb.fpos
       |GROUP BY next_node ORDER BY next_node""".stripMargin
+
+  /** r36 — sequence previous-node (ClickHouse
+    * `sequenceNextNode('backward', 'last_match')(…)` — the remaining
+    * direction/base pair next to r35's forward/first_match, completing
+    * the path-analysis modes: r35 asks where users GO after their FIRST
+    * conversion, this asks where users CAME FROM before their LAST):
+    * per user, take the LAST completed view → click journey — the
+    * latest boundary click in the family's (ts, event_id) order, whose
+    * immediate view/click-subsequence predecessor is a view — and
+    * report the event type of the event immediately BEFORE that
+    * journey's view in the user's FULL sequence (any type; `none` when
+    * the view is the user's first event). Census: (prev_node, n_users)
+    * over users with ≥1 completed journey.
+    *
+    * Semantics notes vs r35: `backward` walks the full sequence in
+    * reverse from the match's FIRST step (the view), so the reported
+    * node is the view's full-sequence predecessor; `last_match`
+    * anchors on the latest journey (MAX position boundary instead of
+    * MIN). The lag-of-lag carry (`vprv` = the subsequence predecessor
+    * row's own full-sequence predecessor type) rides the SAME two
+    * window sorts r35 uses — direction and base are knobs on the four
+    * window passes, not new machinery.
+    *
+    * Scale shape: ONE user-keyed sort shared by four window passes
+    * (global position + lag; subsequence lag pair; whole-partition max
+    * for the last boundary), then a census on the tiny prev-node key.
+    * No joins — the oracle reads the view row's predecessor through an
+    * equi-join on the computed position instead of the lag-of-lag
+    * carry, the independent formulation; both are LINEAR (the r35
+    * pattern the ×10 overflow gate rides).
+    */
+  private def r36(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val user = Window.partitionBy(col("user_id"))
+    val sub = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+    val e0 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("pos", row_number().over(ord))
+      .withColumn("prv", lag(col("event_type"), 1).over(ord))
+    val f = e0.filter(col("event_type").isin("view", "click"))
+      .withColumn("prev", lag(col("event_type"), 1).over(sub))
+      .withColumn("vprv", lag(col("prv"), 1).over(sub))
+    val b = f.filter(col("event_type") === "click" && col("prev") === "view")
+      .withColumn("lpos", max(col("pos")).over(user))
+      .filter(col("pos") === col("lpos"))
+    b.select(coalesce(col("vprv"), lit("none")).as("prev_node"))
+      .groupBy(col("prev_node"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("prev_node"))
+  }
+
+  private val r36Sql =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER w AS pos, LAG(event_type) OVER w AS prv
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, event_type, pos,
+      |    LAG(event_type) OVER u AS prev, LAG(pos) OVER u AS prevpos
+      |  FROM e WHERE event_type IN ('view', 'click')
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY pos)),
+      |b AS (SELECT user_id, pos, prevpos FROM f
+      |  WHERE event_type = 'click' AND prev = 'view'),
+      |lb AS (SELECT user_id, MAX(pos) AS lpos FROM b GROUP BY user_id),
+      |sel AS (SELECT b.user_id, b.prevpos FROM b
+      |  JOIN lb ON lb.user_id = b.user_id AND b.pos = lb.lpos)
+      |SELECT COALESCE(v.prv, 'none') AS prev_node,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM sel JOIN e v ON v.user_id = sel.user_id AND v.pos = sel.prevpos
+      |GROUP BY prev_node ORDER BY prev_node""".stripMargin
 
   /** r16 — chi-square distribution drift: split the event stream at the
     * midpoint of its time range and test whether the event-type mix of the

@@ -114,6 +114,29 @@ class FunnelModesSpec extends SparkSpecBase {
       "error" -> 1L))
   }
 
+  test("r36 prev-node: LAST journey (base), view's full-sequence PREDECESSOR (direction)") {
+    val dir = corpus(Seq(
+      // u1: the journey's view is the user's first event -> 'none'
+      (1L, "view", 0L), (1L, "click", 10L),
+      // u2: a signup precedes the view -> 'signup'
+      (2L, "signup", 0L), (2L, "view", 10L), (2L, "click", 20L),
+      // u3: TWO journeys — last_match anchors the second (view at 30 s,
+      // preceded by the error); first_match would have read 'none'
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "error", 20L),
+      (3L, "view", 30L), (3L, "click", 40L),
+      // u4: click precedes the view — no journey, excluded entirely
+      (4L, "click", 0L), (4L, "view", 10L),
+      // u5: a signup between view and click is skipped by the
+      // subsequence (journey completes); backward reads the FULL
+      // sequence before the view — the purchase
+      (5L, "purchase", 0L), (5L, "view", 5L), (5L, "signup", 8L),
+      (5L, "click", 10L)))
+    val got = SparkEntry.queries("r36_sequence_prev_node")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("none" -> 1L, "signup" -> 1L, "error" -> 1L,
+      "purchase" -> 1L))
+  }
+
   test("mode hierarchy: per-user level is monotone default >= dedup >= order") {
     // on real data every user's r27 level must dominate r31's, and r31's
     // must dominate r29's — the containment that makes the three modes a
