@@ -47,4 +47,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** LINEAR alternate oracles for queries whose registry oracle is a
+    * deliberately super-linear readable spec (r27/r32/r33's step-join
+    * EXISTS forms) — used by the ×10 overflow correctness gate, where
+    * the quadratic/cubic forms are infeasible at ~10k events/user.
+    * `graft.Verify` overlays these when SPARK_GRAFT_ORACLE_LINEAR=1;
+    * the driver's own rounds always see [[oracleSql]] unchanged.
+    */
+  def oracleSqlLinear: Map[String, String] = RelationalQueries.linearOracles
 }

@@ -95,6 +95,31 @@ object StreamBench {
       dataBatches.map(_.durationMs.get("triggerExecution").toLong).sum)
   }
 
+  /** The TWO state-size metrics every refreshed arm reports together —
+    * defined once here so the numbers are comparable across arms:
+    *
+    *  - `state_bytes` (provider figure): the state store's own
+    *    memoryUsedBytes — the whole instance the executor pays for. For
+    *    RocksDB this includes memtable/SST/WAL overhead, so a tiny
+    *    logical state can read as MBs (round-14's quantile artifact:
+    *    5.5 MB for ~48 KB of bucket counters); for the HDFS heap
+    *    provider it is close to logical.
+    *  - `state_bytes_logical`: state rows × the operator's fixed
+    *    per-row payload (the encoded widths of its state case class
+    *    fields plus a nominal 8-byte key) — the information the
+    *    operator actually KEEPS, the number that scales with key
+    *    cardinality and is provider-independent.
+    */
+  private def stateMetrics(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      perRowLogicalBytes: Long): (Long, Long, Long) = {
+    val rows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val bytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    (rows, bytes, rows * perRowLogicalBytes)
+  }
+
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
@@ -171,6 +196,9 @@ object StreamBench {
     if (op == "dedupfunnel") {
       runDedupFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "passthrough") {
+      runPassthrough(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
 
     val events = StreamingPipeline.rateSource(spark, rps)
     val deduped = StreamingDedup.withinWatermark(events, Seq("event_id"), "ts",
@@ -201,6 +229,48 @@ object StreamBench {
     val sunk = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
     val sustained = math.round(sunk / elapsed)
     println(s"""{"metric":"stream_rps","value":$sustained,"unit":"rows/sec","rows":$sunk,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=passthrough measures the HARNESS CEILING —
+    * the rate source, a stateless projection (the dedup arm's mapping
+    * shape, minus the stateful operator), the 1 s trigger, and the
+    * idempotent parquet sink, with NO state store in the plan. Every
+    * stateful arm's sustained figure should be read as a FRACTION of
+    * this ceiling: at 1 M offered the round-14 arms all plateau ~949 k
+    * rows/s, which is this path's saturation, not the operators' — the
+    * per-operator cost is the (small) gap under the ceiling plus the
+    * state footprint, and capacity_rps is the less-gated estimate.
+    */
+  private def runPassthrough(spark: org.apache.spark.sql.SparkSession,
+                             rps: Long, secs: Int, sinkDir: String,
+                             ckpt: String, stateStore: String): Unit = {
+    val events = StreamingPipeline.rateSource(spark, rps)
+    val projected = graft.operators.MappingProjection(events, Seq(
+      FieldMapping("event_id", "event_id", "uuid"),
+      FieldMapping("user_id", "user_id", "uuid"),
+      FieldMapping("created_at", "created_at", "datetime")))
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = projected.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val sunk = sunkOrEmpty(sink, spark).map(_.count()).getOrElse(0L)
+    val sustained = math.round(sunk / elapsed)
+    println(s"""{"metric":"passthrough_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"rows":$sunk,"state_rows":0,"state_bytes":0,"state_bytes_logical":0,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -884,12 +954,12 @@ object StreamBench {
     val inRows = progress.map(_.numInputRows).sum
     val out = sunkOrEmpty(sink, spark)
     val nHits = out.map(_.count()).getOrElse(0L)
-    val stateRows = progress.lastOption
-      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
-    val stateBytes = progress.lastOption
-      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    // logical payload: SeqMatchMachineState for K=3 = 2 extremum longs +
+    // 2 reach booleans + matched + maxTs + the key
+    val (stateRows, stateBytes, stateLogical) =
+      stateMetrics(progress, perRowLogicalBytes = 2L * 8 + 2 + 1 + 8 + 8)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"seqmatch_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"hits":$nHits,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"seqmatch_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"hits":$nHits,"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -947,12 +1017,11 @@ object StreamBench {
           math.abs(r.getAs[Double]("est_distinct") - truth) / truth)
       }
     }.getOrElse(-1.0)
-    val stateRows = progress.lastOption
-      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
-    val stateBytes = progress.lastOption
-      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    // logical payload: KmvState = k minima longs + n_total + the key
+    val (stateRows, stateBytes, stateLogical) =
+      stateMetrics(progress, perRowLogicalBytes = 64L * 8 + 8 + 8)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"kmv_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"kmv_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -1006,12 +1075,11 @@ object StreamBench {
         .collect().map(_.getAs[Long](p))
       if (vs.isEmpty) "[]" else s"[${vs.min},${vs.max}]"
     }.getOrElse("[]")
-    val stateRows = progress.lastOption
-      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
-    val stateBytes = progress.lastOption
-      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    // logical payload: QHistState = (buckets + 2) counter longs + the key
+    val (stateRows, stateBytes, stateLogical) =
+      stateMetrics(progress, perRowLogicalBytes = (cfg.buckets + 2L) * 8 + 8)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"quantile_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"p50_range":${range("p50")},"p90_range":${range("p90")},"p99_range":${range("p99")},"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"quantile_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"p50_range":${range("p50")},"p90_range":${range("p90")},"p99_range":${range("p99")},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -42,7 +42,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // SPARK_GRAFT_ORACLE_LINEAR=1 (the ×10 overflow gate) swaps in the
+    // linear alternate oracles for the three queries whose registry
+    // oracle is a deliberately quadratic/cubic readable spec; the
+    // driver never sets it, so driver rounds always compare against the
+    // registry forms.
+    val oracles =
+      if (sys.env.get("SPARK_GRAFT_ORACLE_LINEAR").contains("1"))
+        SparkEntry.oracleSql ++ SparkEntry.oracleSqlLinear
+      else SparkEntry.oracleSql
+    val json = oracles
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

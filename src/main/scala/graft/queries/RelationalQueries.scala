@@ -2130,4 +2130,136 @@ object RelationalQueries extends QueryPack {
       | FROM c)
       |SELECT event_type, rk, user_id, cnt FROM r WHERE rk <= 10
       |ORDER BY event_type, rk""".stripMargin
+
+  /** LINEAR alternate oracles for the ×10 overflow gate (exposed as
+    * `SparkEntry.oracleSqlLinear`; `graft.Verify` overlays them when
+    * `SPARK_GRAFT_ORACLE_LINEAR=1`).
+    *
+    * The REGISTRY oracles for r27/r32/r33 are deliberately readable
+    * step-join EXISTS specs — quadratic (r27/r33) or cubic (r32's p1)
+    * per user, infeasible in DuckDB on the inflated overflow corpus
+    * (~10k events/user). These forms compute the SAME semantics
+    * linearly, via the running-extrema reduction the engine's scaladoc
+    * proves exact ([[graft.operators.SequenceMatch]]): one window pass
+    * per level over the family's (ts, event_id) order (r33: RANGE
+    * frames over event-time µs — the strict_increase mode's frame).
+    *
+    * Independence stance: the gate's job is catching ARITHMETIC
+    * overflow wraps cross-engine (DuckDB evaluates in its own engine,
+    * HUGEINT-safe), not re-proving query semantics — the registry's
+    * step-join oracles pin semantic equivalence exactly at every driver
+    * SF, and the linear≡step-join reduction is proven in the engine
+    * scaladoc and pinned by FunnelModesSpec/SequenceMatchSpec corpora.
+    */
+  def linearOracles: Map[String, String] = Map(
+    "r27_window_funnel" ->
+      """WITH w1 AS (SELECT user_id, event_type, ts, event_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER sq AS m2
+        |  FROM events WINDOW sq AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w2 AS (SELECT user_id, event_type, ts, m2,
+        |    MAX(CASE WHEN event_type = 'click' THEN m2 END) OVER sq AS m3
+        |  FROM w1 WINDOW sq AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l AS (SELECT user_id, MAX(CASE
+        |    WHEN event_type = 'purchase'
+        |      AND m3 >= ts - INTERVAL 24 HOUR THEN 3
+        |    WHEN event_type = 'click'
+        |      AND m2 >= ts - INTERVAL 24 HOUR THEN 2
+        |    WHEN event_type = 'view' THEN 1 ELSE 0 END) AS level
+        |  FROM w2 GROUP BY user_id)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM l GROUP BY level ORDER BY level""".stripMargin,
+    "r33_strict_increase_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |w1 AS (SELECT user_id, event_type, t,
+        |    MAX(CASE WHEN event_type = 'view' THEN t END) OVER sq AS m2
+        |  FROM e WINDOW sq AS (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w2 AS (SELECT user_id, event_type, t, m2,
+        |    MAX(CASE WHEN event_type = 'click' THEN m2 END) OVER sq AS m3
+        |  FROM w1 WINDOW sq AS (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |l AS (SELECT user_id, MAX(CASE
+        |    WHEN event_type = 'purchase'
+        |      AND m3 >= t - 86400000000 THEN 3
+        |    WHEN event_type = 'click'
+        |      AND m2 >= t - 86400000000 THEN 2
+        |    WHEN event_type = 'view' THEN 1 ELSE 0 END) AS level
+        |  FROM w2 GROUP BY user_id)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM l GROUP BY level ORDER BY level""".stripMargin,
+    "r32_sequence_match" ->
+      """WITH f1 AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |a1 AS (SELECT user_id, event_type, ts, event_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 END) OVER sq AS sv
+        |  FROM f1 WINDOW sq AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |a2 AS (SELECT user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'click' AND sv = 1 THEN 1 END)
+        |      OVER sq AS svc
+        |  FROM a1 WINDOW sq AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(m) AS BIGINT) AS n_matched FROM (
+        |  SELECT user_id, MAX(CASE WHEN event_type = 'purchase'
+        |      AND svc = 1 THEN 1 ELSE 0 END) AS m
+        |  FROM a2 GROUP BY user_id)),
+        |f2 AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |b1 AS (SELECT user_id, event_type, ts,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER sq AS lv,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM f2 WINDOW sq AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(m) AS BIGINT) AS n_matched FROM (
+        |  SELECT user_id, MAX(CASE WHEN event_type = 'click'
+        |      AND lv >= ts - INTERVAL 3600 SECOND THEN 1 ELSE 0 END) AS m
+        |  FROM b1 GROUP BY user_id)),
+        |p4 AS (SELECT CAST(SUM(m) AS BIGINT) AS n_matched FROM (
+        |  SELECT user_id, MAX(CASE WHEN event_type = 'click'
+        |      AND prev = 'view' THEN 1 ELSE 0 END) AS m
+        |  FROM b1 GROUP BY user_id)),
+        |f3 AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('signup', 'purchase')),
+        |c1 AS (SELECT user_id, event_type, ts,
+        |    MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER sq AS lsg
+        |  FROM f3 WINDOW sq AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(m) AS BIGINT) AS n_matched FROM (
+        |  SELECT user_id, MAX(CASE WHEN event_type = 'purchase'
+        |      AND lsg >= ts - INTERVAL 86400 SECOND THEN 1 ELSE 0 END) AS m
+        |  FROM c1 GROUP BY user_id)),
+        |f4 AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |d1 AS (SELECT user_id, event_type, ts,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER sq AS ev
+        |  FROM f4 WINDOW sq AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(m) AS BIGINT) AS n_matched FROM (
+        |  SELECT user_id, MAX(CASE WHEN event_type = 'purchase'
+        |      AND ev <= ts - INTERVAL 3600 SECOND THEN 1 ELSE 0 END) AS m
+        |  FROM d1 GROUP BY user_id))
+        |SELECT pattern, n_users, n_matched,
+        |  CAST(n_matched AS DOUBLE) / n_users AS match_rate FROM (
+        |  SELECT 'p1_vcp_any' AS pattern, n_users, n_matched FROM p1
+        |  UNION ALL
+        |  SELECT 'p2_vc_within_1h', n_users, n_matched FROM p2
+        |  UNION ALL
+        |  SELECT 'p3_sp_within_24h', n_users, n_matched FROM p3
+        |  UNION ALL
+        |  SELECT 'p4_vc_adjacent', p2.n_users, p4.n_matched FROM p2, p4
+        |  UNION ALL
+        |  SELECT 'p5_vp_after_1h', n_users, n_matched FROM p5)
+        |ORDER BY pattern""".stripMargin)
 }
