@@ -349,8 +349,10 @@ object Stress {
     val nFun = sys.env.getOrElse("SPARK_GRAFT_STRESS_FUNNEL_ROWS",
       "4000000").toLong
     val funnelQs = Seq("r27_window_funnel", "j05_conversion_funnel",
-      "r28_retention", "r29_strict_funnel", "r32_sequence_match",
-      "r33_strict_increase_funnel", "r35_sequence_next_node")
+      "r28_retention", "r29_strict_funnel", "r30_sequence_count",
+      "r31_dedup_funnel", "r32_sequence_match",
+      "r33_strict_increase_funnel", "r35_sequence_next_node",
+      "r36_sequence_prev_node")
     def funnelDir(hot: Boolean): String = {
       val d = java.nio.file.Files
         .createTempDirectory(s"graft_funnel_${if (hot) "hot" else "uni"}")

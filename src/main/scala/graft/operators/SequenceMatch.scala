@@ -287,8 +287,15 @@ object SequenceMatch {
       case StrictDedup =>
         val inf = Long.MaxValue
         var df = base.withColumn("_pos", row_number().over(seqWindow))
-        val fr = Window.partitionBy(col("_u")).orderBy(col("_pos"))
-          .rowsBetween(1L, Window.unboundedFollowing)
+        // "min over rows STRICTLY AFTER this one" as a RUNNING min over
+        // the DESCENDING position order — never an UNBOUNDED FOLLOWING
+        // frame: Spark's UnboundedFollowingWindowFunctionFrame recomputes
+        // the aggregate from scratch per output row (O(n²) per
+        // partition), which the round-15 funnel-skew arm caught wedging
+        // a 400k-event bot user; the descending running frame is the
+        // same row set with the accumulating O(n) frame implementation.
+        val fr = Window.partitionBy(col("_u")).orderBy(col("_pos").desc)
+          .rowsBetween(Window.unboundedPreceding, -1L)
         for (j <- 1 to k)
           df = df.withColumn(s"_np$j",
             coalesce(min(when(col(s"_s$j"), col("_pos"))).over(fr), lit(inf)))

@@ -913,11 +913,20 @@ object JoinQueries extends QueryPack {
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // next-click = the RUNNING last over the DESCENDING order, not a
+    // CURRENT ROW → UNBOUNDED FOLLOWING frame: Spark recomputes
+    // unbounded-following frames from scratch per output row (O(n²) per
+    // partition — the bot-user hazard the round-15 funnel-skew arm
+    // caught in the strict_dedup funnel); the reversed running frame is
+    // the same row set with the O(n) accumulating implementation.
+    val ordDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("kind").desc, col("event_id").desc)
+    val wNext = ordDesc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
     val tagged = ev.select(col("event_id"), col("ts"), col("user_id"),
       col("kind"),
       last(col("cs"), ignoreNulls = true).over(wPrev).as("prev"),
-      first(col("cs"), ignoreNulls = true).over(wNext).as("next"))
+      last(col("cs"), ignoreNulls = true).over(wNext).as("next"))
     val p = tagged.filter(col("kind") === 1)
       .filter(col("prev").isNotNull || col("next").isNotNull)
     val dPrev = unix_micros(col("ts")) - unix_micros(col("prev.c_ts"))

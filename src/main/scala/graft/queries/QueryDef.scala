@@ -27,6 +27,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    sits at ARGUMENT position (zip_with over slices — wordShingles), or
   *    replaced by a one-pass codegen kernel (WinnowFingerprints,
   *    BytesToLongs, ShingleHashes).
+  *
+  * The unbounded-FOLLOWING window rule (round 15): never aggregate over
+  * a `ROWS BETWEEN … AND UNBOUNDED FOLLOWING` frame in a per-key window —
+  * Spark's UnboundedFollowingWindowFunctionFrame recomputes the aggregate
+  * FROM SCRATCH per output row, O(n²) per partition (a 400k-row hot user
+  * wedged r31 for 42 CPU-minutes; invisible at ~100 rows/key). Compute
+  * suffix extrema as RUNNING aggregates over the DESCENDING order instead
+  * (same row set, the O(n) accumulating UnboundedPreceding frame) — see
+  * SequenceMatch's strict_dedup fetches and j15's next-click side.
   */
 final case class QueryDef(
     name: String,
