@@ -1845,7 +1845,12 @@ object TextQueries extends QueryPack {
     * matters), so the cross-engine hash is exact.
     *
     * Scale shape: ONE corpus explode, ever (round-15: the former plan ran
-    * it twice — once for the model, once for scoring). The corpus explodes
+    * it twice — once for the model, once for scoring — and built each
+    * bigram as a concat_ws string fed to md5 hex; the features now come
+    * from the [[graft.functions.PositionalShingleHashes]] codegen kernel —
+    * one native md5 pass over the token bytes per doc, 60-bit longs out,
+    * no intermediate strings, the oracle's hash literal moving 13 → 15 hex
+    * chars with it). The corpus explodes
     * into a map-side-combined per-(doc_id, lang, bucket) count, which is
     * localCheckpoint'd and feeds BOTH sides: the 1024-row model table is a
     * second tiny aggregate over it (lang is per-doc, so summing the
@@ -1860,12 +1865,10 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
     val perDoc = base.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
-          concat_ws(" ", element_at(col("ws"), i.cast("int")),
-            element_at(col("ws"), (i + 1).cast("int"))))).as("bg"))
+        explode(graft.functions.PositionalShingleHashes(col("ws"), 2))
+          .as("h"))
       .select(col("doc_id"), col("lang"),
-        pmod(conv(substring(md5(col("bg")), 1, 13), 16, 10).cast("long"),
-          lit(DsirBuckets)).as("b"))
+        pmod(col("h"), lit(DsirBuckets)).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -1895,7 +1898,7 @@ object TextQueries extends QueryPack {
   private val t39Sql =
     s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
        |f AS (SELECT doc_id, lang,
-       |    CAST(('0x' || substr(md5(bg), 1, 13)) AS BIGINT) % $DsirBuckets AS b
+       |    CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % $DsirBuckets AS b
        |  FROM (SELECT doc_id, lang,
        |      unnest(list_transform(range(1, len(ws)),
        |        i -> ws[i] || ' ' || ws[i + 1])) AS bg
