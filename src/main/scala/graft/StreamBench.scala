@@ -993,7 +993,11 @@ object StreamBench {
       .option("rowsPerSecond", rps.toString).load()
     val events = StreamingKMV.keyedHashes(raw,
       concat(lit("g"), pmod(col("value"), lit(4))), col("value"))
-    val snaps = StreamingKMV.track(events, k = 64)
+    // single source of truth for the sketch size: both the track() call
+    // and the logical state payload below derive from it (r15 ADVICE —
+    // the two literals drifted independently before)
+    val kmvK = 64
+    val snaps = StreamingKMV.track(events, k = kmvK)
     val sink = new IdempotentParquetSink(sinkDir)
     var elapsed = 0.0
     val progress = withProgressLog(spark) {
@@ -1028,7 +1032,7 @@ object StreamBench {
     }.getOrElse(-1.0)
     // logical payload: KmvState = k minima longs + n_total + the key
     val (stateRows, stateBytes, stateLogical) =
-      stateMetrics(progress, perRowLogicalBytes = 64L * 8 + 8 + 8)
+      stateMetrics(progress, perRowLogicalBytes = kmvK.toLong * 8 + 8 + 8)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"kmv_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()

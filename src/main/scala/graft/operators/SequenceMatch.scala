@@ -6,10 +6,23 @@ import org.apache.spark.sql.functions._
 
 /** The sequence-pattern engine behind the funnel/sequence query family —
   * a typed, compiled form of ClickHouse's `sequenceMatch('(?1).*(?2)…')`
-  * condition-chain patterns and of ALL FOUR `windowFunnel` modes (the
-  * sink engine's sequence-analytics primitives; reference provenance:
-  * the ClickHouse sink the load-test pipeline writes into,
+  * condition-chain patterns and of the four `windowFunnel` mode FAMILY
+  * (the sink engine's sequence-analytics primitives; reference
+  * provenance: the ClickHouse sink the load-test pipeline writes into,
   * `docker-compose.yaml` services in the reference repo).
+  *
+  * Mode-parity caveat (deliberate, pinned by this repo's r29/r31
+  * oracles since their first round — see [[FunnelMode]]): Default and
+  * StrictIncrease are ClickHouse-exact; [[StrictOrder]] here requires
+  * FULL-SEQUENCE consecutiveness (any intervening event breaks the
+  * chain, even one matching a later step condition — ClickHouse's
+  * `strict_order` only breaks on events matching NO condition, so
+  * view,click,view,purchase reaches level 3 there and level 2 here);
+  * [[StrictDedup]] here is EXISTS-over-anchors (max over all anchor
+  * rows of the greedy chain from that anchor), whereas ClickHouse's
+  * `strict_deduplication` terminates the whole per-user scan at the
+  * first repeated condition. Both divergences are self-consistent with
+  * the repo's oracles and pinned in FunnelModesSpec.
   *
   * A [[SequenceMatch.Pattern]] is K step conditions joined by K−1 typed
   * gaps:
@@ -101,8 +114,10 @@ object SequenceMatch {
       s"${steps.size} steps need ${steps.size - 1} gaps, got ${gaps.size}")
   }
 
-  /** The four ClickHouse `windowFunnel` modes, as typed funnel
-    * semantics for [[funnelLevels]]. All four share the anchor-window
+  /** The four `windowFunnel` modes, as typed funnel semantics for
+    * [[funnelLevels]] (StrictOrder/StrictDedup follow this repo's
+    * pinned variants, not ClickHouse bit-for-bit — see the object
+    * scaladoc's mode-parity caveat). All four share the anchor-window
     * constraint (every chained step within `windowSeconds` of the
     * chain's step-1 anchor) and the EXISTS-over-anchors reading (a
     * user's level is the max over all candidate chains); they differ in
@@ -329,10 +344,13 @@ object SequenceMatch {
           }
           c
         }
-        val lvl = when(!col("_s1"), 0L).otherwise(
+        // null-as-false on the anchor condition, matching the other
+        // modes' `when(col("_s1"), …)` convention: a null step-1 flag
+        // (nullable predicate over a null column) anchors nothing.
+        val lvl = when(coalesce(col("_s1"), lit(false)),
           conds.zipWithIndex.foldLeft(lit(1L)) { case (tail, (c, idx)) =>
             when(c, (idx + 2).toLong).otherwise(tail)
-          })
+          }).otherwise(0L)
         (df, lvl)
     }
     perRowLevel._1.groupBy(col("_u"))

@@ -137,6 +137,54 @@ class FunnelModesSpec extends SparkSpecBase {
       "purchase" -> 1L))
   }
 
+  test("null step conditions are false in EVERY mode (r15 ADVICE: dedup anchored on null _s1)") {
+    import graft.operators.SequenceMatch
+    import graft.operators.SequenceMatch._
+    import spark.implicits._
+    // u1's rows all carry a NULL event_type, so every step condition
+    // (`col === "view"` etc.) evaluates to null — no mode may anchor or
+    // chain on them (level 0). u2 is a clean 2-chain control (level 2),
+    // and u3 interleaves a null row inside a valid chain (must not break
+    // Default/StrictDedup, must not raise any level).
+    val events = Seq[(Long, Long, Option[String], Long)](
+      (1L, 1L, None, 0L), (2L, 1L, None, 10L),
+      (3L, 2L, Some("view"), 0L), (4L, 2L, Some("click"), 10L),
+      (5L, 3L, Some("view"), 0L), (6L, 3L, None, 10L),
+      (7L, 3L, Some("click"), 20L))
+      .map { case (id, u, et, s) => (id, u, et.orNull, s * 1000000L) }
+      .toDF("event_id", "user_id", "event_type", "tsu")
+    val steps = Seq(col("event_type") === "view", col("event_type") === "click")
+    for (mode <- Seq(Default, StrictIncrease, StrictOrder, StrictDedup)) {
+      val got = SequenceMatch.funnelLevels(events, "user_id", "tsu",
+        "event_id", steps, 3600L, mode)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 0L, s"$mode must treat null conditions as false")
+      assert(got(2L) == 2L, s"$mode control chain")
+      val want3 = if (mode == StrictOrder) 1L else 2L // the null row intervenes
+      assert(got(3L) == want3, s"$mode null-intervener user")
+    }
+  }
+
+  test("pinned ClickHouse divergence: strict_order on a step-matching intervener") {
+    // ClickHouse's strict_order breaks only on events matching NO
+    // condition: view,click,view,purchase reaches level 3 there. This
+    // engine's StrictOrder requires full-sequence consecutiveness, so
+    // the second view interrupts at level 2 — the divergence the object
+    // scaladoc documents, pinned here so it can't drift silently.
+    val dir = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "view", 20L),
+      (1L, "purchase", 30L)))
+    assert(census("r29_strict_funnel", dir) == Map(2L -> 1L),
+      "this repo's strict_order: the step-matching intervener breaks the chain")
+    // and StrictDedup is EXISTS-over-anchors: the second view re-anchors,
+    // so the user still reaches... actually view@20,purchase@30 is only
+    // level 1 from that anchor (no click after), but the FIRST anchor's
+    // greedy chain view@0->click@10->purchase@30 holds condition 1 when
+    // the view@20 intervenes — interrupted at level 2. ClickHouse's
+    // whole-scan termination would also stop by then; same answer here.
+    assert(census("r31_dedup_funnel", dir) == Map(2L -> 1L))
+  }
+
   test("mode hierarchy: per-user level is monotone default >= dedup >= order") {
     // on real data every user's r27 level must dominate r31's, and r31's
     // must dominate r29's — the containment that makes the three modes a
