@@ -1126,12 +1126,17 @@ object TextQueries extends QueryPack {
     * collects — bucket key = density div 1024, so the count is fixed by
     * the density RANGE, not the corpus), (c) the driver walks buckets
     * descending to find the single threshold bucket the budget crosses
-    * inside, and (d) only THAT bucket's docs pay a cumulative window —
-    * every higher bucket is selected wholesale with zero sorting. The
-    * selection is bit-identical to the full-sort prefix (bucket key is
-    * monotone in density, so bucket blocks are contiguous in the sorted
-    * order); adversarial density mass concentrated in one bucket degrades
-    * only that bucket's window back toward the naive sort.
+    * inside, and (d) the recursion repeats ONE level inside that bucket:
+    * a second ≤1024-row collect of per-EXACT-DENSITY token sums finds the
+    * single crossing density value, every higher density is selected
+    * wholesale, and only the one exact-dq tie class pays the cumulative
+    * window (ordered by doc_id — dq is constant there). The selection is
+    * bit-identical to the full-sort prefix (bucket key and dq are both
+    * monotone prefixes of the (dq DESC, doc_id) sort order); the
+    * unpartitioned frame is bounded by ONE density value's population —
+    * ~1/10⁶ of the corpus in expectation, and adversarial mass would have
+    * to concentrate on a single exact integer density to degrade it
+    * (r15 VERDICT task 7; previously the whole ~1/10³ bucket paid it).
     */
   private def t41(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1163,12 +1168,31 @@ object TextQueries extends QueryPack {
       case None => base // the whole corpus fits the budget
       case Some(tb) =>
         val high = base.filter(col("bk") > tb)
-        val w = Window.orderBy(col("dq").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tie = base.filter(col("bk") === tb)
-          .withColumn("cum", sum(col("n_toks")).over(w))
-          .filter(col("cum") + lit(cum) <= budget)
-          .drop("cum")
+        val tieAll = base.filter(col("bk") === tb)
+        // level-2 recursion: exact-density sums within the crossing
+        // bucket — bounded collect (a bucket spans ≤1024 integer dq
+        // values), walked exactly like the bucket walk above
+        val sub = tieAll.groupBy(col("dq")).agg(sum(col("n_toks")).as("stoks"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+        var cum2 = 0L
+        var t2 = Option.empty[Long]
+        sub.foreach { case (dq, toks) =>
+          if (t2.isEmpty) {
+            if (cum + cum2 + toks <= budget) cum2 += toks
+            else t2 = Some(dq)
+          }
+        }
+        val tie = t2 match {
+          case None => tieAll // unreachable when the walk above crossed here
+          case Some(dq2) =>
+            val w = Window.orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            tieAll.filter(col("dq") > dq2).unionByName(
+              tieAll.filter(col("dq") === dq2)
+                .withColumn("cum", sum(col("n_toks")).over(w))
+                .filter(col("cum") + lit(cum + cum2) <= budget)
+                .drop("cum"))
+        }
         high.unionByName(tie)
     }
     selected.groupBy(col("source"))
