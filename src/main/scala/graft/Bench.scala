@@ -291,6 +291,12 @@ object Bench {
     val gtCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_GT_CACHE").contains("0")
     if (gtCacheOn)
       spark.conf.set("spark.graft.scale.groundTruthCache", "1")
+    // ...and the k-means fit: s10/s11/d15 all consume the same final Lloyd
+    // assignment — one fit per sweep instead of three independent
+    // KmIters-pass fits (SPARK_GRAFT_BENCH_KM_CACHE=0 disables for A/B)
+    val kmCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_KM_CACHE").contains("0")
+    if (kmCacheOn)
+      spark.conf.set("spark.graft.scale.kmeansCache", "1")
 
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate

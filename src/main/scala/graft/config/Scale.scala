@@ -119,4 +119,17 @@ object Scale {
     * parquet exactly, pinned by ScaleConfSpec).
     */
   def groundTruthCache: Boolean = get("groundTruthCache", 0) == 1
+
+  /** Share one materialized k-means fit — the final Lloyd assignment
+    * `(vec_id, v, c_id, d2)` over the quantized embeddings — across its
+    * THREE consumers (s10 cell census, s11 cluster-balanced sample, d15
+    * SemDeDup) within a session ("1" = on; test-profile default off so
+    * every oracle-checked query stays self-contained). Each fit is
+    * kmIters corpus map passes plus per-pass driver codebook collects; at
+    * 100 TB the knob turns three fits into one (results are bit-identical
+    * either way — the fit is deterministic and longs/long-arrays
+    * round-trip parquet exactly, pinned by ScaleConfSpec; see
+    * [[graft.queries.MaterializedKMeans]]).
+    */
+  def kmeansCache: Boolean = get("kmeansCache", 0) == 1
 }

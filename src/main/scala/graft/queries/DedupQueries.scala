@@ -1303,19 +1303,19 @@ object DedupQueries extends QueryPack {
     * Scale shape: the only corpus-wide exchange is the self-join's hash
     * partition on c_id; within-cell pair volume is bounded by the cell size,
     * which a production run holds constant by raising k with the corpus
-    * (KMeans k is a plan-shape-free knob). Cells are localCheckpointed once
-    * so the two join sides share one k-means fit instead of recomputing it.
+    * (KMeans k is a plan-shape-free knob). The fit arrives materialized
+    * from [[graft.queries.MaterializedKMeans]] — shared with s10/s11 when
+    * the kmeansCache knob is on, self-contained (checkpointed) when off —
+    * so the two join sides never recompute it.
     */
   private def d15(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    val vecs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .localCheckpoint()
-    val cells = graft.operators.KMeans.cluster(vecs, dims = 64,
-      k = SimilarityQueries.KmK, iters = SimilarityQueries.KmIters)
+    // the fit itself comes materialized (parquet-cached or checkpointed,
+    // see MaterializedKMeans) — only the cheap per-row norm recomputes on
+    // each side of the self-join
+    val cells = MaterializedKMeans.cells(s, dir)
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-      .localCheckpoint()
     cells.as("a").join(cells.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),

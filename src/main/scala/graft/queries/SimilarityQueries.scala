@@ -724,10 +724,7 @@ object SimilarityQueries extends QueryPack {
     * iteration.
     */
   private def s10(s: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .localCheckpoint()
-    graft.operators.KMeans.cluster(vecs, Dims, KmK, KmIters)
+    MaterializedKMeans.cells(s, dir)
       .groupBy(col("c_id"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec_id"),
         sum(col("d2")).as("inertia"),
@@ -803,9 +800,7 @@ object SimilarityQueries extends QueryPack {
     * instead of sorting whole cells in window partitions.
     */
   private def s11(s: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("v"))
-    val cells = graft.operators.KMeans.cluster(vecs, Dims, KmK, KmIters)
+    val cells = MaterializedKMeans.cells(s, dir)
       .select(col("vec_id"), col("c_id"))
     val h = conv(substring(md5(concat(col("vec_id").cast("string"),
       lit("#cb"))), 1, 13), 16, 10).cast("long")

@@ -31,6 +31,7 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(Scale.maxDf == 1000)
     assert(!Scale.graphEdgeCache)
     assert(!Scale.shingleCache)
+    assert(!Scale.kmeansCache)
   }
 
   test("graphEdgeCache changes cost attribution, never results") {
@@ -114,6 +115,27 @@ class ScaleConfSpec extends SparkSpecBase {
       "s14 under the full bench profile != plain")
     assert(full("d03_minhash_lsh") == run("d03_minhash_lsh"),
       "d03 under the full bench profile != plain")
+  }
+
+  test("kmeansCache changes cost attribution, never results") {
+    // s10/s11/d15 share one materialized Lloyd fit when the knob is on;
+    // the committed oracles run with it OFF — this parity pins that the
+    // assignment (vec_id, quantized-long vectors, c_id, exact-int d2)
+    // round-trips the parquet cache bit-identically across the cell
+    // census (d2 sums + mean doubles), the balanced sample (md5-ranked
+    // per-cell quota), and the SemDeDup eviction (within-cell cosine)
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("s10_kmeans", "s11_cluster_sample", "d15_semdedup")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"k-means pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("kmeansCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
   }
 
   test("queryK override re-scales DataFrame result and oracle SQL together") {
