@@ -80,8 +80,15 @@ object BpeApply {
       Array(s.codePointCount(0, s.length).toLong, merges))
   }
 
-  def apply(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def apply(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    apply(text, Vocab)
+
+  /** Encode with a caller-supplied merge table (e.g. one learned by
+    * [[graft.operators.BpeLearn]]), in rank order.
+    */
+  def apply(text: org.apache.spark.sql.Column,
+            vocab: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(BpeApply(ColumnBridge.expression(text), Vocab))
+    ColumnBridge.column(BpeApply(ColumnBridge.expression(text), vocab))
   }
 }

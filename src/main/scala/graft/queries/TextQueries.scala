@@ -1109,7 +1109,8 @@ object TextQueries extends QueryPack {
     QueryDef("t38_vocab_coverage", t38, Some(t38Sql)),
     QueryDef("t39_dsir_weights", t39, Some(t39Sql)),
     QueryDef("t40_unimax_budget", t40, Some(t40Sql)),
-    QueryDef("t41_budget_selection", t41, Some(t41Sql)))
+    QueryDef("t41_budget_selection", t41, Some(t41Sql)),
+    QueryDef("t42_bpe_learn", t42, Some(t42Sql)))
 
   /** t41 — token-budget greedy data selection (the doc-level knapsack of
     * data-selection pipelines): spend a fixed token budget (half the
@@ -1212,6 +1213,92 @@ object TextQueries extends QueryPack {
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
       |FROM r, b WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin
+
+  /** Merge rounds t42 learns (and the oracle SQL unrolls). A real
+    * tokenizer run raises this to ~32k–100k without changing the plan
+    * shape — each extra round is one more in-memory pass over the capped
+    * type table, never another corpus scan.
+    */
+  private val BpeLearnRounds = 8
+
+  /** Frequency cap on the word-type table t42 fits from: the top
+    * BpeTypeCap types by (frequency DESC, word) — the bounded collect
+    * that makes the driver-side fit provably O(cap), independent of
+    * corpus size (the same fixed-K pattern as the IVF/PQ codebooks).
+    * Published trainers apply exactly this cutoff (min_frequency /
+    * vocab pruning): sub-cap types are statistically irrelevant to the
+    * first ~100k merges. 65536 ≫ any test corpus's type count.
+    */
+  private val BpeTypeCap = 65536
+
+  /** t42 — distributed BPE vocabulary LEARNING (the tokenizer-training
+    * loop itself — the piece t08/t37 consume a finished merge table
+    * from): build the word-type frequency table in one corpus scan, then
+    * run [[graft.operators.BpeLearn]]'s published Sennrich merge loop for
+    * [[BpeLearnRounds]] rounds. Output is the learned merge table —
+    * (rank, decoded surface string, pair count at selection) — i.e.
+    * exactly the artifact a BpeApply vocabulary is.
+    *
+    * Word types are lowercase-alpha tokens (the deterministic,
+    * engine-portable corpus normalization; also guarantees text can never
+    * collide with the private-use placeholder plane the merge encoding
+    * uses). The oracle replays the identical loop as [[BpeLearnRounds]]
+    * unrolled CTE generations — same pair stats (2-gram substrings with
+    * overlap), same (count DESC, gram ASC) winner rule, same
+    * left-to-right `replace` merge — so the learned tables match
+    * bit-for-bit. BpeLearnSpec pins the hand-traced Sennrich corpus and
+    * the BpeApply round-trip of the learned vocabulary.
+    *
+    * Scale shape: ONE distributed corpus scan builds the word-type
+    * counts (map-side-combined — types, not occurrences, leave the
+    * mappers), one TakeOrderedAndProject collects the top-[[BpeTypeCap]]
+    * types (bounded: ≤cap rows ever reach the driver, like the IVF/PQ
+    * codebook collects), and the merge loop fits in memory
+    * (BpeLearn.learnLocal — the model fit runs where the model lives;
+    * the fully-distributed BpeLearn.learn remains for uncappable type
+    * tables and is spec-pinned bit-identical). R rounds cost ZERO extra
+    * Spark jobs — the 8-round distributed form spent ~190 ms/round on
+    * pure job overhead over a 31-row type table.
+    */
+  private def t42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(BpeTypeCap) // bounded collect
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.operators.BpeLearn.learnLocal(types, BpeLearnRounds)
+      .map(m => (m.rank + 1L, m.decoded, m.count))
+      .toDF("rk", "merged", "n_pairs")
+      .orderBy(col("rk"))
+  }
+
+  private def t42Sql: String = {
+    def ph(r: Int) = s"chr(${0xE000 + r})"
+    val head =
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |w0 AS (SELECT w AS enc, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+         |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w
+         |  ORDER BY f DESC, w LIMIT $BpeTypeCap)""".stripMargin
+    val gens = (0 until BpeLearnRounds).map { r =>
+      val dec = (0 until r).foldLeft("g")((acc, j) =>
+        s"replace($acc, ${ph(j)}, (SELECT merged FROM d$j))")
+      s""",
+         |p$r AS (SELECT substr(enc, CAST(i AS INTEGER), 2) AS g, f FROM
+         |  (SELECT enc, f, unnest(generate_series(1, length(enc) - 1)) AS i
+         |   FROM w$r)),
+         |m$r AS (SELECT g, CAST(SUM(f) AS BIGINT) AS cnt FROM p$r GROUP BY g
+         |  ORDER BY cnt DESC, g LIMIT 1),
+         |w${r + 1} AS (SELECT replace(enc, (SELECT g FROM m$r), ${ph(r)}) AS enc, f
+         |  FROM w$r),
+         |d$r AS (SELECT $dec AS merged, cnt FROM m$r)""".stripMargin
+    }.mkString
+    val union = (0 until BpeLearnRounds).map(r =>
+      s"SELECT CAST(${r + 1} AS BIGINT) AS rk, merged, cnt AS n_pairs FROM d$r")
+      .mkString("\n UNION ALL ")
+    s"$head$gens\n$union\nORDER BY rk"
+  }
 
   /** t37 — tokenizer fertility per language: encoded units per word
     * through the real rank-ordered BPE (t08's BpeApply), aggregated by
