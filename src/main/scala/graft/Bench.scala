@@ -297,6 +297,12 @@ object Bench {
     val kmCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_KM_CACHE").contains("0")
     if (kmCacheOn)
       spark.conf.set("spark.graft.scale.kmeansCache", "1")
+    // ...and the aligned-run island table: d31/d33 share one positional-
+    // gram candidate pipeline (SPARK_GRAFT_BENCH_ALIGN_CACHE=0 for A/B)
+    val alignCacheOn =
+      !sys.env.get("SPARK_GRAFT_BENCH_ALIGN_CACHE").contains("0")
+    if (alignCacheOn)
+      spark.conf.set("spark.graft.scale.alignCache", "1")
 
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate

@@ -120,6 +120,28 @@ object StreamBench {
     (rows, bytes, rows * perRowLogicalBytes)
   }
 
+  /** Hot-key knob (SPARK_GRAFT_STREAM_HOT=1, r15 VERDICT task 6): route
+    * every 10th source row to user 0 — a 10%-hot bot user on top of the
+    * uniform assignment, the exact skew profile the BATCH funnel-skew
+    * stress arm runs — so the live funnel family's per-key
+    * flatMapGroupsWithState lists can be measured where they could
+    * degenerate (one group absorbing 10% of every micro-batch). The
+    * JSON lines carry `hot_key` so uniform/hot artifacts pair up.
+    */
+  private def hotKey: Boolean =
+    sys.env.get("SPARK_GRAFT_STREAM_HOT").contains("1")
+
+  /** The arms' shared user assignment: uniform over `users`, or the
+    * 10%-hot overlay under [[hotKey]].
+    */
+  private def userExpr(users: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val uniform = pmod(col("value"), lit(users))
+    if (hotKey) when(pmod(col("value"), lit(10)) === 0, lit(0L))
+      .otherwise(uniform)
+    else uniform
+  }
+
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
@@ -186,6 +208,9 @@ object StreamBench {
     }
     if (op == "seqmatch") {
       runSeqMatch(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
+    if (op == "seqnode") {
+      runSeqNode(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
     if (op == "kmv") {
       runKMV(spark, rps, secs, sinkDir, ckpt, stateStore); return
@@ -621,7 +646,7 @@ object StreamBench {
     val round = pmod(expr(s"value div $users"), lit(5))
     val step = when(round === 0, 1).when(round === 2, 2)
       .when(round === 4, 3).otherwise(0)
-    val events = raw.select(pmod(col("value"), lit(users)).as("user_id"),
+    val events = raw.select(userExpr(users).as("user_id"),
         col("timestamp").as("ts"), step.as("step"))
       .filter(col("step") > 0)
       .as[graft.streaming.FunnelEvent](
@@ -662,7 +687,7 @@ object StreamBench {
     // inRows·3/5 was exact only on whole blocks; round-11 advice)
     val funnelSustained =
       math.round(funnelSourceEvents(inRows, users) / elapsed)
-    println(s"""{"metric":"funnel_rps","value":$sustained,"unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"funnel_rps","value":$sustained,"hot_key":$hotKey,"unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -689,7 +714,7 @@ object StreamBench {
     val round = pmod(expr(s"value div $users"), lit(5))
     val step = when(round === 0, 1).when(round === 1, 2)
       .when(round === 2, 3).otherwise(0)
-    val events = raw.select(pmod(col("value"), lit(users)).as("user_id"),
+    val events = raw.select(userExpr(users).as("user_id"),
         col("timestamp").as("ts"), step.as("step"),
         col("value").as("event_id"))
       .as[graft.streaming.StrictFunnelEvent](
@@ -722,7 +747,7 @@ object StreamBench {
     val stateBytes = progress.lastOption
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"strict_funnel_rps","value":$sustained,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"strict_funnel_rps","value":$sustained,"hot_key":$hotKey,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -820,7 +845,7 @@ object StreamBench {
     val etype = when(round === 0, "view").when(round === 1, "click")
       .when(round === 2, "purchase").otherwise("other")
     val events = StreamingDedupFunnel.dedupEvents(
-      raw.select(pmod(col("value"), lit(users)).as("u"),
+      raw.select(userExpr(users).as("u"),
         col("timestamp").as("ts"), etype.as("et"), col("value").as("id")),
       col("u"), col("ts"), col("et"), col("id"),
       Seq("view", "click", "purchase"))
@@ -852,7 +877,7 @@ object StreamBench {
     val stateBytes = progress.lastOption
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"dedup_funnel_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"dedup_funnel_rps","value":$sustained,"hot_key":$hotKey,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -936,7 +961,7 @@ object StreamBench {
     val etype = when(round === 0, "view").when(round === 1, "click")
       .when(round === 2, "purchase").otherwise("other")
     val events = StreamingSeqMatch.patternEvents(
-      raw.select(pmod(col("value"), lit(users)).as("u"),
+      raw.select(userExpr(users).as("u"),
         col("timestamp").as("ts"), etype.as("et"), col("value").as("id")),
       col("u"), col("ts"), col("id"),
       Seq(col("et") === "view", col("et") === "click",
@@ -968,7 +993,67 @@ object StreamBench {
     val (stateRows, stateBytes, stateLogical) =
       stateMetrics(progress, perRowLogicalBytes = 2L * 8 + 2 + 1 + 8 + 8)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"seqmatch_rps","value":$sustained,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"hits":$nHits,"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"seqmatch_rps","value":$sustained,"hot_key":$hotKey,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"hits":$nHits,"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=seqnode measures the live path analyzer
+    * (StreamingSeqNextNode — r35/r36's sequenceNextNode streaming): the
+    * seqmatch arm's 100k-user view → click → purchase → other → other
+    * layout, but EVERY row crosses the shuffle into the stateful stage —
+    * next/prev-node analysis reports arbitrary event types, so there is
+    * no pre-filter and the arm measures the family's heaviest shuffle
+    * profile. Each user's round cycle completes one view→click journey,
+    * emitting one backward node (at the click) and one forward node (at
+    * the purchase). State is five scalars + the pending slot per user
+    * regardless of stream length.
+    */
+  private def runSeqNode(spark: org.apache.spark.sql.SparkSession,
+                         rps: Long, secs: Int, sinkDir: String,
+                         ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingSeqNextNode
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val etype = when(round === 0, "view").when(round === 1, "click")
+      .when(round === 2, "purchase").otherwise("other")
+    val events = StreamingSeqNextNode.nodeEvents(
+      raw.select(userExpr(users).as("u"), col("timestamp").as("ts"),
+        etype.as("et"), col("value").as("id")),
+      col("u"), col("ts"), col("et"), col("id"), "view", "click")
+    val nodes = StreamingSeqNextNode.detectExpiring(events,
+      watermarkDelayMs = 24L * 3600 * 1000)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = nodes.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val (nFwd, nBack) = out.map { df =>
+      (df.filter(col("direction") === "forward").count(),
+        df.filter(col("direction") === "backward").count())
+    }.getOrElse((0L, 0L))
+    // logical payload: SeqNodeState = lastSub int + two bounded type
+    // strings (~8 B each) + pendingN + journeys + maxTs longs + the key
+    val (stateRows, stateBytes, stateLogical) =
+      stateMetrics(progress, perRowLogicalBytes = 4L + 8 + 8 + 8 + 8 + 8 + 8)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"seqnode_rps","value":$sustained,"unit":"source rows/sec","hot_key":$hotKey,"capacity_rps":$capacity,"input_rows":$inRows,"forward_nodes":$nFwd,"backward_nodes":$nBack,"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -120,7 +120,11 @@ object Stress {
     // the round-11 re-capture after the pair-table/shared-scan wins put
     // t39 (1.96 s) over the line — the DSIR bucket model is two corpus
     // passes, the natural linear-scaling check
-    "t39_dsir_weights" -> "documents")
+    "t39_dsir_weights" -> "documents",
+    // round-16: the exact-substring eviction pass shares d31's df-capped
+    // candidate machinery — its ×N arm proves candidate (not corpus)
+    // scaling for the span/interval-union stage too
+    "d33_substring_evict" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.

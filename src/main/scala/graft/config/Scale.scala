@@ -132,4 +132,15 @@ object Scale {
     * [[graft.queries.MaterializedKMeans]]).
     */
   def kmeansCache: Boolean = get("kmeansCache", 0) == 1
+
+  /** Share one materialized aligned-run island table — the positional-
+    * gram candidate pipeline's `(i, j, diag, rl, pa0, pa1)` output —
+    * across its TWO consumers (d31 longest-run, d33 substring-eviction
+    * spans) within a session ("1" = on; test-profile default off so
+    * every oracle-checked query stays self-contained). The build (corpus
+    * positional-gram scan, df-cap, hash equi-join, gaps-and-islands) is
+    * both consumers' dominant cost; see
+    * [[graft.queries.MaterializedAlignedRuns]].
+    */
+  def alignCache: Boolean = get("alignCache", 0) == 1
 }

@@ -1074,7 +1074,8 @@ object DedupQueries extends QueryPack {
     QueryDef("d29_source_overlap", d29, Some(d29Sql)),
     QueryDef("d30_cdc_yield", d30, Some(d30Sql)),
     QueryDef("d31_aligned_run", d31, Some(d31Sql)),
-    QueryDef("d32_threshold_yield", d32, Some(d32Sql)))
+    QueryDef("d32_threshold_yield", d32, Some(d32Sql)),
+    QueryDef("d33_substring_evict", d33, Some(d33Sql)))
 
   /** d32 — dedup threshold → yield curve: for each candidate Jaccard
     * threshold τ, how many documents the keep-lower-id eviction rule would
@@ -1849,29 +1850,10 @@ object DedupQueries extends QueryPack {
     * d02/d27; the stress pack's ×N arm verifies the bound empirically.
     */
   private def d31(s: SparkSession, dir: String): DataFrame = {
-    val pg = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(graft.functions.PositionalShingleHashes(
-          tokens(col("text")), 3)).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
-      // referenced THREE times (occurrence filter + both self-join sides):
-      // one tokenize+shingle+explode pass over the corpus, materialized
-      .localCheckpoint()
-    val keep = pg.groupBy(col("h"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ").between(2, DefaultMaxDf))
-      .select(col("h"))
-    val cap = pg.join(keep, "h")
-    val pairs = cap.as("a").join(cap.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
-    val rw = Window.partitionBy(col("i"), col("j"), col("diag"))
-      .orderBy(col("pa"))
-    pairs
-      .withColumn("grp", col("pa") - row_number().over(rw))
-      .groupBy(col("i"), col("j"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("rl"))
+    // the candidate pipeline (positional grams → df-cap → equi-join →
+    // gaps-and-islands) comes from MaterializedAlignedRuns — shared with
+    // d33 when the alignCache knob is on, self-contained when off
+    MaterializedAlignedRuns.islands(s, dir)
       .groupBy(col("i"), col("j"))
       .agg(max(col("rl")).as("run_grams"))
       .filter(col("run_grams") >= AlignMinRun)
@@ -1904,4 +1886,105 @@ object DedupQueries extends QueryPack {
        |SELECT i, j, MAX(rl) AS run_grams, MAX(rl) + 2 AS run_tokens
        |FROM rl GROUP BY i, j HAVING MAX(rl) >= $AlignMinRun
        |ORDER BY i, j""".stripMargin
+
+  /** d33 — exact-substring deduplication with EVICTION SPANS (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr dedup every modern pretraining corpus runs): where
+    * d31 reports only each pair's longest aligned run, d33 turns EVERY
+    * duplicated run of ≥ [[AlignMinRun]] consecutive rare 3-grams into a
+    * token span in the pair's higher-id document (keep-first-occurrence:
+    * the lower doc_id retains its copy), merges each document's
+    * overlapping spans into their interval union, and reports per evicted
+    * document the span count, total evicted tokens, and evicted fraction
+    * — exactly the cut list an ExactSubstr pass hands the corpus rewrite.
+    *
+    * Method: d31's candidate machinery unchanged (positional 3-gram
+    * hashes, occurrence in [2, maxDf], hash equi-join, per-(i, j, diag)
+    * gaps-and-islands); each qualifying island's gram positions in doc j
+    * are `[min(pa), max(pa)] − diag`, covering tokens
+    * `[min(pa) − diag, max(pa) − diag + 2]` (a 3-gram at position p spans
+    * tokens p..p+2). The per-doc interval union is a second
+    * gaps-and-islands: a span starts a new group when its start exceeds
+    * the running max of preceding ends — a RUNNING (never
+    * unbounded-following) frame, O(n) per doc partition.
+    *
+    * Scale shape: identical to d31 through the join (candidate volume
+    * df-capped — the stress arm pins candidate-not-corpus scaling for
+    * the shared machinery); past it, spans per doc are bounded by the
+    * doc's own island count, and both windows partition per (i, j, diag)
+    * / per doc — never corpus-wide.
+    */
+  private def d33(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // candidate islands shared with d31 (MaterializedAlignedRuns)
+    val spans = MaterializedAlignedRuns.islands(s, dir)
+      .filter(col("rl") >= AlignMinRun)
+      .select(col("j").as("doc_id"), (col("pa0") - col("diag")).as("s"),
+        (col("pa1") - col("diag") + 2).as("e"))
+    // interval union per evicted doc: running max of preceding ends
+    val uw = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMaxE = max(col("e"))
+      .over(uw.rowsBetween(Window.unboundedPreceding, -1L))
+    val merged = spans
+      .withColumn("ng",
+        when(prevMaxE.isNull || col("s") > prevMaxE, 1L).otherwise(0L))
+      .withColumn("ug", sum(col("ng"))
+        .over(uw.rowsBetween(Window.unboundedPreceding, 0L)))
+      .groupBy(col("doc_id"), col("ug"))
+      .agg(min(col("s")).as("us"), max(col("e")).as("ue"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ue") - col("us") + 1).as("evict_tokens"))
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    merged.join(dl, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("evict_tokens"),
+        col("n_tokens"),
+        (col("evict_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("evict_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d33Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pg AS (SELECT doc_id,
+       |  CAST(generate_subscripts(list_transform(range(1, len(ws) - 1), i ->
+       |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |     1, 15))::BIGINT), 1) AS BIGINT) AS pos,
+       |  unnest(list_transform(range(1, len(ws) - 1), i ->
+       |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |     1, 15))::BIGINT)) AS h
+       | FROM w),
+       |keep AS (SELECT h FROM pg GROUP BY h
+       |  HAVING COUNT(*) BETWEEN 2 AND $DefaultMaxDf),
+       |cap AS (SELECT pg.* FROM pg JOIN keep USING (h)),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pa,
+       |    a.pos - b.pos AS diag
+       |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (SELECT i, j, diag, pa,
+       |  pa - ROW_NUMBER() OVER (PARTITION BY i, j, diag ORDER BY pa) AS grp
+       | FROM p),
+       |isl AS (SELECT i, j, diag, COUNT(*) AS rl, MIN(pa) AS pa0, MAX(pa) AS pa1
+       | FROM r GROUP BY i, j, diag, grp),
+       |sp AS (SELECT j AS doc_id, pa0 - diag AS s, pa1 - diag + 2 AS e
+       | FROM isl WHERE rl >= $AlignMinRun),
+       |mk AS (SELECT doc_id, s, e,
+       |  MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       | FROM sp),
+       |gr AS (SELECT doc_id, s, e,
+       |  SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ug
+       | FROM mk),
+       |u AS (SELECT doc_id, ug, MIN(s) AS us, MAX(e) AS ue
+       | FROM gr GROUP BY doc_id, ug),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(ue - us + 1) AS BIGINT) AS evict_tokens
+       | FROM u GROUP BY doc_id),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+       |SELECT agg.doc_id, n_spans, evict_tokens, n_tokens,
+       |  CAST(evict_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS evict_frac
+       |FROM agg JOIN dl ON agg.doc_id = dl.doc_id
+       |ORDER BY agg.doc_id""".stripMargin
 }

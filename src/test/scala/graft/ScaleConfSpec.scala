@@ -32,6 +32,7 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(!Scale.graphEdgeCache)
     assert(!Scale.shingleCache)
     assert(!Scale.kmeansCache)
+    assert(!Scale.alignCache)
   }
 
   test("graphEdgeCache changes cost attribution, never results") {
@@ -131,6 +132,26 @@ class ScaleConfSpec extends SparkSpecBase {
       s"k-means pack name $n moved — update this spec"))
     val off = names.map(n => n -> run(n)).toMap
     val on = withScale("kmeansCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
+  }
+
+  test("alignCache changes cost attribution, never results") {
+    // d31/d33 share one materialized island table when the knob is on;
+    // the committed oracles run with it OFF — this parity pins that the
+    // (i, j, diag, rl, pa0, pa1) longs round-trip the parquet cache
+    // bit-identically through both the per-pair max (d31) and the
+    // span/interval-union stage (d33, incl. its evict_frac doubles)
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("d31_aligned_run", "d33_substring_evict")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"aligned-run pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("alignCache" -> "1") {
       names.map(n => n -> run(n)).toMap
     }
     names.foreach { n =>
