@@ -324,12 +324,23 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("s10 k-means: every iteration is a codegen map pass, no corpus shuffle") {
-    val s = planString(run("s10_kmeans"))
+    // round 16: s10's own plan starts at MaterializedKMeans' materialized
+    // fit (localCheckpoint/parquet truncates the plan), so the assignment
+    // shape is asserted on the OPERATOR plan the materialization runs —
+    // one assign() pass over the quantized embeddings with the final
+    // codebook — plus the census shape on the query itself
+    import graft.functions.VectorFunctions.quantize
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val cb = graft.operators.KMeans.codebook(
+      vecs.limit(graft.config.Scale.kmK)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val s = planString(graft.operators.KMeans.assign(vecs, cb))
     // round 8: assignment is the NearestCell codegen expression carrying
-    // the driver-materialized codebook — a pure projection, so the final
+    // the driver-materialized codebook — a pure projection, so the
     // assignment round needs NO join of any kind (the pre-r8 plan joined a
-    // broadcast 1-row codebook frame via BroadcastNestedLoopJoin); the only
-    // exchanges carry the ≤KmK-row centroid updates and the final census
+    // broadcast 1-row codebook frame via BroadcastNestedLoopJoin)
     assert(s.contains("nearest_cell"),
       "assignment must be the NearestCell codegen projection")
     assert(!s.contains("BroadcastNestedLoopJoin"),
@@ -337,8 +348,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("SortMergeJoin"),
       "the corpus must never shuffle for assignment or update")
     assert(!s.contains("CartesianProduct"))
-    assert("HashAggregate".r.findAllIn(s).size >= 2,
+    assert(!s.contains("Exchange"),
+      "assignment is a pure map pass — zero exchanges")
+    // the query's own residue: the census aggregates with map-side combine
+    val q = planString(run("s10_kmeans"))
+    assert("HashAggregate".r.findAllIn(q).size >= 2,
       "the census aggregates with map-side combine")
+    assert(!q.contains("SortMergeJoin") && !q.contains("CartesianProduct"))
   }
 
   test("d16 bloom build is one bit_or aggregation; no shuffle join at broadcast scale") {
