@@ -1110,7 +1110,8 @@ object TextQueries extends QueryPack {
     QueryDef("t39_dsir_weights", t39, Some(t39Sql)),
     QueryDef("t40_unimax_budget", t40, Some(t40Sql)),
     QueryDef("t41_budget_selection", t41, Some(t41Sql)),
-    QueryDef("t42_bpe_learn", t42, Some(t42Sql)))
+    QueryDef("t42_bpe_learn", t42, Some(t42Sql)),
+    QueryDef("t43_learned_fertility", t43, Some(t43Sql)))
 
   /** t41 — token-budget greedy data selection (the doc-level knapsack of
     * data-selection pipelines): spend a fixed token budget (half the
@@ -1260,22 +1261,64 @@ object TextQueries extends QueryPack {
     * Spark jobs — the 8-round distributed form spent ~190 ms/round on
     * pure job overhead over a 31-row type table.
     */
-  private def t42(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val types = Tables.documents(s, dir)
+  /** The capped word-type collect t42/t43 fit from: top [[BpeTypeCap]]
+    * lowercase-alpha types by (frequency DESC, word) — ≤cap rows ever
+    * reach the driver.
+    */
+  private def bpeTypes(s: SparkSession, dir: String): Seq[(String, Long)] =
+    Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(BpeTypeCap) // bounded collect
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    graft.operators.BpeLearn.learnLocal(types, BpeLearnRounds)
+
+  private def t42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.BpeLearn.learnLocal(bpeTypes(s, dir), BpeLearnRounds)
       .map(m => (m.rank + 1L, m.decoded, m.count))
       .toDF("rk", "merged", "n_pairs")
       .orderBy(col("rk"))
   }
 
-  private def t42Sql: String = {
-    def ph(r: Int) = s"chr(${0xE000 + r})"
+  /** t43 — tokenizer fertility under the LEARNED merge table: train the
+    * BPE vocabulary on the corpus (t42's capped fit) and immediately
+    * measure per-language fertility by applying it corpus-wide — the
+    * train→apply composition a tokenizer pipeline actually runs (t37
+    * measures the same statistic under the fixed demo vocabulary).
+    * Applying the GRAM encodings in rank order through BpeApply IS the
+    * faithful BPE encoder (placeholders line up with learning ranks —
+    * BpeLearnSpec's round-trip pin), so `n_units` is the true BPE
+    * sequence length under the learned tokenizer.
+    *
+    * Scale shape: the fit is one corpus scan + a bounded type collect
+    * (see t42); the measurement is ONE more codegen corpus pass (the
+    * 8-entry merge table ships inside the BpeApply expression) + a
+    * ≤#languages-row rollup. The oracle replays the fit's unrolled CTE
+    * chain and encodes with the same nested replaces.
+    */
+  private def t43(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BpeApply
+    val vocab = graft.operators.BpeLearn
+      .learnLocal(bpeTypes(s, dir), BpeLearnRounds).map(_.gram)
+    Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("w"),
+        BpeApply(col("text"), vocab).getItem(0).as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("u")).as("n_units"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private def bpePh(r: Int) = s"chr(${0xE000 + r})"
+
+  /** The unrolled learning replay t42/t43 oracles share: word-type CTE +
+    * one (pair stats, winner, merged generation, decoded) block per round.
+    */
+  private def bpeLearnCtes: String = {
     val head =
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |w0 AS (SELECT w AS enc, CAST(COUNT(*) AS BIGINT) AS f FROM tok
@@ -1283,21 +1326,42 @@ object TextQueries extends QueryPack {
          |  ORDER BY f DESC, w LIMIT $BpeTypeCap)""".stripMargin
     val gens = (0 until BpeLearnRounds).map { r =>
       val dec = (0 until r).foldLeft("g")((acc, j) =>
-        s"replace($acc, ${ph(j)}, (SELECT merged FROM d$j))")
+        s"replace($acc, ${bpePh(j)}, (SELECT merged FROM d$j))")
       s""",
          |p$r AS (SELECT substr(enc, CAST(i AS INTEGER), 2) AS g, f FROM
          |  (SELECT enc, f, unnest(generate_series(1, length(enc) - 1)) AS i
          |   FROM w$r)),
          |m$r AS (SELECT g, CAST(SUM(f) AS BIGINT) AS cnt FROM p$r GROUP BY g
          |  ORDER BY cnt DESC, g LIMIT 1),
-         |w${r + 1} AS (SELECT replace(enc, (SELECT g FROM m$r), ${ph(r)}) AS enc, f
+         |w${r + 1} AS (SELECT replace(enc, (SELECT g FROM m$r), ${bpePh(r)}) AS enc, f
          |  FROM w$r),
          |d$r AS (SELECT $dec AS merged, cnt FROM m$r)""".stripMargin
     }.mkString
+    head + gens
+  }
+
+  private def t42Sql: String = {
     val union = (0 until BpeLearnRounds).map(r =>
       s"SELECT CAST(${r + 1} AS BIGINT) AS rk, merged, cnt AS n_pairs FROM d$r")
       .mkString("\n UNION ALL ")
-    s"$head$gens\n$union\nORDER BY rk"
+    s"$bpeLearnCtes\n$union\nORDER BY rk"
+  }
+
+  private def t43Sql: String = {
+    // faithful BPE encode: the learned GRAMS (placeholder encodings, via
+    // scalar subqueries on the m-CTEs) replace in rank order over the
+    // raw text — identical left-to-right scan to BpeApply.compute
+    val enc = (0 until BpeLearnRounds).foldLeft("text")((acc, r) =>
+      s"replace($acc, (SELECT g FROM m$r), ${bpePh(r)})")
+    s"""$bpeLearnCtes,
+       |m2x AS (SELECT lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |  CAST(length($enc) AS BIGINT) AS u FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(u) AS BIGINT) AS n_units,
+       |  CAST(SUM(u) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
+       |FROM m2x GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** t37 — tokenizer fertility per language: encoded units per word
