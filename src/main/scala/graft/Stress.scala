@@ -124,7 +124,13 @@ object Stress {
     // round-16: the exact-substring eviction pass shares d31's df-capped
     // candidate machinery — its ×N arm proves candidate (not corpus)
     // scaling for the span/interval-union stage too
-    "d33_substring_evict" -> "documents")
+    "d33_substring_evict" -> "documents",
+    // ...and the round-16 promoted clean capture (119.5 s, a slower box
+    // regime than round 15's window) put these four over the 1.5 s line
+    "d20_contamination_runs" -> "documents",
+    "q29_priority_counts" -> "lineitem",
+    "s04_ann_ivf" -> "embeddings",
+    "t41_budget_selection" -> "documents")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.
