@@ -303,6 +303,11 @@ object Bench {
       !sys.env.get("SPARK_GRAFT_BENCH_ALIGN_CACHE").contains("0")
     if (alignCacheOn)
       spark.conf.set("spark.graft.scale.alignCache", "1")
+    // ...and the cosine IVF index: s04/s21 share one corpus assignment
+    // fold (SPARK_GRAFT_BENCH_IVF_CACHE=0 for A/B)
+    val ivfCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_IVF_CACHE").contains("0")
+    if (ivfCacheOn)
+      spark.conf.set("spark.graft.scale.ivfCache", "1")
 
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate

@@ -143,4 +143,14 @@ object Scale {
     * [[graft.queries.MaterializedAlignedRuns]].
     */
   def alignCache: Boolean = get("alignCache", 0) == 1
+
+  /** Share the cosine IVF index — the '#ivf' codebook and the corpus
+    * cell assignment (vec_id, v, nrm, cell) — across its TWO consumers
+    * (s04 IVF search, s21 nprobe sweep) within a session ("1" = on;
+    * test-profile default off so every oracle-checked query stays
+    * self-contained). The assignment fold is each consumer's dominant
+    * corpus pass — and "build the index once, probe many" is exactly the
+    * deployed-IVF contract; see [[graft.queries.MaterializedIvfCells]].
+    */
+  def ivfCache: Boolean = get("ivfCache", 0) == 1
 }

@@ -280,18 +280,28 @@ object SimilarityQueries extends QueryPack {
     * scale path when hyperplane LSH (s02) recall is too coarse: cells adapt
     * to the data distribution.
     */
-  private def s04From(q: DataFrame, ids: DataFrame): DataFrame = {
+  /** The '#ivf' codebook as ONE broadcastable row — the c_id-sorted
+    * (c_id, c_v, c_nrm) candidate array (fixed-IvfK salted sample).
+    */
+  private[queries] def ivfCodebook(q: DataFrame): DataFrame = {
     val centIds = q.select(col("vec_id"))
       .orderBy(md5(concat(col("vec_id").cast("string"), lit("#ivf"))),
         col("vec_id"))
       .limit(IvfK)
-    val cents = q.join(broadcast(centIds), "vec_id")
+    q.join(broadcast(centIds), "vec_id")
       .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
         col("v").as("c_v"), col("nrm").as("c_nrm")))).as("cands"))
-    // per-row nearest-centroid fold (argmax ccos; candidates are c_id-sorted
-    // and the comparison is strict, so exact double ties keep the smaller
-    // c_id — the same rule as the oracle's ROW_NUMBER(ORDER BY ccos DESC, c_id))
-    val withCell = q.crossJoin(broadcast(cents))
+  }
+
+  /** Cosine-nearest cell assignment over the whole corpus:
+    * (vec_id, v, nrm, cell). Per-row argmax-ccos fold over the broadcast
+    * codebook (candidates are c_id-sorted and the comparison is strict,
+    * so exact double ties keep the smaller c_id — the same rule as the
+    * oracle's ROW_NUMBER(ORDER BY ccos DESC, c_id)); the corpus never
+    * shuffles.
+    */
+  private[queries] def ivfAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
       .withColumn("best", aggregate(col("cands"),
         named_struct(lit("ccos"), lit(-2.0), lit("cell"), lit(-1L)),
         (acc, c) => {
@@ -302,6 +312,19 @@ object SimilarityQueries extends QueryPack {
             .otherwise(acc)
         }))
       .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
+
+  private def s04From(q: DataFrame, ids: DataFrame): DataFrame = {
+    val cents = ivfCodebook(q)
+    s04From(q, ids, ivfAssign(q, cents), cents)
+  }
+
+  /** [[s04From]] with the corpus-side frames supplied — the shape s04
+    * itself runs (assignment and codebook from [[MaterializedIvfCells]],
+    * shared with s21); s05 keeps the (q, ids) form so its recall harness
+    * stays self-contained on its own materialized base.
+    */
+  private def s04From(q: DataFrame, ids: DataFrame, withCell: DataFrame,
+                      cents: DataFrame): DataFrame = {
     // query probes: explode the codebook only for the fixed-k query rows
     val topc = TopKByScore(NProbe)
     val probes = q.join(broadcast(ids), "vec_id")
@@ -327,7 +350,9 @@ object SimilarityQueries extends QueryPack {
   }
 
   private def s04(s: SparkSession, dir: String): DataFrame =
-    s04From(baseVecs(s, dir), sampleIds(s, dir, QueryK))
+    s04From(baseVecs(s, dir), sampleIds(s, dir, QueryK),
+      MaterializedIvfCells.assigned(s, dir),
+      MaterializedIvfCells.codebook(s, dir))
 
   private def s04Sql: String =
     s"""WITH q AS (SELECT vec_id,
@@ -1563,24 +1588,9 @@ object SimilarityQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val q = baseVecs(s, dir).localCheckpoint()
     val ids = sampleIds(s, dir, QueryK)
-    val centIds = q.select(col("vec_id"))
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#ivf"))),
-        col("vec_id"))
-      .limit(IvfK)
-    val cents = q.join(broadcast(centIds), "vec_id")
-      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
-        col("v").as("c_v"), col("nrm").as("c_nrm")))).as("cands"))
-    val withCell = q.crossJoin(broadcast(cents))
-      .withColumn("best", aggregate(col("cands"),
-        named_struct(lit("ccos"), lit(-2.0), lit("cell"), lit(-1L)),
-        (acc, c) => {
-          val ccos = dotLong(col("v"), c.getField("c_v")).cast("double") /
-            (col("nrm") * c.getField("c_nrm"))
-          when(ccos > acc.getField("ccos"),
-            named_struct(lit("ccos"), ccos, lit("cell"), c.getField("c_id")))
-            .otherwise(acc)
-        }))
-      .select(col("vec_id").as("neighbor_id"), col("best.cell").as("cell"))
+    val cents = MaterializedIvfCells.codebook(s, dir)
+    val withCell = MaterializedIvfCells.assigned(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
     val probeRank = q.join(broadcast(ids), "vec_id")
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"),

@@ -33,6 +33,7 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(!Scale.shingleCache)
     assert(!Scale.kmeansCache)
     assert(!Scale.alignCache)
+    assert(!Scale.ivfCache)
   }
 
   test("graphEdgeCache changes cost attribution, never results") {
@@ -152,6 +153,26 @@ class ScaleConfSpec extends SparkSpecBase {
       s"aligned-run pack name $n moved — update this spec"))
     val off = names.map(n => n -> run(n)).toMap
     val on = withScale("alignCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
+  }
+
+  test("ivfCache changes cost attribution, never results") {
+    // s04/s21 share one materialized IVF index when the knob is on; the
+    // committed oracles run with it OFF — this parity pins that the
+    // quantized-long vectors, IEEE-double norms, the parquet-cached cell
+    // assignment, and the re-aggregated one-row codebook all reproduce
+    // both the search results and the recall-sweep doubles bit-identically
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("s04_ann_ivf", "s21_nprobe_sweep")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"IVF pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("ivfCache" -> "1") {
       names.map(n => n -> run(n)).toMap
     }
     names.foreach { n =>
