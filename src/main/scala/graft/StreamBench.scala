@@ -142,6 +142,22 @@ object StreamBench {
     else uniform
   }
 
+  /** The same 10%-hot overlay for arms whose state key is NOT a user id
+    * (kmv/quantile/topk/stats group keys, retention's cohort user): route
+    * every 10th source row to `hot`, leave the rest on `base`. For the
+    * per-GROUP-state sketches the skew risk is the shuffle, not the
+    * state (few groups either way) — the r16 VERDICT's task-6 reading —
+    * so the hot arm measures exactly that: one reducer absorbing 10% of
+    * every micro-batch on top of its uniform share.
+    */
+  private def hotOverlay(base: org.apache.spark.sql.Column,
+                         hot: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    if (hotKey) when(pmod(col("value"), lit(10)) === 0, hot).otherwise(base)
+    else base
+  }
+
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "1000000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
@@ -647,15 +663,20 @@ object StreamBench {
     val step = when(round === 0, 1).when(round === 2, 2)
       .when(round === 4, 3).otherwise(0)
     val events = raw.select(userExpr(users).as("user_id"),
-        col("timestamp").as("ts"), step.as("step"))
+        col("timestamp").as("ts"), step.as("step"),
+        col("value").as("event_id"))
       .filter(col("step") > 0)
       .as[graft.streaming.FunnelEvent](
         org.apache.spark.sql.Encoders.product[graft.streaming.FunnelEvent])
     // the production form: bounded state via event-time TTL (the horizon
     // is 2·24 h + 5 s here, far past the bench window, so the arm measures
-    // the same state behavior as detect() plus the timeout bookkeeping)
-    val transitions =
-      StreamingFunnel.detectExpiring(events, 24L * 3600 * 1000, 5000L)
+    // the same state behavior as detect() plus the timeout bookkeeping).
+    // SPARK_GRAFT_STREAM_FUNNEL_STRICT=1 runs the r33 strict-increase
+    // mode — same machine, strict chain comparison (round-17 twin)
+    val strictInc =
+      sys.env.get("SPARK_GRAFT_STREAM_FUNNEL_STRICT").contains("1")
+    val transitions = StreamingFunnel.detectExpiring(
+      events, 24L * 3600 * 1000, 5000L, strictIncrease = strictInc)
     val sink = new IdempotentParquetSink(sinkDir)
     var elapsed = 0.0
     val progress = withProgressLog(spark) {
@@ -687,7 +708,7 @@ object StreamBench {
     // inRows·3/5 was exact only on whole blocks; round-11 advice)
     val funnelSustained =
       math.round(funnelSourceEvents(inRows, users) / elapsed)
-    println(s"""{"metric":"funnel_rps","value":$sustained,"hot_key":$hotKey,"unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"funnel_rps","value":$sustained,"hot_key":$hotKey,"mode":"${if (strictInc) "strict_increase" else "default"}","unit":"source rows/sec","funnel_events_sustained":$funnelSustained,"capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -781,7 +802,8 @@ object StreamBench {
     // each cycle is a NEW cohort of users so state grows like live traffic
     val cycle = expr(s"value div ${users * 5}")
     val round = pmod(expr(s"value div $users"), lit(5))
-    val userId = (pmod(col("value"), lit(users)) + cycle * users).as("user_id")
+    val userId = hotOverlay(pmod(col("value"), lit(users)) + cycle * users,
+      lit(0L)).as("user_id")
     val tsMs = lit(baseMs) + cycle * lit(weekMs * 8) +
       when(round === 0, 0L).otherwise((round - 1) * weekMs + 3600000L) +
       pmod(col("value"), lit(users))
@@ -820,7 +842,7 @@ object StreamBench {
     val stateBytes = progress.lastOption
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"retention_rps","value":$sustained,"unit":"state-store rows/sec","mode":"${if (ttl) "ttl" else "exact"}","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"retention_rps","value":$sustained,"hot_key":$hotKey,"unit":"state-store rows/sec","mode":"${if (ttl) "ttl" else "exact"}","capacity_rps":$capacity,"input_rows":$inRows,"deltas":$nDeltas,"cohort_joins":$nSizes,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -1077,7 +1099,8 @@ object StreamBench {
     val raw = spark.readStream.format("rate")
       .option("rowsPerSecond", rps.toString).load()
     val events = StreamingKMV.keyedHashes(raw,
-      concat(lit("g"), pmod(col("value"), lit(4))), col("value"))
+      hotOverlay(concat(lit("g"), pmod(col("value"), lit(4))), lit("g0")),
+      col("value"))
     // single source of truth for the sketch size: both the track() call
     // and the logical state payload below derive from it (r15 ADVICE —
     // the two literals drifted independently before)
@@ -1119,7 +1142,7 @@ object StreamBench {
     val (stateRows, stateBytes, stateLogical) =
       stateMetrics(progress, perRowLogicalBytes = kmvK.toLong * 8 + 8 + 8)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"kmv_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"kmv_rps","value":$sustained,"hot_key":$hotKey,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"worst_rel_err":${f"$worstErr%.4f"},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -1145,8 +1168,8 @@ object StreamBench {
         (pmod(hash(col("value")), lit(2001)) - lit(1000)).cast("long"))
     val cfg = QHistConfig(lo = 95000L, width = 50L, buckets = 1200)
     val events = StreamingQuantileHist.grouped(
-      raw.select(concat(lit("t"), pmod(col("value"), lit(5))).as("g"),
-        vq.as("v")),
+      raw.select(hotOverlay(concat(lit("t"), pmod(col("value"), lit(5))),
+        lit("t0")).as("g"), vq.as("v")),
       col("g"), col("v"))
     val snaps = StreamingQuantileHist.track(events, cfg)
     val sink = new IdempotentParquetSink(sinkDir)
@@ -1177,7 +1200,7 @@ object StreamBench {
     val (stateRows, stateBytes, stateLogical) =
       stateMetrics(progress, perRowLogicalBytes = (cfg.buckets + 2L) * 8 + 8)
     val sustained = math.round(inRows / elapsed)
-    println(s"""{"metric":"quantile_rps","value":$sustained,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"p50_range":${range("p50")},"p90_range":${range("p90")},"p99_range":${range("p99")},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"quantile_rps","value":$sustained,"hot_key":$hotKey,"unit":"rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"p50_range":${range("p50")},"p90_range":${range("p90")},"p99_range":${range("p99")},"state_rows":$stateRows,"state_bytes":$stateBytes,"state_bytes_logical":$stateLogical,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -1195,7 +1218,8 @@ object StreamBench {
         (pmod(hash(col("value")), lit(2001)) - lit(1000)).cast("long"))
     val events = raw.select(col("value").as("event_id"),
         col("timestamp").as("ts"),
-        concat(lit("t"), pmod(col("value"), lit(5))).as("event_type"),
+        hotOverlay(concat(lit("t"), pmod(col("value"), lit(5))),
+          lit("t0")).as("event_type"),
         vq.as("vq"))
       .as[ValueEvent]
     val verdicts = StreamingStats.score(events)
@@ -1225,7 +1249,7 @@ object StreamBench {
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val sustained = math.round(nEvents / elapsed)
-    println(s"""{"metric":"anomaly_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"flagged":$nFlagged,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"anomaly_rps","value":$sustained,"hot_key":$hotKey,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"flagged":$nFlagged,"state_rows":$stateRows,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
@@ -1255,7 +1279,8 @@ object StreamBench {
       lit("_"), pmod(hash(col("value"), lit(1)), (tier * tier) * 4 + lit(1)))
     val events = raw.select(col("timestamp").as("ts"),
       col("value").as("seq"),
-      concat(lit("t"), pmod(col("value"), lit(5))).as("group"),
+      hotOverlay(concat(lit("t"), pmod(col("value"), lit(5))),
+        lit("t0")).as("group"),
       item.as("item"))
     val keyed = StreamingTopK.keyedItems(events, col("ts"), col("seq"),
       col("group"), col("item"))
@@ -1293,7 +1318,7 @@ object StreamBench {
       .map(_.select(countDistinct(col("item"))).collect()(0).getLong(0))
       .getOrElse(0L)
     val sustained = math.round(nEvents / elapsed)
-    println(s"""{"metric":"topk_rps","value":$sustained,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"snapshot_rows":$nSnapRows,"max_n_total":$maxSeen,"tracked_distinct_items":$distinctItems,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    println(s"""{"metric":"topk_rps","value":$sustained,"hot_key":$hotKey,"unit":"events/sec","capacity_rps":$capacity,"events":$nEvents,"snapshot_rows":$nSnapRows,"max_n_total":$maxSeen,"tracked_distinct_items":$distinctItems,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 

@@ -11,18 +11,21 @@ import org.apache.spark.sql.functions._
   * provenance: the ClickHouse sink the load-test pipeline writes into,
   * `docker-compose.yaml` services in the reference repo).
   *
-  * Mode-parity caveat (deliberate, pinned by this repo's r29/r31
-  * oracles since their first round — see [[FunnelMode]]): Default and
-  * StrictIncrease are ClickHouse-exact; [[StrictOrder]] here requires
-  * FULL-SEQUENCE consecutiveness (any intervening event breaks the
-  * chain, even one matching a later step condition — ClickHouse's
-  * `strict_order` only breaks on events matching NO condition, so
-  * view,click,view,purchase reaches level 3 there and level 2 here);
-  * [[StrictDedup]] here is EXISTS-over-anchors (max over all anchor
-  * rows of the greedy chain from that anchor), whereas ClickHouse's
-  * `strict_deduplication` terminates the whole per-user scan at the
-  * first repeated condition. Both divergences are self-consistent with
-  * the repo's oracles and pinned in FunnelModesSpec.
+  * Mode-parity note (see [[FunnelMode]]): Default and StrictIncrease
+  * are ClickHouse-exact. [[StrictOrder]] and [[StrictDedup]] are this
+  * repo's deliberately-stricter variants, pinned by the r29/r31 oracles
+  * since their first round: StrictOrder requires FULL-SEQUENCE
+  * consecutiveness (any intervening event breaks the chain, even one
+  * matching a later step condition), StrictDedup is EXISTS-over-anchors
+  * (max over all anchor rows of the greedy chain from that anchor).
+  * Since round 17 the ClickHouse-true behaviors are ALSO first-class
+  * modes — [[StrictOrderCH]] (breaks only on events matching NO
+  * condition, so view,click,view,purchase reaches level 3 there and
+  * level 2 under [[StrictOrder]]) and [[StrictDedupCH]] (the published
+  * scan that terminates at the first repeat of an already-reached
+  * condition) — registered as r37/r38 next to the variants' r29/r31;
+  * FunnelModesSpec pins every divergence corpus against both members
+  * of each pair.
   *
   * A [[SequenceMatch.Pattern]] is K step conditions joined by K−1 typed
   * gaps:
@@ -144,6 +147,50 @@ object SequenceMatch {
   case object StrictOrder extends FunnelMode
   case object StrictDedup extends FunnelMode
 
+  /** ClickHouse's `strict_order` AS SHIPPED (the published
+    * AggregateFunctionWindowFunnel scan): in this mode — and only this
+    * mode — events matching NO step condition enter the per-user scan,
+    * and the FIRST such event reached after a step-1 event has been
+    * seen stops the whole scan (`if (first_event) break`). Everything
+    * scanned before that point chains exactly like [[Default]]
+    * (re-anchoring on every step-1 event, anchor-window checks, ties in
+    * the family's (ts, event_id) order). So A→B→D→C stops at the
+    * non-matching D with level 2 (the ClickHouse docs' example), while
+    * view,click,view,purchase reaches level 3 — the second view matches
+    * condition 1, and only condition-less events break. [[StrictOrder]]
+    * (this repo's stricter full-consecutiveness variant, pinned by r29)
+    * would stop that chain at level 2. Assumes the step conditions are
+    * per-row disjoint (every registered funnel uses event-type
+    * equalities); at equal timestamps ClickHouse sorts its (ts,
+    * condition-number) entries with breakers first, where this family's
+    * (ts, event_id) total order decides — unobservable on
+    * microsecond-resolution corpora, pinned in FunnelModesSpec.
+    */
+  case object StrictOrderCH extends FunnelMode
+
+  /** ClickHouse's `strict_deduplication` AS SHIPPED — the literal
+    * published scan, not the docs' one-line English. Per user, in
+    * sequence order over the condition-matching events: a condition-1
+    * event re-anchors (it never terminates); an event matching
+    * condition j ≥ 2 whose level-j slot is ALREADY WRITTEN (some
+    * earlier event completed a window-valid chain of steps 1..j)
+    * terminates the whole scan, and the result is the literal
+    * `return event_index − 1` = j − 1 — which sits BELOW the
+    * already-achieved level: view,click,click yields 1, not 2 (the
+    * repeated click matches condition 2, the scan stops, 2 − 1 = 1),
+    * and view,click,purchase,click under a 4-step funnel yields 1 even
+    * though level 3 was reached. A first completion of the FULL K-step
+    * chain returns K immediately, so a repeat arriving after full
+    * completion never demotes it. If the scan ends with neither a
+    * repeat nor a completion, the result is the highest slot written —
+    * identical to [[Default]]. [[StrictDedup]] (this repo's
+    * EXISTS-over-anchors variant, pinned by r31: view,click,click,
+    * purchase → 2 there) is kept unchanged; FunnelModesSpec pins the
+    * divergence corpora against both modes. Assumes per-row disjoint
+    * step conditions, like [[StrictOrderCH]].
+    */
+  case object StrictDedupCH extends FunnelMode
+
   /** The engine-owned canonical projection: exactly (grouping key,
     * event-time µs, tie-break, step flags) under internal names — drops
     * every caller column, so no internal working name can collide with
@@ -252,10 +299,27 @@ object SequenceMatch {
     * min over held conditions j < k of npⱼ(cₖ₋₁). (r31's former bespoke
     * 3-step struct-min construction, generalized to K.)
     *
+    * == The ClickHouse-true pair (round 17) ==
+    *
+    * [[StrictOrderCH]] is the Default chain over break-masked flags
+    * (see [[StrictOrderCH]]'s scaladoc): two extra window passes on the
+    * SAME per-user sort compute "a step-1 event has been seen" and "a
+    * condition-less event has been seen since", and rows past the first
+    * break simply lose their flags — the census, the shuffle count and
+    * the running-anchor engine are untouched. [[StrictDedupCH]] is
+    * [[dedupScanLevels]] — the literal published scan re-expressed as
+    * level-claim flags (the Default fold's window-checked claims ARE
+    * the scan's slot writes — the unconditional anchor carry is
+    * claim-equivalent because a stale anchor that failed at some row
+    * fails harder at every later row) plus per-user firsts: the first
+    * repeat-of-a-reached-condition row, the first full-completion row,
+    * and the literal result arbitration between them.
+    *
     * Returns (user, level) with EVERY user censused (level 0 = no
-    * step-1 event). Scale shape, all modes: K−1 (StrictDedup: 2K−2)
-    * stacked window passes over ONE user-keyed sort, no joins, O(1)
-    * per-row state; a bot user is one sorted run.
+    * step-1 event). Scale shape, all modes: K−1 (StrictDedup: 2K−2,
+    * StrictDedupCH: 2K−2, StrictOrderCH: K+1) stacked window passes
+    * over ONE user-keyed sort, no joins, O(1) per-row state; a bot user
+    * is one sorted run.
     */
   def funnelLevels(events: DataFrame, user: String, tsu: String,
                    tie: String, steps: Seq[Column], windowSeconds: Long,
@@ -264,27 +328,68 @@ object SequenceMatch {
     val k = steps.size
     val wUs = windowSeconds * 1000000L
     val base = canon(events, user, tsu, tie, steps)
+
+    // the Default running-anchor chain (also StrictIncrease's with RANGE
+    // frames, and StrictOrderCH's over the break-masked flags)
+    def defaultChain(b: DataFrame, strictInc: Boolean): (DataFrame, Column) = {
+      val strictPast =
+        if (strictInc)
+          Window.partitionBy(col("_u")).orderBy(col("_t"))
+            .rangeBetween(Window.unboundedPreceding, -1L)
+        else seqWindow.rowsBetween(Window.unboundedPreceding, -1L)
+      var df = b.withColumn("_a1", when(col("_s1"), col("_t")))
+      for (i <- 2 to k) {
+        df = df.withColumn(s"_m$i",
+            max(col(s"_a${i - 1}")).over(strictPast))
+          .withColumn(s"_a$i", when(col(s"_s$i"), col(s"_m$i")))
+      }
+      // fold low→high so the HIGHEST satisfied level wraps outermost
+      // and wins when step conditions overlap
+      val lvl = (2 to k).foldLeft(
+        when(col("_s1"), 1L).otherwise(0L)) { (tail, i) =>
+        when(col(s"_s$i") && col(s"_m$i") >= col("_t") - wUs, i.toLong)
+          .otherwise(tail)
+      }
+      (df, lvl)
+    }
+
+    // StrictOrderCH's scan-stop as a flag mask: the first
+    // no-condition-matches event AFTER the first step-1 event kills
+    // every later row's flags (a masked row still flows through the
+    // Default windows as a no-op, so the census and the shared per-user
+    // sort are untouched — two extra window passes, zero extra shuffles)
+    def maskAfterBreak(b: DataFrame): DataFrame = {
+      val anyStep = (1 to k)
+        .map(i => coalesce(col(s"_s$i"), lit(false))).reduce(_ || _)
+      val prevAll = seqWindow.rowsBetween(Window.unboundedPreceding, -1L)
+      val upToCur = seqWindow.rowsBetween(Window.unboundedPreceding, 0L)
+      val masked = b
+        .withColumn("_seen1",
+          max(when(coalesce(col("_s1"), lit(false)), lit(1))).over(prevAll))
+        .withColumn("_dead",
+          max(when(!anyStep && col("_seen1") === 1, lit(1))).over(upToCur))
+      masked.select(
+        col("_u") +: col("_t") +: col("_k") +: (1 to k).map(i =>
+          when(col("_dead").isNull, col(s"_s$i"))
+            .otherwise(lit(false)).as(s"_s$i")): _*)
+    }
+
+    mode match {
+      case StrictDedupCH =>
+        return dedupScanLevels(base, k, wUs)
+          .select(col("_u").as(user), col("level"))
+      case _ => ()
+    }
+
     val perRowLevel: (DataFrame, Column) = mode match {
       case Default | StrictIncrease =>
-        val strictPast =
-          if (mode == StrictIncrease)
-            Window.partitionBy(col("_u")).orderBy(col("_t"))
-              .rangeBetween(Window.unboundedPreceding, -1L)
-          else seqWindow.rowsBetween(Window.unboundedPreceding, -1L)
-        var df = base.withColumn("_a1", when(col("_s1"), col("_t")))
-        for (i <- 2 to k) {
-          df = df.withColumn(s"_m$i",
-              max(col(s"_a${i - 1}")).over(strictPast))
-            .withColumn(s"_a$i", when(col(s"_s$i"), col(s"_m$i")))
-        }
-        // fold low→high so the HIGHEST satisfied level wraps outermost
-        // and wins when step conditions overlap
-        val lvl = (2 to k).foldLeft(
-          when(col("_s1"), 1L).otherwise(0L)) { (tail, i) =>
-          when(col(s"_s$i") && col(s"_m$i") >= col("_t") - wUs, i.toLong)
-            .otherwise(tail)
-        }
-        (df, lvl)
+        defaultChain(base, strictInc = mode == StrictIncrease)
+
+      case StrictOrderCH =>
+        defaultChain(maskAfterBreak(base), strictInc = false)
+
+      case StrictDedupCH =>
+        throw new IllegalStateException("handled above")
 
       case StrictOrder =>
         var df = base.withColumn("_a1", when(col("_s1"), col("_t")))
@@ -356,6 +461,73 @@ object SequenceMatch {
     perRowLevel._1.groupBy(col("_u"))
       .agg(max(perRowLevel._2).as("level"))
       .select(col("_u").as(user), col("level"))
+  }
+
+  /** [[StrictDedupCH]]'s literal scan over the canonical projection —
+    * (user `_u`, level), every user with ≥1 event censused.
+    *
+    * The published loop, re-read as per-row statements over the
+    * (ts, event_id) sequence order:
+    *
+    *   - claimⱼ(row) — "slot j is written at this row": cond_j(row) and
+    *     the latest anchor reaching level j−1 sits within the window
+    *     (for j = 1: cond_1 alone — anchors always (re)write slot 1).
+    *     These are EXACTLY the Default mode's level checks; the scan's
+    *     slot state adds nothing because slots only ever carry the
+    *     latest (= max) anchor.
+    *   - term(row) = cond_j(row) for some j ≥ 2 with claimⱼ at some
+    *     STRICTLY earlier row — the `events_timestamp[idx].has_value()`
+    *     dedup test; its result is j − 1 (the literal
+    *     `return event_index − 1`).
+    *   - complete(row) = claim_K(row) — the scan `return K`s here.
+    *
+    * The per-user result is then first-wins arbitration in sequence
+    * position: K if the first completion precedes the first
+    * termination; else the first termination's j − 1; else the highest
+    * claim anywhere (the bottom-loop fallback). One row_number + the
+    * Default chain + K−1 claim-propagation passes, all on the one
+    * per-user sort; the arbitration is a single groupBy with two
+    * conditional firsts (struct-min fetches the earliest termination's
+    * level with its position — position is the unique leading field).
+    */
+  private def dedupScanLevels(base: DataFrame, k: Int, wUs: Long): DataFrame = {
+    val prevAll = seqWindow.rowsBetween(Window.unboundedPreceding, -1L)
+    var df = base.withColumn("_pos", row_number().over(seqWindow))
+      .withColumn("_a1", when(col("_s1"), col("_t")))
+    for (i <- 2 to k) {
+      df = df.withColumn(s"_m$i", max(col(s"_a${i - 1}")).over(prevAll))
+        .withColumn(s"_a$i", when(col(s"_s$i"), col(s"_m$i")))
+        .withColumn(s"_c$i",
+          coalesce(col(s"_s$i") && col(s"_m$i") >= col("_t") - wUs,
+            lit(false)))
+    }
+    for (i <- 2 to k)
+      df = df.withColumn(s"_rb$i",
+        max(when(col(s"_c$i"), lit(1))).over(prevAll) === 1)
+    // disjoint conditions make at most one of these non-null per row;
+    // least() takes the lowest matching j if a caller ever overlaps them
+    // (the order ClickHouse processes same-timestamp entries in)
+    val termCode = (2 to k).map(i =>
+      when(coalesce(col(s"_s$i"), lit(false)) &&
+        coalesce(col(s"_rb$i"), lit(false)), lit(i)))
+      .reduce(least(_, _))
+    df = df.withColumn("_tc", termCode)
+    val claimLvl = (2 to k).foldLeft(
+      when(coalesce(col("_s1"), lit(false)), 1L).otherwise(0L)) {
+      (tail, i) => when(col(s"_c$i"), i.toLong).otherwise(tail)
+    }
+    df.groupBy(col("_u"))
+      .agg(
+        min(when(col("_tc").isNotNull,
+          struct(col("_pos").as("p"),
+            (col("_tc") - 1).cast("long").as("l")))).as("_tm"),
+        min(when(col(s"_c$k"), col("_pos"))).as("_km"),
+        max(claimLvl).as("_mx"))
+      .select(col("_u"),
+        when(col("_km").isNotNull &&
+            (col("_tm").isNull || col("_km") < col("_tm.p")), k.toLong)
+          .when(col("_tm").isNotNull, col("_tm.l"))
+          .otherwise(col("_mx")).as("level"))
   }
 
   /** Two-mode compatibility form (pre-round-15 signature): the

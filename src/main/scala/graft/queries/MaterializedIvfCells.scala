@@ -51,10 +51,17 @@ object MaterializedIvfCells {
   }
 
   /** The corpus-wide cell assignment `(vec_id, v, nrm, cell)`. */
-  def assigned(s: SparkSession, dir: String): DataFrame = {
+  def assigned(s: SparkSession, dir: String): DataFrame =
+    assigned(s, dir, codebook(s, dir))
+
+  /** [[assigned]] with the codebook supplied, so a consumer that already
+    * holds [[codebook]]'s frame (s04/s21 probe both sides) feeds ONE
+    * codebook build into the assignment instead of constructing the
+    * codebook pipeline twice in the cache-off profile (round-16 ADVICE).
+    */
+  def assigned(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
     val k = graft.config.Scale.ivfK
-    def build = SimilarityQueries.ivfAssign(base(s, dir),
-      SimilarityQueries.ivfCodebook(base(s, dir)))
+    def build = SimilarityQueries.ivfAssign(base(s, dir), cents)
     if (!graft.config.Scale.ivfCache) build
     else SessionCache.readThrough(s, dir,
       SessionCache.tag("ivfcells", k))(build)

@@ -657,7 +657,9 @@ object RelationalQueries extends QueryPack {
     QueryDef("r33_strict_increase_funnel", r33, Some(r33Sql)),
     QueryDef("r34_hist_quantiles", r34, Some(r34Sql)),
     QueryDef("r35_sequence_next_node", r35, Some(r35Sql)),
-    QueryDef("r36_sequence_prev_node", r36, Some(r36Sql)))
+    QueryDef("r36_sequence_prev_node", r36, Some(r36Sql)),
+    QueryDef("r37_strict_order_ch", r37, Some(r37Sql)),
+    QueryDef("r38_strict_dedup_ch", r38, Some(r38Sql)))
 
   /** r27 — windowed funnel (the ClickHouse `windowFunnel` analytics shape
     * the reference's sink engine is famous for), DEFAULT mode: per user,
@@ -1945,6 +1947,162 @@ object RelationalQueries extends QueryPack {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM sel JOIN e v ON v.user_id = sel.user_id AND v.pos = sel.prevpos
       |GROUP BY prev_node ORDER BY prev_node""".stripMargin
+
+  /** r37 — ClickHouse-TRUE `strict_order` windowed funnel (the shipped
+    * scan, next to r29's deliberately-stricter full-consecutiveness
+    * variant): only an event matching NO step condition breaks — and it
+    * stops the user's whole scan the first time it appears after a
+    * step-1 event, so later anchors never restart it. Everything before
+    * that point chains like r27's default EXISTS mode. The two readings
+    * split exactly on interleaved IN-FAMILY events: view, click, view,
+    * purchase is level 3 here (the second view matches condition 1 and
+    * passes) and level 2 under r29; A→B→D→C (D out-of-family) is level
+    * 2 under both — the ClickHouse docs' own example. Reported as users
+    * per furthest level, every user censused, like the rest of the
+    * family.
+    *
+    * Scale shape: [[graft.operators.SequenceMatch.funnelLevels]] with
+    * the [[graft.operators.SequenceMatch.StrictOrderCH]] mode — the
+    * break rule is a two-window-pass flag mask on the SAME per-user
+    * (ts, event_id) sort the default chain runs on (zero extra
+    * shuffles), so the whole query is still one user-keyed sort, no
+    * joins, O(1) per-row state. The oracle is an independent
+    * formulation: the same prefix mask in SQL, then r27's
+    * EXISTS-over-joins derivation on the surviving rows.
+    */
+  private def r37(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+    graft.operators.SequenceMatch.funnelLevels(ev, "user_id", "tsu",
+        "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSeconds = 24L * 3600,
+        mode = graft.operators.SequenceMatch.StrictOrderCH)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  private val r37Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |s AS (SELECT user_id, ts, event_id, event_type,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen1
+      |  FROM events),
+      |k AS (SELECT user_id, ts, event_id, event_type FROM (
+      |    SELECT *, MAX(CASE WHEN event_type NOT IN
+      |        ('view', 'click', 'purchase') AND seen1 = 1 THEN 1 END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      |    FROM s)
+      |  WHERE dead IS NULL AND event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, ts AS t1, event_id AS i1 FROM k WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts AS t2, event_id AS i2 FROM k WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS t3, event_id AS i3 FROM k WHERE event_type = 'purchase'),
+      |l1 AS (SELECT DISTINCT user_id FROM v),
+      |vc AS (SELECT v.user_id, v.t1, c.t2, c.i2 FROM v JOIN c ON c.user_id = v.user_id
+      |  AND (c.t2 > v.t1 OR (c.t2 = v.t1 AND c.i2 > v.i1))
+      |  AND c.t2 <= v.t1 + INTERVAL 24 HOUR),
+      |l2 AS (SELECT DISTINCT user_id FROM vc),
+      |l3 AS (SELECT DISTINCT vc.user_id FROM vc JOIN p ON p.user_id = vc.user_id
+      |  AND (p.t3 > vc.t2 OR (p.t3 = vc.t2 AND p.i3 > vc.i2))
+      |  AND p.t3 <= vc.t1 + INTERVAL 24 HOUR)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+      |  SELECT CAST(
+      |      CASE WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN l2.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN l3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+      |  FROM u
+      |  LEFT JOIN l1 ON l1.user_id = u.user_id
+      |  LEFT JOIN l2 ON l2.user_id = u.user_id
+      |  LEFT JOIN l3 ON l3.user_id = u.user_id)
+      |GROUP BY level ORDER BY level""".stripMargin
+
+  /** r38 — ClickHouse-TRUE `strict_deduplication` windowed funnel (the
+    * literal shipped scan, next to r31's EXISTS-over-anchors variant):
+    * scanning the user's view/click/purchase events in order, a repeat
+    * of a condition some chain ALREADY REACHED stops the whole scan,
+    * and the result is the literal `repeated-condition-index − 1` —
+    * view, click, click is level 1 here (the second click repeats
+    * condition 2; 2 − 1 = 1) where r31 reads 2; view, click, click,
+    * purchase is 1 vs r31's 2 vs r27's 3. A first completion of the
+    * full chain returns 3 before any later repeat can demote it, and a
+    * scan with neither repeat nor completion falls back to the highest
+    * level reached — i.e. agrees with r27. Views never terminate (they
+    * re-anchor, per the scan's branch order). Reported as users per
+    * level, every user censused.
+    *
+    * Scale shape: [[graft.operators.SequenceMatch.funnelLevels]] with
+    * the [[graft.operators.SequenceMatch.StrictDedupCH]] mode — the
+    * default chain's window-checked level claims ARE the scan's slot
+    * writes, so the scan reduces to claim flags + per-user firsts on
+    * the one (ts, event_id) sort: no joins, O(1) per-row state, a bot
+    * user is one sorted run. The oracle replays the same scan in SQL
+    * windows with the firsts as conditional MIN aggregates (earliest
+    * termination fetched as a pos-leading integer encoding).
+    */
+  private def r38(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+    graft.operators.SequenceMatch.funnelLevels(ev, "user_id", "tsu",
+        "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSeconds = 24L * 3600,
+        mode = graft.operators.SequenceMatch.StrictDedupCH)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
+  private val r38Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |f AS (SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |w1 AS (SELECT user_id, event_type, ts,
+      |    ROW_NUMBER() OVER sq AS pos,
+      |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER sp AS m2
+      |  FROM f WINDOW
+      |    sq AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |    sp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |w2 AS (SELECT *, MAX(CASE WHEN event_type = 'click' THEN m2 END)
+      |    OVER (PARTITION BY user_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m3
+      |  FROM w1),
+      |c AS (SELECT *,
+      |    COALESCE(event_type = 'click'
+      |      AND m2 >= ts - INTERVAL 24 HOUR, FALSE) AS c2,
+      |    COALESCE(event_type = 'purchase'
+      |      AND m3 >= ts - INTERVAL 24 HOUR, FALSE) AS c3
+      |  FROM w2),
+      |rb AS (SELECT *,
+      |    MAX(CASE WHEN c2 THEN 1 END) OVER sp = 1 AS rb2,
+      |    MAX(CASE WHEN c3 THEN 1 END) OVER sp = 1 AS rb3
+      |  FROM c WINDOW sp AS (PARTITION BY user_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |g AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'click' AND COALESCE(rb2, FALSE)
+      |          THEN pos * 10 + 1
+      |        WHEN event_type = 'purchase' AND COALESCE(rb3, FALSE)
+      |          THEN pos * 10 + 2 END) AS tcode,
+      |    MIN(CASE WHEN c3 THEN pos END) AS kpos,
+      |    MAX(CASE WHEN c3 THEN 3 WHEN c2 THEN 2
+      |        WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mx
+      |  FROM rb GROUP BY user_id),
+      |lv AS (SELECT user_id, CASE
+      |    WHEN kpos IS NOT NULL AND (tcode IS NULL OR kpos < tcode // 10)
+      |      THEN 3
+      |    WHEN tcode IS NOT NULL THEN tcode % 10
+      |    ELSE mx END AS level FROM g)
+      |SELECT CAST(COALESCE(lv.level, 0) AS BIGINT) AS level,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM u LEFT JOIN lv ON lv.user_id = u.user_id
+      |GROUP BY 1 ORDER BY level""".stripMargin
 
   /** r16 — chi-square distribution drift: split the event stream at the
     * midpoint of its time range and test whether the event-type mix of the

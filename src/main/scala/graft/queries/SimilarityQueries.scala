@@ -349,10 +349,11 @@ object SimilarityQueries extends QueryPack {
     topkRank(pairs, 3).orderBy(col("query_id"), col("rk"))
   }
 
-  private def s04(s: SparkSession, dir: String): DataFrame =
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val cents = MaterializedIvfCells.codebook(s, dir)
     s04From(baseVecs(s, dir), sampleIds(s, dir, QueryK),
-      MaterializedIvfCells.assigned(s, dir),
-      MaterializedIvfCells.codebook(s, dir))
+      MaterializedIvfCells.assigned(s, dir, cents), cents)
+  }
 
   private def s04Sql: String =
     s"""WITH q AS (SELECT vec_id,
@@ -1589,7 +1590,7 @@ object SimilarityQueries extends QueryPack {
     val q = baseVecs(s, dir).localCheckpoint()
     val ids = sampleIds(s, dir, QueryK)
     val cents = MaterializedIvfCells.codebook(s, dir)
-    val withCell = MaterializedIvfCells.assigned(s, dir)
+    val withCell = MaterializedIvfCells.assigned(s, dir, cents)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val probeRank = q.join(broadcast(ids), "vec_id")
       .crossJoin(broadcast(cents))

@@ -1111,7 +1111,9 @@ object TextQueries extends QueryPack {
     QueryDef("t40_unimax_budget", t40, Some(t40Sql)),
     QueryDef("t41_budget_selection", t41, Some(t41Sql)),
     QueryDef("t42_bpe_learn", t42, Some(t42Sql)),
-    QueryDef("t43_learned_fertility", t43, Some(t43Sql)))
+    QueryDef("t43_learned_fertility", t43, Some(t43Sql)),
+    QueryDef("t44_unigram_learn", t44, Some(t44Sql)),
+    QueryDef("t45_unigram_fertility", t45, Some(t45Sql)))
 
   /** t41 — token-budget greedy data selection (the doc-level knapsack of
     * data-selection pipelines): spend a fixed token budget (half the
@@ -1268,7 +1270,11 @@ object TextQueries extends QueryPack {
   private def bpeTypes(s: SparkSession, dir: String): Seq[(String, Long)] =
     Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      // \A..\z, not ^..$: Java's '$' also matches before a final line
+      // terminator, so a token carrying a trailing newline would pass
+      // '^[a-z]+$' here yet fail the oracle's regexp_full_match — \A/\z
+      // make this a true full match (round-16 ADVICE).
+      .filter(col("w").rlike("\\A[a-z]+\\z"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(BpeTypeCap) // bounded collect
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1317,6 +1323,14 @@ object TextQueries extends QueryPack {
 
   /** The unrolled learning replay t42/t43 oracles share: word-type CTE +
     * one (pair stats, winner, merged generation, decoded) block per round.
+    * Each generation's merge needle is COALESCEd to a never-occurring
+    * private-use sentinel so a round past learning exhaustion (empty
+    * m-CTE → NULL scalar subquery → replace() would NULL every encoding)
+    * is a no-op, like the Scala path (round-16 ADVICE). A scalar
+    * subquery, NOT `CASE WHEN EXISTS`: the uncorrelated scalar hoists to
+    * a constant, while DuckDB evaluated the EXISTS per ROW — re-running
+    * the m-aggregation for every type and cascading through all eight
+    * generations (the first attempt wedged the sf0.001 check).
     */
   private def bpeLearnCtes: String = {
     val head =
@@ -1333,7 +1347,8 @@ object TextQueries extends QueryPack {
          |   FROM w$r)),
          |m$r AS (SELECT g, CAST(SUM(f) AS BIGINT) AS cnt FROM p$r GROUP BY g
          |  ORDER BY cnt DESC, g LIMIT 1),
-         |w${r + 1} AS (SELECT replace(enc, (SELECT g FROM m$r), ${bpePh(r)}) AS enc, f
+         |w${r + 1} AS (SELECT
+         |  replace(enc, COALESCE((SELECT g FROM m$r), chr(${0xEFFF})), ${bpePh(r)}) AS enc, f
          |  FROM w$r),
          |d$r AS (SELECT $dec AS merged, cnt FROM m$r)""".stripMargin
     }.mkString
@@ -1350,9 +1365,19 @@ object TextQueries extends QueryPack {
   private def t43Sql: String = {
     // faithful BPE encode: the learned GRAMS (placeholder encodings, via
     // scalar subqueries on the m-CTEs) replace in rank order over the
-    // raw text — identical left-to-right scan to BpeApply.compute
+    // raw text — identical left-to-right scan to BpeApply.compute. Each
+    // needle is COALESCEd to a never-occurring private-use sentinel: if
+    // learning exhausts before BpeLearnRounds (every type fully merged),
+    // the empty m-CTE's scalar subquery would be NULL and replace()
+    // would NULL the whole encoding, where BpeApply with the shorter
+    // learned vocab degrades gracefully — with the sentinel needle an
+    // exhausted round is a no-op replace (round-16 ADVICE; a CASE WHEN
+    // EXISTS fold would duplicate the accumulator per round and grow the
+    // expression 2^rounds). The sentinel lives in the same private-use
+    // plane the placeholders do, so the no-text-collision assumption is
+    // the one BpeApply already makes.
     val enc = (0 until BpeLearnRounds).foldLeft("text")((acc, r) =>
-      s"replace($acc, (SELECT g FROM m$r), ${bpePh(r)})")
+      s"replace($acc, COALESCE((SELECT g FROM m$r), chr(${0xEFFF})), ${bpePh(r)})")
     s"""$bpeLearnCtes,
        |m2x AS (SELECT lang,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
@@ -1362,6 +1387,219 @@ object TextQueries extends QueryPack {
        |  CAST(SUM(u) AS BIGINT) AS n_units,
        |  CAST(SUM(u) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
        |FROM m2x GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Unigram-LM trainer knobs (t44/t45): seed keeps all single chars +
+    * top-[[UnigramSeedCap]] multi-char substrings; [[UnigramEmRounds]]
+    * hard-EM rounds; the prune keeps singles + top-[[UnigramTargetVocab]]
+    * multis. A real SentencePiece run raises these (~1M seed, EM to
+    * sub-1% likelihood delta, 32k target) without changing the plan
+    * shape — the fit stays one bounded collect.
+    */
+  private val UnigramSeedCap = 512
+  private val UnigramEmRounds = 3
+  private val UnigramTargetVocab = 64
+
+  private def unigramLearned =
+    (types: Seq[(String, Long)]) => graft.operators.UnigramLearn
+      .learnLocal(types, UnigramSeedCap, UnigramEmRounds, UnigramTargetVocab)
+
+  /** t44 — unigram-LM (SentencePiece-style) vocabulary LEARNING: the
+    * other canonical tokenizer trainer next to t42's BPE — seed
+    * substring candidates over the capped word-type table, run
+    * [[UnigramEmRounds]] deterministic hard-EM (Viterbi) rounds over
+    * micro-nat piece costs, prune to singles + top-[[UnigramTargetVocab]]
+    * (algorithm and determinism discipline in
+    * [[graft.operators.UnigramLearn]]'s scaladoc). Output is the ranked
+    * learned vocabulary with final expected counts.
+    *
+    * Scale shape: identical to t42 — ONE distributed corpus scan builds
+    * the type table, one bounded top-cap collect (≤65536 rows) reaches
+    * the driver, and the whole EM costs O(cap·16·4) per round with zero
+    * further Spark jobs. The oracle replays the identical seed → EM →
+    * prune pipeline as unrolled CTEs: the DP over word positions
+    * unrolls to [[graft.operators.UnigramLearn.MaxWordLen]] generations
+    * per round (types longer than that are excluded from the fit, both
+    * engines alike) and the Viterbi backtrace to as many walk steps,
+    * with ties pinned by the shared (cost, predecessor) rule.
+    */
+  private def t44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramLearned(bpeTypes(s, dir))
+      .map(p => (p.rank.toLong, p.piece, p.count))
+      .toDF("rk", "piece", "n_uses")
+      .orderBy(col("rk"))
+  }
+
+  /** The shared t44/t45 oracle replay: capped type table → substring
+    * seed → [[UnigramEmRounds]] unrolled EM rounds (cost CTE, 16 DP
+    * generations, 16 backtrace steps, usage rollup) → pruned vocab
+    * `vf`. Every integer rule matches
+    * [[graft.operators.UnigramLearn.learnLocal]] exactly: micro-nat
+    * costs round(ln((total+V)/(cnt+1))·1e6), DP ties by (cost, j),
+    * per-round counts frequency-weighted over the Viterbi path.
+    */
+  private def unigramCtes: String = {
+    import graft.operators.UnigramLearn.{MaxPieceLen, MaxWordLen}
+    val head =
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+         |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w
+         |  ORDER BY f DESC, w LIMIT $BpeTypeCap),
+         |w0x AS (SELECT w, f FROM w0 WHERE length(w) <= $MaxWordLen),
+         |sd AS (${(1 to MaxPieceLen).map(l =>
+        s"""SELECT substr(w, CAST(i AS INTEGER), $l) AS p, f FROM
+           |  (SELECT w, f, unnest(generate_series(1, length(w) - ${l - 1})) AS i
+           |   FROM w0x)""".stripMargin).mkString("\n UNION ALL\n ")}),
+         |c0 AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM sd GROUP BY p),
+         |v1 AS (SELECT p, cnt FROM c0 WHERE length(p) = 1
+         |  UNION ALL
+         |  SELECT p, cnt FROM (SELECT p, cnt FROM c0 WHERE length(p) > 1
+         |    ORDER BY cnt DESC, p LIMIT $UnigramSeedCap)),
+         |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v1)""".stripMargin
+    val rounds = (1 to UnigramEmRounds).map { r =>
+      val dp = (1 to MaxWordLen).map { i =>
+        val branches = (math.max(0, i - MaxPieceLen) until i).map { j =>
+          s"""SELECT b.w, b.f, b.c + k.c AS c, $j AS j
+             |      FROM b${r}_$j b JOIN k$r k ON k.p = substr(b.w, ${j + 1}, ${i - j})
+             |      WHERE length(b.w) >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s""",
+           |b${r}_$i AS (SELECT w, f, c, j FROM (
+           |  SELECT w, f, c, j, ROW_NUMBER() OVER (PARTITION BY w ORDER BY c, j) AS rn
+           |  FROM (\n$branches)) WHERE rn = 1)""".stripMargin
+      }.mkString
+      val bAll = (1 to MaxWordLen).map(i =>
+        s"SELECT w, f, c, j, $i AS i FROM b${r}_$i").mkString("\n  UNION ALL ")
+      val walk = (1 to MaxWordLen).map { st =>
+        s""",
+           |t${r}_$st AS (SELECT t.w, t.f, B.j AS pos,
+           |    substr(t.w, B.j + 1, t.pos - B.j) AS p
+           |  FROM t${r}_${st - 1} t JOIN bb$r B ON B.w = t.w AND B.i = t.pos
+           |  WHERE t.pos > 0)""".stripMargin
+      }.mkString
+      val uses = (1 to MaxWordLen).map(st =>
+        s"SELECT p, f FROM t${r}_$st").mkString("\n  UNION ALL ")
+      s""",
+         |k$r AS (SELECT p, CAST(round(ln(
+         |    CAST((SELECT SUM(cnt) FROM v$r) + (SELECT n FROM vn) AS DOUBLE) /
+         |    CAST(cnt + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS c FROM v$r),
+         |b${r}_0 AS (SELECT w, f, CAST(0 AS BIGINT) AS c, 0 AS j FROM w0x)$dp,
+         |bb$r AS ($bAll),
+         |t${r}_0 AS (SELECT w, f, CAST(length(w) AS INTEGER) AS pos FROM w0x)$walk,
+         |u$r AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |  $uses) GROUP BY p),
+         |v${r + 1} AS (SELECT v.p, COALESCE(u.cnt, CAST(0 AS BIGINT)) AS cnt
+         |  FROM v$r v LEFT JOIN u$r u ON u.p = v.p)""".stripMargin
+    }.mkString
+    val vNext = UnigramEmRounds + 1
+    val prune =
+      s""",
+         |vf AS (SELECT p, cnt FROM v$vNext WHERE length(p) = 1
+         |  UNION ALL
+         |  SELECT p, cnt FROM (SELECT p, cnt FROM v$vNext WHERE length(p) > 1
+         |    ORDER BY cnt DESC, p LIMIT $UnigramTargetVocab))""".stripMargin
+    head + rounds + prune
+  }
+
+  /** Force every CTE in the unigram replay MATERIALIZED: DuckDB inlines
+    * plain CTEs, and the DP generations reference their 4 predecessors
+    * each — inlined, that's an exponential plan (and one parquet open
+    * per copy: the sf0.01 check died on "Too many open files" before
+    * this). The chain is linear once materialized. Safe textually: in
+    * the generated SQL, `name AS (` only ever introduces a CTE (column
+    * aliases never precede a parenthesis).
+    */
+  private def materializedCtes(sql: String): String =
+    sql.replaceAll("([A-Za-z0-9_]+) AS \\(", "$1 AS MATERIALIZED (")
+
+  private def t44Sql: String = materializedCtes(
+    s"""$unigramCtes
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS BIGINT) AS rk,
+       |  p AS piece, cnt AS n_uses
+       |FROM vf ORDER BY rk""".stripMargin)
+
+  /** t45 — per-language fertility under the LEARNED unigram tokenizer:
+    * t44's train step composed with a corpus-wide measurement, the
+    * unigram counterpart of t43's BPE train→apply. The apply side needs
+    * NO new kernel: the segmenter's unit counts are a ≤cap-row
+    * word → n_pieces map (Viterbi lengths under the pruned vocabulary's
+    * re-smoothed costs, per-character fallback past the caps), so the
+    * measurement is one corpus scan with a BROADCAST map join and a
+    * ≤#languages rollup — at 100 TB the map is still one driver-side
+    * fit and one broadcast. The oracle replays the same final-cost DP
+    * and joins the identical map.
+    */
+  private def t45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = bpeTypes(s, dir)
+    val seg = graft.operators.UnigramLearn
+      .segmentLengths(types, unigramLearned(types))
+    val segDf = broadcast(seg.toSeq.toDF("sw", "su"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        explode(tokens(col("text"))).as("tok"))
+      .join(segDf, col("tok") === col("sw"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(sum(coalesce(col("su").cast("long"),
+        length(col("tok")).cast("long"))).as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("u")).as("n_units"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private def t45Sql: String = {
+    import graft.operators.UnigramLearn.{MaxPieceLen, MaxWordLen}
+    // final-cost DP (g_*) + backtrace step count (y_*) over the pruned
+    // vocabulary — the segmenter the measurement applies
+    val dp = (1 to MaxWordLen).map { i =>
+      val branches = (math.max(0, i - MaxPieceLen) until i).map { j =>
+        s"""SELECT b.w, b.c + k.c AS c, $j AS j
+           |      FROM g_$j b JOIN kf k ON k.p = substr(b.w, ${j + 1}, ${i - j})
+           |      WHERE length(b.w) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s""",
+         |g_$i AS (SELECT w, c, j FROM (
+         |  SELECT w, c, j, ROW_NUMBER() OVER (PARTITION BY w ORDER BY c, j) AS rn
+         |  FROM (\n$branches)) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val gAll = (1 to MaxWordLen).map(i =>
+      s"SELECT w, j, $i AS i FROM g_$i").mkString("\n  UNION ALL ")
+    val walk = (1 to MaxWordLen).map { st =>
+      s""",
+         |y_$st AS (SELECT y.w, G.j AS pos, y.np + 1 AS np
+         |  FROM y_${st - 1} y JOIN gg G ON G.w = y.w AND G.i = y.pos
+         |  WHERE y.pos > 0)""".stripMargin
+    }.mkString
+    val yAll = (0 to MaxWordLen).map(st =>
+      s"SELECT w, pos, np FROM y_$st").mkString("\n  UNION ALL ")
+    materializedCtes(s"""$unigramCtes,
+       |kf AS (SELECT p, CAST(round(ln(
+       |    CAST((SELECT SUM(cnt) FROM vf) + (SELECT COUNT(*) FROM vf) AS DOUBLE) /
+       |    CAST(cnt + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS c FROM vf),
+       |g_0 AS (SELECT w, CAST(0 AS BIGINT) AS c, 0 AS j FROM w0x)$dp,
+       |gg AS ($gAll),
+       |y_0 AS (SELECT w, CAST(length(w) AS INTEGER) AS pos, 0 AS np FROM w0x)$walk,
+       |segmap AS (SELECT w, CAST(np AS BIGINT) AS su FROM ($yAll)
+       |  WHERE pos = 0),
+       |m AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wcnt,
+       |    unnest(string_split(text, ' ')) AS tk
+       |  FROM documents),
+       |du AS (SELECT doc_id, lang, wcnt,
+       |    CAST(SUM(COALESCE(sm.su, length(m.tk))) AS BIGINT) AS u
+       |  FROM m LEFT JOIN segmap sm ON sm.w = m.tk
+       |  GROUP BY doc_id, lang, wcnt)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(wcnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(u) AS BIGINT) AS n_units,
+       |  CAST(SUM(u) AS DOUBLE) / CAST(SUM(wcnt) AS DOUBLE) AS fertility
+       |FROM du GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** t37 — tokenizer fertility per language: encoded units per word

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-user dedup-funnel state — FIVE numbers: the single live chain's
   * stage (0 = none, 1 = waiting for the click, 2 = waiting for the
@@ -72,85 +73,77 @@ object StreamingDedupFunnel extends Serializable {
       .as[StrictFunnelEvent]
   }
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  /** The dedup-funnel fold as a [[SequenceEngine.Machine]]: the one-chain
+    * stage advance, shared plumbing in the family core (round 17).
+    */
+  private final class Machine(windowMs: Long)
+    extends SequenceEngine.Machine[StrictFunnelEvent, DedupFunnelState,
+      FunnelTransition] {
+
+    private val windowUs = windowMs * 1000L
+
+    override def init: DedupFunnelState =
+      DedupFunnelState(0, Long.MinValue, 0, Long.MinValue)
+    override def eventTimeUs(e: StrictFunnelEvent): Long =
+      SequenceEngine.micros(e.ts)
+    override def tie(e: StrictFunnelEvent): Long = e.event_id
+
+    override def onEvent(user: Long, e: StrictFunnelEvent,
+                         st0: DedupFunnelState,
+                         out: ArrayBuffer[FunnelTransition])
+      : DedupFunnelState = {
+      val t = SequenceEngine.micros(e.ts)
+      var st = st0.copy(maxTs = math.max(st0.maxTs, t))
+      def report(level: Int, ts: Timestamp): Unit =
+        if (level > st.reached) {
+          out += FunnelTransition(user, level, ts)
+          st = st.copy(reached = level)
+        }
+      e.step match {
+        case 1 => // a view: interrupts any live chain, anchors a new one
+          st = st.copy(stage = 1, anchorTs = t)
+          report(1, e.ts)
+        case 2 => // a click: first match of condition 2 — advance or kill
+          if (st.stage == 1) {
+            if (t <= st.anchorTs + windowUs) {
+              st = st.copy(stage = 2)
+              report(2, e.ts)
+            } else st = st.copy(stage = 0) // out of window: chain dead
+          } else if (st.stage == 2) {
+            st = st.copy(stage = 0) // condition 2 repeats: interrupt
+          } // stage 0: a click cannot anchor
+        case 3 => // a purchase: only meaningful while waiting at stage 2
+          if (st.stage == 2) {
+            if (t <= st.anchorTs + windowUs) report(3, e.ts)
+            st = st.copy(stage = 0) // complete or out-of-window: done
+          }
+        case _ => () // non-condition events never reach the machine
+      }
+      st
+    }
+
+    override def horizonMs(st: DedupFunnelState, delayMs: Long): Long =
+      st.maxTs / 1000L + windowMs + delayMs + 1
+  }
+
+  private implicit val stEnc: Encoder[DedupFunnelState] =
+    Encoders.product[DedupFunnelState]
+  private implicit val outEnc: Encoder[FunnelTransition] =
+    Encoders.product[FunnelTransition]
 
   /** The stateful stage, exact form: NoTimeout. */
   def detect(events: Dataset[StrictFunnelEvent], windowMs: Long)
     : Dataset[FunnelTransition] =
-    stateful(events, windowMs, expire = None)
+    SequenceEngine.run(events, (_: StrictFunnelEvent).user_id,
+      new Machine(windowMs), expire = None)
 
   /** [[detect]] with bounded state: users idle past window + delay are
     * dropped (lossless for detection; returning users re-report).
     */
   def detectExpiring(events: Dataset[StrictFunnelEvent], windowMs: Long,
                      watermarkDelayMs: Long): Dataset[FunnelTransition] =
-    stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
-      windowMs, expire = Some(watermarkDelayMs))
-
-  private def stateful(events: Dataset[StrictFunnelEvent], windowMs: Long,
-                       expire: Option[Long]): Dataset[FunnelTransition] = {
-    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val stEnc: Encoder[DedupFunnelState] =
-      Encoders.product[DedupFunnelState]
-    implicit val outEnc: Encoder[FunnelTransition] =
-      Encoders.product[FunnelTransition]
-    val windowUs = windowMs * 1000L
-
-    def fn(user: Long, evs: Iterator[StrictFunnelEvent],
-           state: GroupState[DedupFunnelState]): Iterator[FunnelTransition] = {
-      if (state.hasTimedOut) {
-        state.remove()
-        return Iterator.empty
-      }
-      var st = state.getOption
-        .getOrElse(DedupFunnelState(0, Long.MinValue, 0, Long.MinValue))
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
-      def report(level: Int, ts: Timestamp): Unit =
-        if (level > st.reached) {
-          out += FunnelTransition(user, level, ts)
-          st = st.copy(reached = level)
-        }
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (micros(e.ts), e.event_id))
-      sorted.foreach { e =>
-        val t = micros(e.ts)
-        st = st.copy(maxTs = math.max(st.maxTs, t))
-        e.step match {
-          case 1 => // a view: interrupts any live chain, anchors a new one
-            st = st.copy(stage = 1, anchorTs = t)
-            report(1, e.ts)
-          case 2 => // a click: first match of condition 2 — advance or kill
-            if (st.stage == 1) {
-              if (t <= st.anchorTs + windowUs) {
-                st = st.copy(stage = 2)
-                report(2, e.ts)
-              } else st = st.copy(stage = 0) // out of window: chain dead
-            } else if (st.stage == 2) {
-              st = st.copy(stage = 0) // condition 2 repeats: interrupt
-            } // stage 0: a click cannot anchor
-          case 3 => // a purchase: only meaningful while waiting at stage 2
-            if (st.stage == 2) {
-              if (t <= st.anchorTs + windowUs) report(3, e.ts)
-              st = st.copy(stage = 0) // complete or out-of-window: done
-            }
-          case _ => () // non-condition events never reach the machine
-        }
-      }
-      state.update(st)
-      expire.foreach { delay =>
-        val horizonMs = st.maxTs / 1000L + windowMs + delay + 1
-        state.setTimeoutTimestamp(
-          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
-      }
-      out.iterator
-    }
-
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
-  }
+    SequenceEngine.run(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      (_: StrictFunnelEvent).user_id,
+      new Machine(windowMs), expire = Some(watermarkDelayMs))
 }

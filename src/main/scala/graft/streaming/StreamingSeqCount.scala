@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One event entering the sequence counter: `step` 1 = the pattern's
   * first condition (view), 2 = its second (click). Events matching
@@ -75,14 +76,43 @@ object StreamingSeqCount extends Serializable {
       .as[SeqEvent]
   }
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  /** The greedy two-position machine as a [[SequenceEngine.Machine]]
+    * (round 17 — shared plumbing in the family core).
+    */
+  private object Machine
+    extends SequenceEngine.Machine[SeqEvent, SeqCountState, SeqMatch] {
+
+    override def init: SeqCountState = SeqCountState(0, 0L, Long.MinValue)
+    override def eventTimeUs(e: SeqEvent): Long = SequenceEngine.micros(e.ts)
+    override def tie(e: SeqEvent): Long = e.event_id
+
+    override def onEvent(user: Long, e: SeqEvent, st: SeqCountState,
+                         out: ArrayBuffer[SeqMatch]): SeqCountState = {
+      val maxTs = math.max(st.maxTs, SequenceEngine.micros(e.ts))
+      if (st.seeking == 0 && e.step == 1)
+        SeqCountState(1, st.matches, maxTs)
+      else if (st.seeking == 1 && e.step == 2) {
+        val n = st.matches + 1
+        out += SeqMatch(user, n, e.ts)
+        SeqCountState(0, n, maxTs)
+      } else st.copy(maxTs = maxTs)
+      // a view while seeking a click, or a click while seeking a view,
+      // advances nothing — greedy matching ignores it
+    }
+
+    override def horizonMs(st: SeqCountState, delayMs: Long): Long =
+      st.maxTs / 1000L + delayMs + 1
+  }
+
+  private implicit val stEnc: Encoder[SeqCountState] =
+    Encoders.product[SeqCountState]
+  private implicit val outEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
 
   /** The stateful stage, exact form: NoTimeout, three longs per user for
     * the stream's lifetime.
     */
   def detect(events: Dataset[SeqEvent]): Dataset[SeqMatch] =
-    stateful(events, expire = None)
+    SequenceEngine.run(events, (_: SeqEvent).user_id, Machine, expire = None)
 
   /** [[detect]] with idle-user expiry (event-time watermark of
     * `watermarkDelayMs`, timeout at maxTs + delay): machine position is
@@ -91,51 +121,7 @@ object StreamingSeqCount extends Serializable {
     */
   def detectExpiring(events: Dataset[SeqEvent],
                      watermarkDelayMs: Long): Dataset[SeqMatch] =
-    stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
-      expire = Some(watermarkDelayMs))
-
-  private def stateful(events: Dataset[SeqEvent],
-                       expire: Option[Long]): Dataset[SeqMatch] = {
-    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val stEnc: Encoder[SeqCountState] =
-      Encoders.product[SeqCountState]
-    implicit val outEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
-
-    def fn(user: Long, evs: Iterator[SeqEvent],
-           state: GroupState[SeqCountState]): Iterator[SeqMatch] = {
-      if (state.hasTimedOut) {
-        state.remove()
-        return Iterator.empty
-      }
-      var st = state.getOption.getOrElse(SeqCountState(0, 0L, Long.MinValue))
-      var maxTs = st.maxTs
-      val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (micros(e.ts), e.event_id))
-      sorted.foreach { e =>
-        maxTs = math.max(maxTs, micros(e.ts))
-        if (st.seeking == 0 && e.step == 1)
-          st = SeqCountState(1, st.matches, maxTs)
-        else if (st.seeking == 1 && e.step == 2) {
-          st = SeqCountState(0, st.matches + 1, maxTs)
-          out += SeqMatch(user, st.matches, e.ts)
-        } // a view while seeking a click, or a click while seeking a
-          // view, advances nothing — greedy matching ignores it
-      }
-      state.update(st.copy(maxTs = maxTs))
-      expire.foreach { delay =>
-        val horizonMs = maxTs / 1000L + delay + 1
-        state.setTimeoutTimestamp(
-          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
-      }
-      out.iterator
-    }
-
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
-  }
+    SequenceEngine.run(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      (_: SeqEvent).user_id, Machine, expire = Some(watermarkDelayMs))
 }

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.SequenceMatch.{Adjacent, AnyGap, AtLeast, Gap, Within}
 
@@ -79,15 +80,89 @@ object StreamingSeqMatch extends Serializable {
       .as[PatternEvent]
   }
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  /** The matcher DP as a [[SequenceEngine.Machine]]: per event, evaluate
+    * every level against the PRE-row state, then fold the row's reach
+    * vector into the extrema and the adjacency view (round 17 — shared
+    * plumbing in the family core).
+    */
+  private final class Machine(gaps: Seq[Gap])
+    extends SequenceEngine.Machine[PatternEvent, SeqMatchMachineState,
+      PatternHit] {
+
+    private val k = gaps.size + 1
+    // sentinel per gap: max-tracked gaps start at MinValue, min-tracked
+    // (AtLeast) at MaxValue
+    private val sentinels: Seq[Long] = gaps.map {
+      case AtLeast(_) => Long.MaxValue
+      case _          => Long.MinValue
+    }
+
+    override def init: SeqMatchMachineState = SeqMatchMachineState(
+      sentinels, Seq.fill(k - 1)(false), matched = false, Long.MinValue)
+    override def eventTimeUs(e: PatternEvent): Long =
+      SequenceEngine.micros(e.ts)
+    override def tie(e: PatternEvent): Long = e.event_id
+
+    override def onEvent(user: Long, e: PatternEvent,
+                         st: SeqMatchMachineState,
+                         out: ArrayBuffer[PatternHit])
+      : SeqMatchMachineState = {
+      val tsu = SequenceEngine.micros(e.ts)
+      val maxTs = math.max(st.maxTs, tsu)
+      val ext = st.ext.toArray
+      val prevReach = st.prevReach.toArray
+      var matched = st.matched
+      val reach = new Array[Boolean](k)
+      reach(0) = (e.mask & 1) != 0
+      var i = 1
+      while (i < k) {
+        val ok = gaps(i - 1) match {
+          case AnyGap     => ext(i - 1) != Long.MinValue
+          case Within(s)  => ext(i - 1) != Long.MinValue &&
+            ext(i - 1) >= tsu - s * 1000000L
+          case AtLeast(s) => ext(i - 1) != Long.MaxValue &&
+            ext(i - 1) <= tsu - s * 1000000L
+          case Adjacent   => prevReach(i - 1)
+        }
+        reach(i) = ok && (e.mask & (1 << i)) != 0
+        i += 1
+      }
+      i = 0
+      while (i < k - 1) {
+        if (reach(i)) ext(i) = gaps(i) match {
+          case AtLeast(_) =>
+            if (ext(i) == Long.MaxValue) tsu else math.min(ext(i), tsu)
+          case _ =>
+            if (ext(i) == Long.MinValue) tsu else math.max(ext(i), tsu)
+        }
+        prevReach(i) = reach(i)
+        i += 1
+      }
+      if (reach(k - 1) && !matched) {
+        matched = true
+        out += PatternHit(user, e.ts)
+      }
+      SeqMatchMachineState(ext.toSeq, prevReach.toSeq, matched, maxTs)
+    }
+
+    override def horizonMs(st: SeqMatchMachineState, delayMs: Long): Long =
+      st.maxTs / 1000L + delayMs + 1
+  }
+
+  private implicit val stEnc: Encoder[SeqMatchMachineState] =
+    Encoders.product[SeqMatchMachineState]
+  private implicit val outEnc: Encoder[PatternHit] =
+    Encoders.product[PatternHit]
 
   /** The stateful stage, exact form: NoTimeout, constant state per user
     * for the stream's lifetime.
     */
   def detect(events: Dataset[PatternEvent],
-             gaps: Seq[Gap]): Dataset[PatternHit] =
-    stateful(events, gaps, expire = None)
+             gaps: Seq[Gap]): Dataset[PatternHit] = {
+    require(gaps.nonEmpty, "a pattern needs at least two steps")
+    SequenceEngine.run(events, (_: PatternEvent).user_id,
+      new Machine(gaps), expire = None)
+  }
 
   /** [[detect]] with idle-user expiry (event-time watermark of
     * `watermarkDelayMs`, timeout at the monotone maxTs + delay): an
@@ -97,91 +172,11 @@ object StreamingSeqMatch extends Serializable {
     * at-most-once per user PER RESIDENCY).
     */
   def detectExpiring(events: Dataset[PatternEvent], gaps: Seq[Gap],
-                     watermarkDelayMs: Long): Dataset[PatternHit] =
-    stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
-      gaps, expire = Some(watermarkDelayMs))
-
-  private def stateful(events: Dataset[PatternEvent], gaps: Seq[Gap],
-                       expire: Option[Long]): Dataset[PatternHit] = {
+                     watermarkDelayMs: Long): Dataset[PatternHit] = {
     require(gaps.nonEmpty, "a pattern needs at least two steps")
-    val k = gaps.size + 1
-    // sentinel per gap: max-tracked gaps start at MinValue, min-tracked
-    // (AtLeast) at MaxValue
-    val sentinels: Seq[Long] = gaps.map {
-      case AtLeast(_) => Long.MaxValue
-      case _          => Long.MinValue
-    }
-    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val stEnc: Encoder[SeqMatchMachineState] =
-      Encoders.product[SeqMatchMachineState]
-    implicit val outEnc: Encoder[PatternHit] = Encoders.product[PatternHit]
-
-    def fn(user: Long, evs: Iterator[PatternEvent],
-           state: GroupState[SeqMatchMachineState]): Iterator[PatternHit] = {
-      if (state.hasTimedOut) {
-        state.remove()
-        return Iterator.empty
-      }
-      val st0 = state.getOption.getOrElse(SeqMatchMachineState(
-        sentinels, Seq.fill(k - 1)(false), matched = false, Long.MinValue))
-      val ext = st0.ext.toArray
-      val prevReach = st0.prevReach.toArray
-      var matched = st0.matched
-      var maxTs = st0.maxTs
-      val out = scala.collection.mutable.ArrayBuffer.empty[PatternHit]
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (micros(e.ts), e.event_id))
-      val reach = new Array[Boolean](k)
-      sorted.foreach { e =>
-        val tsu = micros(e.ts)
-        maxTs = math.max(maxTs, tsu)
-        // evaluate every level against the PRE-row state
-        reach(0) = (e.mask & 1) != 0
-        var i = 1
-        while (i < k) {
-          val ok = gaps(i - 1) match {
-            case AnyGap     => ext(i - 1) != Long.MinValue
-            case Within(s)  => ext(i - 1) != Long.MinValue &&
-              ext(i - 1) >= tsu - s * 1000000L
-            case AtLeast(s) => ext(i - 1) != Long.MaxValue &&
-              ext(i - 1) <= tsu - s * 1000000L
-            case Adjacent   => prevReach(i - 1)
-          }
-          reach(i) = ok && (e.mask & (1 << i)) != 0
-          i += 1
-        }
-        // fold THIS row's reach into the extrema and the adjacency view
-        i = 0
-        while (i < k - 1) {
-          if (reach(i)) ext(i) = gaps(i) match {
-            case AtLeast(_) =>
-              if (ext(i) == Long.MaxValue) tsu else math.min(ext(i), tsu)
-            case _ =>
-              if (ext(i) == Long.MinValue) tsu else math.max(ext(i), tsu)
-          }
-          prevReach(i) = reach(i)
-          i += 1
-        }
-        if (reach(k - 1) && !matched) {
-          matched = true
-          out += PatternHit(user, e.ts)
-        }
-      }
-      state.update(SeqMatchMachineState(ext.toSeq, prevReach.toSeq,
-        matched, maxTs))
-      expire.foreach { delay =>
-        val horizonMs = maxTs / 1000L + delay + 1
-        state.setTimeoutTimestamp(
-          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
-      }
-      out.iterator
-    }
-
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
+    SequenceEngine.run(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      (_: PatternEvent).user_id,
+      new Machine(gaps), expire = Some(watermarkDelayMs))
   }
 }

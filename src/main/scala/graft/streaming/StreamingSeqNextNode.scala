@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One event entering the path analyzer: `step` 1 = the journey's first
   * condition (view), 2 = its second (click), 0 = any other type. UNLIKE
@@ -90,14 +91,62 @@ object StreamingSeqNextNode extends Serializable {
       .as[NodeEvent]
   }
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  /** The path-analysis fold as a [[SequenceEngine.Machine]] — the one
+    * machine with an [[onExpire]] debt: a pending forward slot flushes
+    * to 'none' when the expiring user's state drops (round 17 — shared
+    * plumbing in the family core).
+    */
+  private object Machine
+    extends SequenceEngine.Machine[NodeEvent, SeqNodeState, SeqNode] {
+
+    override def init: SeqNodeState =
+      SeqNodeState(0, "none", "none", 0L, 0L, Long.MinValue)
+    override def eventTimeUs(e: NodeEvent): Long = SequenceEngine.micros(e.ts)
+    override def tie(e: NodeEvent): Long = e.event_id
+
+    override def onEvent(user: Long, e: NodeEvent, st0: SeqNodeState,
+                         out: ArrayBuffer[SeqNode]): SeqNodeState = {
+      var st = st0.copy(
+        maxTs = math.max(st0.maxTs, SequenceEngine.micros(e.ts)))
+      // 1. a parked forward slot resolves on ANY arrival
+      if (st.pendingN > 0) {
+        out += SeqNode(user, st.pendingN, "forward", e.event_type, e.ts)
+        st = st.copy(pendingN = 0L)
+      }
+      // 2. boundary test: a click whose subsequence predecessor is a
+      //    view completes journey n — backward emits now, forward parks
+      if (e.step == 2 && st.lastSub == 1) {
+        val n = st.journeys + 1
+        out += SeqNode(user, n, "backward", st.lastViewPrev, e.ts)
+        st = st.copy(journeys = n, pendingN = n)
+      }
+      // 3. fold the lags
+      if (e.step == 1)
+        st = st.copy(lastSub = 1, lastViewPrev = st.prevAny)
+      else if (e.step == 2)
+        st = st.copy(lastSub = 2)
+      st.copy(prevAny = e.event_type)
+    }
+
+    override def horizonMs(st: SeqNodeState, delayMs: Long): Long =
+      st.maxTs / 1000L + delayMs + 1
+
+    override def onExpire(user: Long, st: SeqNodeState,
+                          out: ArrayBuffer[SeqNode]): Unit =
+      if (st.pendingN > 0)
+        out += SeqNode(user, st.pendingN, "forward", "none",
+          new Timestamp(st.maxTs / 1000L))
+  }
+
+  private implicit val stEnc: Encoder[SeqNodeState] =
+    Encoders.product[SeqNodeState]
+  private implicit val outEnc: Encoder[SeqNode] = Encoders.product[SeqNode]
 
   /** Exact form: NoTimeout, constant state per user forever; pending
     * forward slots never flush to 'none'.
     */
   def detect(events: Dataset[NodeEvent]): Dataset[SeqNode] =
-    stateful(events, expire = None)
+    SequenceEngine.run(events, (_: NodeEvent).user_id, Machine, expire = None)
 
   /** [[detect]] with idle-user expiry: at timeout a pending forward slot
     * emits 'none' (the batch semantics for a user whose boundary click
@@ -106,68 +155,7 @@ object StreamingSeqNextNode extends Serializable {
     */
   def detectExpiring(events: Dataset[NodeEvent],
                      watermarkDelayMs: Long): Dataset[SeqNode] =
-    stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
-      expire = Some(watermarkDelayMs))
-
-  private def stateful(events: Dataset[NodeEvent],
-                       expire: Option[Long]): Dataset[SeqNode] = {
-    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val stEnc: Encoder[SeqNodeState] = Encoders.product[SeqNodeState]
-    implicit val outEnc: Encoder[SeqNode] = Encoders.product[SeqNode]
-
-    def fn(user: Long, evs: Iterator[NodeEvent],
-           state: GroupState[SeqNodeState]): Iterator[SeqNode] = {
-      if (state.hasTimedOut) {
-        val st = state.getOption
-        state.remove()
-        return st match {
-          case Some(s) if s.pendingN > 0 =>
-            Iterator.single(SeqNode(user, s.pendingN, "forward", "none",
-              new Timestamp(s.maxTs / 1000L)))
-          case _ => Iterator.empty
-        }
-      }
-      var st = state.getOption.getOrElse(
-        SeqNodeState(0, "none", "none", 0L, 0L, Long.MinValue))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SeqNode]
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (micros(e.ts), e.event_id))
-      var maxTs = st.maxTs
-      sorted.foreach { e =>
-        maxTs = math.max(maxTs, micros(e.ts))
-        // 1. a parked forward slot resolves on ANY arrival
-        if (st.pendingN > 0) {
-          out += SeqNode(user, st.pendingN, "forward", e.event_type, e.ts)
-          st = st.copy(pendingN = 0L)
-        }
-        // 2. boundary test: a click whose subsequence predecessor is a
-        //    view completes journey n — backward emits now, forward parks
-        if (e.step == 2 && st.lastSub == 1) {
-          val n = st.journeys + 1
-          out += SeqNode(user, n, "backward", st.lastViewPrev, e.ts)
-          st = st.copy(journeys = n, pendingN = n)
-        }
-        // 3. fold the lags
-        if (e.step == 1)
-          st = st.copy(lastSub = 1, lastViewPrev = st.prevAny)
-        else if (e.step == 2)
-          st = st.copy(lastSub = 2)
-        st = st.copy(prevAny = e.event_type)
-      }
-      state.update(st.copy(maxTs = maxTs))
-      expire.foreach { delay =>
-        val horizonMs = maxTs / 1000L + delay + 1
-        state.setTimeoutTimestamp(
-          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
-      }
-      out.iterator
-    }
-
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
-  }
+    SequenceEngine.run(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      (_: NodeEvent).user_id, Machine, expire = Some(watermarkDelayMs))
 }

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One event entering the strict funnel: unlike [[FunnelEvent]], `step` 0
   * (a non-funnel event) is KEPT — strict order means any intervening event
@@ -76,15 +77,61 @@ object StreamingStrictFunnel {
       .as[StrictFunnelEvent]
   }
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  /** The strict-order fold as a [[SequenceEngine.Machine]]: the two-lag
+    * state advance, shared plumbing in the family core (round 17).
+    */
+  private final class Machine(windowMs: Long)
+    extends SequenceEngine.Machine[StrictFunnelEvent, StrictFunnelState,
+      FunnelTransition] {
+
+    private val windowUs = windowMs * 1000L
+
+    override def init: StrictFunnelState =
+      StrictFunnelState(0, Long.MinValue, 0, Long.MinValue, 0, Long.MinValue)
+    override def eventTimeUs(e: StrictFunnelEvent): Long =
+      SequenceEngine.micros(e.ts)
+    override def tie(e: StrictFunnelEvent): Long = e.event_id
+
+    override def onEvent(user: Long, e: StrictFunnelEvent,
+                         st: StrictFunnelState,
+                         out: ArrayBuffer[FunnelTransition])
+      : StrictFunnelState = {
+      val t = SequenceEngine.micros(e.ts)
+      val rowLevel = e.step match {
+        case 1 => 1
+        case 2 =>
+          if (st.p1Step == 1 && t <= st.p1Ts + windowUs) 2 else 0
+        case 3 =>
+          if (st.p1Step == 2 && st.p2Step == 1 && t <= st.p2Ts + windowUs) 3
+          else 0
+        case _ => 0
+      }
+      if (rowLevel > st.reached) {
+        // a row can raise reached by at most one: level 2 requires the
+        // immediately preceding view (reached >= 1 already), level 3 the
+        // immediately preceding qualifying click (reached >= 2 already)
+        out += FunnelTransition(user, rowLevel, e.ts)
+      }
+      StrictFunnelState(e.step, t, st.p1Step, st.p1Ts,
+        math.max(st.reached, rowLevel), math.max(st.maxTs, t))
+    }
+
+    override def horizonMs(st: StrictFunnelState, delayMs: Long): Long =
+      st.maxTs / 1000L + windowMs + delayMs + 1
+  }
+
+  private implicit val stEnc: Encoder[StrictFunnelState] =
+    Encoders.product[StrictFunnelState]
+  private implicit val outEnc: Encoder[FunnelTransition] =
+    Encoders.product[FunnelTransition]
 
   /** The stateful stage, exact form: NoTimeout, state lives as long as the
     * user (use [[detectExpiring]] for long-running deployments).
     */
   def detect(events: Dataset[StrictFunnelEvent], windowMs: Long)
     : Dataset[FunnelTransition] =
-    stateful(events, windowMs, expire = None)
+    SequenceEngine.run(events, (_: StrictFunnelEvent).user_id,
+      new Machine(windowMs), expire = None)
 
   /** [[detect]] with BOUNDED state: event-time watermark of
     * `watermarkDelayMs`, users expired once the watermark passes
@@ -93,66 +140,10 @@ object StreamingStrictFunnel {
     */
   def detectExpiring(events: Dataset[StrictFunnelEvent], windowMs: Long,
                      watermarkDelayMs: Long): Dataset[FunnelTransition] =
-    stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
-      windowMs, expire = Some(watermarkDelayMs))
-
-  private def stateful(events: Dataset[StrictFunnelEvent], windowMs: Long,
-                       expire: Option[Long]): Dataset[FunnelTransition] = {
-    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val stEnc: Encoder[StrictFunnelState] =
-      Encoders.product[StrictFunnelState]
-    implicit val outEnc: Encoder[FunnelTransition] =
-      Encoders.product[FunnelTransition]
-    val windowUs = windowMs * 1000L
-
-    def fn(user: Long, evs: Iterator[StrictFunnelEvent],
-           state: GroupState[StrictFunnelState]): Iterator[FunnelTransition] = {
-      if (state.hasTimedOut) {
-        state.remove()
-        return Iterator.empty
-      }
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (micros(e.ts), e.event_id))
-      var st = state.getOption
-        .getOrElse(StrictFunnelState(0, Long.MinValue, 0, Long.MinValue,
-          0, Long.MinValue))
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
-      sorted.foreach { e =>
-        val t = micros(e.ts)
-        val rowLevel = e.step match {
-          case 1 => 1
-          case 2 =>
-            if (st.p1Step == 1 && t <= st.p1Ts + windowUs) 2 else 0
-          case 3 =>
-            if (st.p1Step == 2 && st.p2Step == 1 && t <= st.p2Ts + windowUs) 3
-            else 0
-          case _ => 0
-        }
-        if (rowLevel > st.reached) {
-          // a row can raise reached by at most one: level 2 requires the
-          // immediately preceding view (reached >= 1 already), level 3 the
-          // immediately preceding qualifying click (reached >= 2 already)
-          out += FunnelTransition(user, rowLevel, e.ts)
-        }
-        st = StrictFunnelState(e.step, t, st.p1Step, st.p1Ts,
-          math.max(st.reached, rowLevel), math.max(st.maxTs, t))
-      }
-      state.update(st)
-      expire.foreach { delay =>
-        val horizonMs = st.maxTs / 1000L + windowMs + delay + 1
-        state.setTimeoutTimestamp(
-          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
-      }
-      out.iterator
-    }
-
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
-  }
+    SequenceEngine.run(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      (_: StrictFunnelEvent).user_id,
+      new Machine(windowMs), expire = Some(watermarkDelayMs))
 
   /** The independent batch twin — r29's lag-window computation, reporting
     * each user's (level, minimal completion event time): exactly the rows

@@ -59,7 +59,18 @@ class FunnelModesSpec extends SparkSpecBase {
       "r31_dedup_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(3L),
         4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
       "r29_strict_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(1L), 3L -> Seq(3L),
-        4L -> Seq(3L), 5L -> Seq(1L), 6L -> Seq(0L), 7L -> Seq(1L)))
+        4L -> Seq(3L), 5L -> Seq(1L), 6L -> Seq(0L), 7L -> Seq(1L)),
+      // ClickHouse-TRUE strict_order: only u2's signup breaks (and stops
+      // the whole scan at level 1 — harsher than r29's 1-by-consecutiveness
+      // coincidence); the in-family repeats of u1/u4 pass freely
+      "r37_strict_order_ch" -> Map(1L -> Seq(3L), 2L -> Seq(1L), 3L -> Seq(3L),
+        4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
+      // ClickHouse-TRUE strict_dedup: u1's second click repeats reached
+      // condition 2 and the scan returns the LITERAL 2−1 = 1 (r31 reads
+      // 2); u2's signup is never inserted (3); u4's second view
+      // re-anchors, never terminates (3)
+      "r38_strict_dedup_ch" -> Map(1L -> Seq(1L), 2L -> Seq(3L), 3L -> Seq(3L),
+        4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)))
     expected.foreach { case (q, perUser) =>
       val want = perUser.values.flatten.groupBy(identity).view
         .mapValues(_.size.toLong).toMap
@@ -82,7 +93,12 @@ class FunnelModesSpec extends SparkSpecBase {
       "r27_window_funnel" -> Map(1L -> 2L, 2L -> 1L),
       "r31_dedup_funnel" -> Map(1L -> 2L, 2L -> 1L),
       "r29_strict_funnel" -> Map(1L -> 2L, 2L -> 1L),
-      "r33_strict_increase_funnel" -> Map(1L -> 1L, 2L -> 1L))
+      "r33_strict_increase_funnel" -> Map(1L -> 1L, 2L -> 1L),
+      // the CH-true pair follows the family's (ts, event_id) tie order
+      // (the engine's stand-in for ClickHouse's (ts, condition-number)
+      // entry sort — see StrictOrderCH's scaladoc)
+      "r37_strict_order_ch" -> Map(1L -> 2L, 2L -> 1L),
+      "r38_strict_dedup_ch" -> Map(1L -> 2L, 2L -> 1L))
     expected.foreach { case (q, perUser) =>
       val want = perUser.values.groupBy(identity).view
         .mapValues(_.size.toLong).toMap
@@ -154,13 +170,17 @@ class FunnelModesSpec extends SparkSpecBase {
       .map { case (id, u, et, s) => (id, u, et.orNull, s * 1000000L) }
       .toDF("event_id", "user_id", "event_type", "tsu")
     val steps = Seq(col("event_type") === "view", col("event_type") === "click")
-    for (mode <- Seq(Default, StrictIncrease, StrictOrder, StrictDedup)) {
+    for (mode <- Seq(Default, StrictIncrease, StrictOrder, StrictDedup,
+      StrictOrderCH, StrictDedupCH)) {
       val got = SequenceMatch.funnelLevels(events, "user_id", "tsu",
         "event_id", steps, 3600L, mode)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got(1L) == 0L, s"$mode must treat null conditions as false")
       assert(got(2L) == 2L, s"$mode control chain")
-      val want3 = if (mode == StrictOrder) 1L else 2L // the null row intervenes
+      // a null row matches NO condition: it breaks both strict_order
+      // readings (and in the CH one, stops u3's whole scan)
+      val want3 =
+        if (mode == StrictOrder || mode == StrictOrderCH) 1L else 2L
       assert(got(3L) == want3, s"$mode null-intervener user")
     }
   }
@@ -183,6 +203,52 @@ class FunnelModesSpec extends SparkSpecBase {
     // the view@20 intervenes — interrupted at level 2. ClickHouse's
     // whole-scan termination would also stop by then; same answer here.
     assert(census("r31_dedup_funnel", dir) == Map(2L -> 1L))
+    // since round 17 the divergence corpus is ALSO an agreement pin: the
+    // CH-true modes read it the way ClickHouse does. strict_order: the
+    // second view matches condition 1, nothing breaks, level 3.
+    assert(census("r37_strict_order_ch", dir) == Map(3L -> 1L),
+      "CH-true strict_order: in-family interveners pass freely")
+    // strict_dedup (CH scan): the second view RE-ANCHORS (condition-1
+    // events never terminate), the purchase completes the full chain
+    // from the first anchor — level 3, where r31's greedy-chain
+    // interruption reads 2.
+    assert(census("r38_strict_dedup_ch", dir) == Map(3L -> 1L),
+      "CH-true strict_dedup: condition-1 repeats re-anchor, never terminate")
+  }
+
+  test("r38's literal termination: the repeat returns its condition index − 1") {
+    // V,C,C: the second click repeats reached condition 2 and the scan
+    // returns the LITERAL `event_index − 1` = 1 — BELOW the level-2
+    // chain already achieved (the published code's quirk, deliberately
+    // encoded; the docs' English would suggest 2, which is what r31's
+    // EXISTS-over-anchors variant reads).
+    val d1 = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "click", 20L)))
+    assert(census("r38_strict_dedup_ch", d1) == Map(1L -> 1L))
+    assert(census("r27_window_funnel", d1) == Map(2L -> 1L))
+    assert(census("r31_dedup_funnel", d1) == Map(2L -> 1L))
+    // V,C,P,C: the FULL completion at the purchase returns 3 before the
+    // later repeat is ever scanned — completion-first wins.
+    val d2 = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (1L, "click", 30L)))
+    assert(census("r38_strict_dedup_ch", d2) == Map(3L -> 1L),
+      "a repeat after full completion must not demote the level")
+    // V,C,V,C: the second click repeats condition 2 (reached by the
+    // first click) BEFORE any completion — terminate at 1, even though
+    // the second view had re-anchored.
+    val d3 = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "view", 20L),
+      (1L, "click", 30L)))
+    assert(census("r38_strict_dedup_ch", d3) == Map(1L -> 1L))
+    // the window gates slot writes: a click OUTSIDE the anchor window
+    // never writes slot 2, so a second click is NOT a repeat — it chains
+    // from the re-anchoring second view instead.
+    val d4 = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 25L * H), (1L, "view", 26L * H),
+      (1L, "click", 27L * H)))
+    assert(census("r38_strict_dedup_ch", d4) == Map(2L -> 1L),
+      "an out-of-window click writes no slot and cannot trigger the repeat rule")
   }
 
   test("mode hierarchy: per-user level is monotone default >= dedup >= order") {
@@ -199,6 +265,8 @@ class FunnelModesSpec extends SparkSpecBase {
     val (c27, c31, c29) = (cum("r27_window_funnel"), cum("r31_dedup_funnel"),
       cum("r29_strict_funnel"))
     val c33 = cum("r33_strict_increase_funnel")
+    val c37 = cum("r37_strict_order_ch")
+    val c38 = cum("r38_strict_dedup_ch")
     (1L to 3L).foreach { l =>
       assert(c27(l) >= c31(l), s"default must dominate strict_dedup at level $l")
       assert(c31(l) >= c29(l), s"strict_dedup must dominate strict_order at level $l")
@@ -206,8 +274,16 @@ class FunnelModesSpec extends SparkSpecBase {
       // the default mode; it is incomparable with dedup/order, which
       // remove a DIFFERENT chain class
       assert(c27(l) >= c33(l), s"default must dominate strict_increase at level $l")
+      // the CH-true modes only ever chain a SUBSET of the default scan
+      // (a masked prefix; claims cut short by termination), so default
+      // dominates both. Neither is comparable with its repo variant:
+      // r37 can stop a scan r29's consecutive chain survives (a breaker
+      // between an early anchor and the chain), and r38's literal j−1
+      // can undercut r31 while its free re-anchoring can exceed it.
+      assert(c27(l) >= c37(l), s"default must dominate CH strict_order at level $l")
+      assert(c27(l) >= c38(l), s"default must dominate CH strict_dedup at level $l")
     }
-    assert(c27(0L) == c31(0L) && c31(0L) == c29(0L) && c29(0L) == c33(0L),
-      "all four census the same user universe")
+    assert(Seq(c31, c29, c33, c37, c38).forall(_(0L) == c27(0L)),
+      "all six modes census the same user universe")
   }
 }

@@ -30,10 +30,10 @@ class StreamingFunnelSpec extends SparkSpecBase {
     // greedy earliest-anchor funnel reports level 1; EXISTS reports 3.
     val h = 3600L
     val evs = Seq(
-      FunnelEvent(7L, t(0), 1),
-      FunnelEvent(7L, t(24 * h), 1),
-      FunnelEvent(7L, t(25 * h), 2),
-      FunnelEvent(7L, t(26 * h), 3))
+      FunnelEvent(7L, t(0), 1, 1L),
+      FunnelEvent(7L, t(24 * h), 1, 2L),
+      FunnelEvent(7L, t(25 * h), 2, 3L),
+      FunnelEvent(7L, t(26 * h), 3, 4L))
     val out = StreamingFunnel.detect(evs.toDS(), W).collect()
     assert(out.map(_.level).sorted.toSeq == Seq(1, 2, 3))
     assert(out.find(_.level == 3).get.ts == t(26 * h))
@@ -43,9 +43,9 @@ class StreamingFunnelSpec extends SparkSpecBase {
     // click BEFORE any view never chains; purchase with no level-2 chain
     // in window never fires
     val evs = Seq(
-      FunnelEvent(1L, t(10), 2),
-      FunnelEvent(1L, t(20), 1),
-      FunnelEvent(1L, t(30), 3))
+      FunnelEvent(1L, t(10), 2, 1L),
+      FunnelEvent(1L, t(20), 1, 2L),
+      FunnelEvent(1L, t(30), 3, 3L))
     val out = StreamingFunnel.detect(evs.toDS(), W).collect()
     assert(out.map(_.level).toSeq == Seq(1), s"got ${out.toSeq}")
   }
@@ -53,7 +53,8 @@ class StreamingFunnelSpec extends SparkSpecBase {
   test("streaming micro-batches agree with the batch EXISTS joins on real events") {
     val raw = Tables.events(spark, sf("sf0.001"))
     val typed = StreamingFunnel.funnelEvents(raw, col("user_id"), col("ts"),
-      col("event_type"), steps).collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.step))
+      col("event_type"), col("event_id"), steps).collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[FunnelEvent]
     val q = StreamingFunnel.detect(in.toDS(), W)
@@ -65,7 +66,7 @@ class StreamingFunnelSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
     } finally q.stop()
     val batch = StreamingFunnel.batchTransitions(raw, col("user_id"),
-        col("ts"), col("event_type"), steps, W)
+        col("ts"), col("event_type"), col("event_id"), steps, W)
       .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"),
         r.getAs[Timestamp]("ts"))).toSet
@@ -94,11 +95,11 @@ class StreamingFunnelSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("sfun_disorder")
       .outputMode("append").option("checkpointLocation", tmp()).start()
     val levels = try {
-      in.addData(FunnelEvent(9L, t(0), 1), FunnelEvent(9L, t(3 * h), 3))
+      in.addData(FunnelEvent(9L, t(0), 1, 1L), FunnelEvent(9L, t(3 * h), 3, 2L))
       q.processAllAvailable()
-      in.addData(FunnelEvent(9L, t(1 * h), 2)) // late by 2 h, inside the window
+      in.addData(FunnelEvent(9L, t(1 * h), 2, 3L)) // late by 2 h, inside the window
       q.processAllAvailable()
-      in.addData(FunnelEvent(9L, t(4 * h), 3)) // fires against the late click
+      in.addData(FunnelEvent(9L, t(4 * h), 3, 4L)) // fires against the late click
       q.processAllAvailable()
       spark.table("sfun_disorder").collect().map(_.getInt(1)).sorted.toSeq
     } finally q.stop()
@@ -121,23 +122,23 @@ class StreamingFunnelSpec extends SparkSpecBase {
       .outputMode("append").option("checkpointLocation", tmp()).start()
     try {
       in.addData(
-        FunnelEvent(1L, t(0), 1), FunnelEvent(1L, t(1), 2),
-        FunnelEvent(1L, t(2), 3), // u1 converted: state is the integer
-        FunnelEvent(2L, t(0), 1)) // u2 partial: state is a frontier
+        FunnelEvent(1L, t(0), 1, 1L), FunnelEvent(1L, t(1), 2, 2L),
+        FunnelEvent(1L, t(2), 3, 3L), // u1 converted: state is the integer
+        FunnelEvent(2L, t(0), 1, 4L)) // u2 partial: state is a frontier
       q.processAllAvailable()
       val inHorizon = spark.table("sfun_expire").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(inHorizon == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)),
         "in-horizon transitions must match detect()'s")
-      in.addData(FunnelEvent(3L, t(10 * h), 1)) // advances the watermark
+      in.addData(FunnelEvent(3L, t(10 * h), 1, 5L)) // advances the watermark
       q.processAllAvailable()
-      in.addData(FunnelEvent(4L, t(10 * h + 1), 1)) // timeouts fire here
+      in.addData(FunnelEvent(4L, t(10 * h + 1), 1, 6L)) // timeouts fire here
       q.processAllAvailable()
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows == 2L,
         s"u1/u2 must be expired, u3/u4 retained (state rows: $stateRows)")
       // the expired converted user returns: level 1 re-reported
-      in.addData(FunnelEvent(1L, t(10 * h + 2), 1))
+      in.addData(FunnelEvent(1L, t(10 * h + 2), 1, 7L))
       q.processAllAvailable()
       val u1L1 = spark.table("sfun_expire").collect()
         .count(r => r.getLong(0) == 1L && r.getInt(1) == 1)
@@ -156,13 +157,81 @@ class StreamingFunnelSpec extends SparkSpecBase {
     }
   }
 
+  test("mode split on ties: default chains in (ts, event_id) order, strict_increase refuses") {
+    // u1: view and click AT THE SAME microsecond, event_id orders the
+    // view first — the family's total order chains them in default mode
+    // (exactly r27) but strict_increase needs strictly increasing event
+    // time and stops at level 1 (exactly r33). u2 has the ids reversed:
+    // no mode may chain. Pre-round-17 the live funnel could not chain
+    // ties at all (it had no event_id); this pin is the fix's contract.
+    val evs = Seq(
+      FunnelEvent(1L, t(0), 1, 1L), FunnelEvent(1L, t(0), 2, 2L),
+      FunnelEvent(2L, t(0), 2, 1L), FunnelEvent(2L, t(0), 1, 2L))
+    def census(strict: Boolean): Map[Long, Int] =
+      StreamingFunnel.detect(evs.toDS(), W, strictIncrease = strict)
+        .collect().groupBy(_.user_id).view.mapValues(_.map(_.level).max).toMap
+    assert(census(strict = false) == Map(1L -> 2, 2L -> 1),
+      "default ties chain by event_id like r27")
+    assert(census(strict = true) == Map(1L -> 1, 2L -> 1),
+      "strict_increase refuses same-microsecond chains like r33")
+    // and the batch twin splits identically
+    val raw = evs.toDF()
+    def batchCensus(strict: Boolean): Map[Long, Int] = {
+      val typed = raw.select(col("user_id"), col("ts"),
+        when(col("step") === 1, "view").when(col("step") === 2, "click")
+          .otherwise("purchase").as("event_type"), col("event_id"))
+      StreamingFunnel.batchTransitions(typed, col("user_id"), col("ts"),
+          col("event_type"), col("event_id"), steps, W, strict)
+        .collect().groupBy(_.getAs[Long]("user_id")).view
+        .mapValues(_.map(_.getAs[Int]("level")).max).toMap
+    }
+    assert(batchCensus(strict = false) == Map(1L -> 2, 2L -> 1))
+    assert(batchCensus(strict = true) == Map(1L -> 1, 2L -> 1))
+  }
+
+  test("strict_increase mode: ordered replay agrees with batchTransitions and r33's census") {
+    // the r33 live twin (round-16 verdict task 3): same machine, strict
+    // comparison — streamed transitions equal the strict batch joins row
+    // for row, and the per-user census equals the registered r33 query
+    val raw = Tables.events(spark, sf("sf0.001"))
+    val typed = StreamingFunnel.funnelEvents(raw, col("user_id"), col("ts"),
+      col("event_type"), col("event_id"), steps).collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.detect(in.toDS(), W, strictIncrease = true)
+      .writeStream.format("memory").queryName("sfun_strict_agree")
+      .outputMode("append").option("checkpointLocation", tmp()).start()
+    val streamed = try {
+      typed.grouped(500).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+      spark.table("sfun_strict_agree").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    } finally q.stop()
+    val batch = StreamingFunnel.batchTransitions(raw, col("user_id"),
+        col("ts"), col("event_type"), col("event_id"), steps, W,
+        strictIncrease = true)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"),
+        r.getAs[Timestamp]("ts"))).toSet
+    assert(streamed == batch,
+      "ordered strict-increase transitions must equal the strict batch joins")
+    val census = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r33 = SparkEntry.queries("r33_strict_increase_funnel")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    census.foreach { case (lvl, cnt) =>
+      assert(r33.getOrElse(lvl.toLong, 0L) == cnt, s"level $lvl census mismatch vs r33")
+    }
+  }
+
   test("state collapses after conversion and frontiers stay window-bounded") {
     val h = 3600L
     // a user who converts immediately, then floods views
-    val flood = (0 until 200).map(i => FunnelEvent(5L, t(100 * h + i), 1))
+    val flood = (0 until 200).map(i =>
+      FunnelEvent(5L, t(100 * h + i), 1, 10L + i))
     val evs = Seq(
-      FunnelEvent(5L, t(0), 1), FunnelEvent(5L, t(1), 2),
-      FunnelEvent(5L, t(2), 3)) ++ flood
+      FunnelEvent(5L, t(0), 1, 1L), FunnelEvent(5L, t(1), 2, 2L),
+      FunnelEvent(5L, t(2), 3, 3L)) ++ flood
     val out = StreamingFunnel.detect(evs.toDS(), W).collect()
     assert(out.map(_.level).sorted.toSeq == Seq(1, 2, 3),
       "no re-emission after conversion, whatever arrives later")
