@@ -121,6 +121,13 @@ object Stress {
     // t39 (1.96 s) over the line — the DSIR bucket model is two corpus
     // passes, the natural linear-scaling check
     "t39_dsir_weights" -> "documents",
+    // round-17: the promoted clean window (131.3 s / 216, a slower regime
+    // than r16's 119.5 s capture) put these three over the 1.5 s line —
+    // s13's ADC scan and d11's cell-cosine pass scale with the embeddings
+    // corpus, q17's group-having join with lineitem
+    "s13_adc_topk" -> "embeddings",
+    "d11_semantic_dedup" -> "embeddings",
+    "q17_large_volume_customer" -> "lineitem",
     // round-16: the exact-substring eviction pass shares d31's df-capped
     // candidate machinery — its ×N arm proves candidate (not corpus)
     // scaling for the span/interval-union stage too
