@@ -36,10 +36,14 @@ case class FunnelChain(anchor: Long, last: Long, lastId: Long)
   * can extend strictly more future events, so the dominated one is dead
   * weight) — plus the furthest level already reported and the max event
   * time seen. Once a user converts (reached = 3) both frontiers clear:
-  * levels only ever increase, so nothing further can emit.
+  * levels only ever increase, so nothing further can emit. `dead` is the
+  * strict-order-CH profile's stopped-scan flag (a condition-less event
+  * arrived after the first anchor — see [[StreamingFunnel.Machine]]);
+  * always false in the default/strict-increase modes.
   */
 case class FunnelUserState(f1: Seq[FunnelChain], f2: Seq[FunnelChain],
-                           reached: Int, maxTs: Long)
+                           reached: Int, maxTs: Long,
+                           dead: Boolean = false)
 
 /** A user's furthest-funnel-level increase: emitted once per level, carrying
   * the event time of the step that completed it.
@@ -114,10 +118,20 @@ object StreamingFunnel {
       .as[FunnelEvent]
   }
 
-  /** The funnel fold as a [[SequenceEngine.Machine]] — the mode knob
-    * lives entirely in [[before]].
+  /** The funnel fold as a [[SequenceEngine.Machine]] — the
+    * default/strict-increase knob lives entirely in [[before]], and
+    * `breakOnNonStep` turns the SAME frontier machine into the
+    * ClickHouse-true strict_order scan (r37's live twin): step-0 events
+    * (condition-less, kept by [[StreamingFunnel.funnelEventsAll]]) stop
+    * the user's whole scan the first time one arrives after an anchor —
+    * the frontiers clear and the `dead` flag suppresses every later
+    * event, exactly the published `if (first_event) break`. "An anchor
+    * has been seen" is `reached ≥ 1` (any step-1 event raises it
+    * immediately), so the break rule needs no extra state.
     */
-  private final class Machine(windowMs: Long, strictIncrease: Boolean)
+  private[streaming] final class Machine(windowMs: Long,
+                                         strictIncrease: Boolean,
+                                         breakOnNonStep: Boolean = false)
     extends SequenceEngine.Machine[FunnelEvent, FunnelUserState,
       FunnelTransition] {
 
@@ -154,7 +168,17 @@ object StreamingFunnel {
                          out: ArrayBuffer[FunnelTransition])
       : FunnelUserState = {
       val t = SequenceEngine.micros(e.ts)
-      if (st.reached >= Steps) return st.copy(maxTs = math.max(st.maxTs, t))
+      if (st.dead || st.reached >= Steps)
+        return st.copy(maxTs = math.max(st.maxTs, t))
+      if (e.step == 0) {
+        // only reachable through funnelEventsAll (the strict-order-CH
+        // profile): a condition-less event — before the first anchor it
+        // is skipped, after one it stops the scan
+        return if (breakOnNonStep && st.reached >= 1)
+          FunnelUserState(Nil, Nil, st.reached,
+            math.max(st.maxTs, t), dead = true)
+        else st.copy(maxTs = math.max(st.maxTs, t))
+      }
       var f1 = st.f1
       var f2 = st.f2
       var reached = st.reached
@@ -197,6 +221,62 @@ object StreamingFunnel {
       */
     override def horizonMs(st: FunnelUserState, delayMs: Long): Long =
       st.maxTs / 1000L + 2 * windowMs + 1
+  }
+
+  /** [[funnelEvents]] WITHOUT the step-0 filter — the strict-order-CH
+    * profile's projection: condition-less events are exactly what that
+    * mode's break rule is about, so they must cross the shuffle (the
+    * same all-rows contract as [[StreamingStrictFunnel.strictEvents]]).
+    */
+  def funnelEventsAll(events: DataFrame, userCol: Column, tsCol: Column,
+                      typeCol: Column, idCol: Column,
+                      steps: Seq[String]): Dataset[FunnelEvent] = {
+    require(steps.length == Steps, s"funnel is $Steps steps")
+    implicit val enc: Encoder[FunnelEvent] = Encoders.product[FunnelEvent]
+    val idx = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(typeCol === t, lit(i + 1)).otherwise(acc)
+    }
+    events.select(userCol.as("user_id"), tsCol.as("ts"), idx.as("step"),
+        idCol.cast("long").as("event_id"))
+      .as[FunnelEvent]
+  }
+
+  /** ClickHouse-TRUE strict_order LIVE — r37's twin (round 17): the
+    * default frontier machine over [[funnelEventsAll]]'s unfiltered
+    * stream, with the break rule as the `dead` flag (see [[Machine]]).
+    * Emits the same monotone level transitions as [[detect]]; a user's
+    * final level is their pre-break default level, exactly r37's census
+    * on ordered delivery (StreamingFunnelCHSpec pins it, including the
+    * in-family-intervener corpus where this mode reads 3 and the repo's
+    * strict-order twin reads 2).
+    */
+  def detectStrictOrderCH(events: Dataset[FunnelEvent],
+                          windowMs: Long): Dataset[FunnelTransition] = {
+    implicit val stEnc: Encoder[FunnelUserState] =
+      Encoders.product[FunnelUserState]
+    implicit val outEnc: Encoder[FunnelTransition] =
+      Encoders.product[FunnelTransition]
+    SequenceEngine.run(events, (_: FunnelEvent).user_id,
+      new Machine(windowMs, strictIncrease = false, breakOnNonStep = true),
+      expire = None)
+  }
+
+  /** [[detectStrictOrderCH]] with the family's bounded-state expiry
+    * (2-window horizon; a dead or idle user's state drops, a returning
+    * one restarts the scan — the standard TTL trade).
+    */
+  def detectStrictOrderCHExpiring(events: Dataset[FunnelEvent],
+                                  windowMs: Long, watermarkDelayMs: Long)
+    : Dataset[FunnelTransition] = {
+    implicit val stEnc: Encoder[FunnelUserState] =
+      Encoders.product[FunnelUserState]
+    implicit val outEnc: Encoder[FunnelTransition] =
+      Encoders.product[FunnelTransition]
+    SequenceEngine.run(
+      events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
+      (_: FunnelEvent).user_id,
+      new Machine(windowMs, strictIncrease = false, breakOnNonStep = true),
+      expire = Some(watermarkDelayMs))
   }
 
   /** The stateful stage, exact form. Calling it on a batch Dataset runs
