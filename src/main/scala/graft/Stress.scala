@@ -121,13 +121,15 @@ object Stress {
     // t39 (1.96 s) over the line — the DSIR bucket model is two corpus
     // passes, the natural linear-scaling check
     "t39_dsir_weights" -> "documents",
-    // round-17: the promoted clean window (131.3 s / 216, a slower regime
-    // than r16's 119.5 s capture) put these three over the 1.5 s line —
-    // s13's ADC scan and d11's cell-cosine pass scale with the embeddings
-    // corpus, q17's group-having join with lineitem
+    // round-17: the two gate-clean windows of the promotion day (131.3 s
+    // and the promoted 126.8 s, both slower regimes than r16's 119.5 s
+    // capture) put these four over the 1.5 s line at least once — s13's
+    // ADC scan, d11's cell-cosine pass and q26's two-level share join
+    // scale with their corpora, q17's group-having join with lineitem
     "s13_adc_topk" -> "embeddings",
     "d11_semantic_dedup" -> "embeddings",
     "q17_large_volume_customer" -> "lineitem",
+    "q26_market_share" -> "lineitem",
     // round-16: the exact-substring eviction pass shares d31's df-capped
     // candidate machinery — its ×N arm proves candidate (not corpus)
     // scaling for the span/interval-union stage too

@@ -45,7 +45,7 @@ import scala.collection.mutable
   * the tokenizer-training stage of an LLM data pipeline (the t08/t37
   * consumers of a finished vocabulary).
   */
-object UnigramLearn {
+object UnigramLearn extends Serializable {
 
   /** Longest candidate piece (SentencePiece's max_sentencepiece_length
     * class of knob, small here so the oracle's DP unroll stays finite).
@@ -141,6 +141,59 @@ object UnigramLearn {
       val used = mutable.Map.empty[String, Long]
       for ((w, f) <- ts; p <- viterbi(w, cost))
         used(p) = used.getOrElse(p, 0L) + f
+      counts = counts.map { case (p, _) => p -> used.getOrElse(p, 0L) }
+    }
+    val kept = counts.iterator.filter(_._1.length == 1).toSeq ++
+      counts.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(targetVocab)
+    kept.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => Piece(i + 1, p, c) }
+  }
+
+  /** The fully-DISTRIBUTED form of [[learnLocal]], for type tables too
+    * large to cap-collect (the same split [[BpeLearn]] keeps): the seed
+    * count is one distributed substring-explode aggregation, and each EM
+    * round is one distributed pass over the type table with the
+    * micro-nat cost table BROADCAST into a per-partition Viterbi
+    * (the cost table is vocabulary-sized — ≤ seedCap + alphabet rows —
+    * so it always broadcasts), followed by a vocabulary-sized count
+    * collect for the next M-step. Bit-identical to [[learnLocal]] by
+    * construction — every integer rule is shared — and spec-pinned so
+    * the equivalence cannot drift (UnigramLearnSpec).
+    *
+    * Scale shape: R+1 passes over the type table, nothing larger than
+    * the vocabulary ever reaches the driver, and the per-row Viterbi is
+    * O(MaxWordLen · MaxPieceLen) with no allocation beyond the DP
+    * arrays.
+    */
+  def learn(types: org.apache.spark.sql.DataFrame, seedCap: Int,
+            rounds: Int, targetVocab: Int): Seq[Piece] = {
+    import org.apache.spark.sql.functions._
+    val s = types.sparkSession
+    import s.implicits._
+    val ts = types.select(col(types.columns.head).as("w"),
+        col(types.columns(1)).cast("long").as("f"))
+      .filter(length(col("w")) <= MaxWordLen)
+      .as[(String, Long)]
+    // seed: one substring-explode aggregation (map-side combined)
+    val cnt0 = ts.flatMap { case (w, f) =>
+      for (l <- 1 to MaxPieceLen; i <- 0 to w.length - l)
+        yield (w.substring(i, i + l), f)
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }
+    val singles = cnt0.filter(_._1.length == 1).collect() // ≤ alphabet
+    val multis = cnt0.filter(_._1.length > 1)
+      .orderBy(desc("_2"), asc("_1")).limit(seedCap).collect() // bounded
+    var counts: Map[String, Long] = (singles ++ multis).toMap
+    val v = counts.size
+    for (_ <- 1 to rounds) {
+      val cost = costs(counts, v)
+      val bc = s.sparkContext.broadcast(cost)
+      val used = ts.flatMap { case (w, f) =>
+        viterbi(w, bc.value).map(p => (p, f))
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case (p, c) => (p, c) }
+        .collect().toMap // ≤ vocabulary rows
       counts = counts.map { case (p, _) => p -> used.getOrElse(p, 0L) }
     }
     val kept = counts.iterator.filter(_._1.length == 1).toSeq ++

@@ -1416,7 +1416,10 @@ object TextQueries extends QueryPack {
     * Scale shape: identical to t42 — ONE distributed corpus scan builds
     * the type table, one bounded top-cap collect (≤65536 rows) reaches
     * the driver, and the whole EM costs O(cap·16·4) per round with zero
-    * further Spark jobs. The oracle replays the identical seed → EM →
+    * further Spark jobs (the fully-distributed
+    * [[graft.operators.UnigramLearn.learn]] remains for uncappable type
+    * tables and is spec-pinned bit-identical, the t42 split). The
+    * oracle replays the identical seed → EM →
     * prune pipeline as unrolled CTEs: the DP over word positions
     * unrolls to [[graft.operators.UnigramLearn.MaxWordLen]] generations
     * per round (types longer than that are excluded from the fit, both

@@ -1,14 +1,12 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.operators.UnigramLearn
 
 /** The unigram-LM trainer (t44/t45's fit): hand-traced Viterbi, EM
   * behavior on a discriminating corpus, coverage and determinism
-  * invariants.
+  * invariants, and the distributed form's bit-identity pin.
   */
-class UnigramLearnSpec extends AnyFunSuite {
+class UnigramLearnSpec extends SparkSpecBase {
 
   private def learn(types: Seq[(String, Long)], seedCap: Int = 512,
                     rounds: Int = 3, target: Int = 64) =
@@ -90,5 +88,22 @@ class UnigramLearnSpec extends AnyFunSuite {
     types.foreach { case (w, _) =>
       assert(seg(w) >= 1 && seg(w) <= w.length, s"$w -> ${seg(w)}")
     }
+  }
+
+  test("the distributed learn is bit-identical to the driver fit") {
+    // the t42 split, unigram edition: t44 fits on the bounded top-cap
+    // collect (the model fits where the model lives); the distributed
+    // form exists for uncappable type tables, and every integer rule is
+    // shared — so the two vocabularies must match EXACTLY, ranks,
+    // counts and all
+    import spark.implicits._
+    val types = Seq(("banana", 9L), ("bandana", 4L), ("cabana", 6L),
+      ("nab", 2L), ("ban", 11L), ("abab", 7L), ("x" * 20, 50L))
+    val local = UnigramLearn.learnLocal(types, seedCap = 16, rounds = 3,
+      targetVocab = 8)
+    val dist = UnigramLearn.learn(types.toDF("w", "f"), seedCap = 16,
+      rounds = 3, targetVocab = 8)
+    assert(dist == local,
+      "distributed EM must replay the driver fit bit-for-bit")
   }
 }
