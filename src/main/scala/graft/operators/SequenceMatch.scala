@@ -150,21 +150,44 @@ object SequenceMatch {
   /** ClickHouse's `strict_order` AS SHIPPED (the published
     * AggregateFunctionWindowFunnel scan): in this mode — and only this
     * mode — events matching NO step condition enter the per-user scan,
-    * and the FIRST such event reached after a step-1 event has been
-    * seen stops the whole scan (`if (first_event) break`). Everything
-    * scanned before that point chains exactly like [[Default]]
-    * (re-anchoring on every step-1 event, anchor-window checks, ties in
-    * the family's (ts, event_id) order). So A→B→D→C stops at the
-    * non-matching D with level 2 (the ClickHouse docs' example), while
-    * view,click,view,purchase reaches level 3 — the second view matches
-    * condition 1, and only condition-less events break. [[StrictOrder]]
-    * (this repo's stricter full-consecutiveness variant, pinned by r29)
-    * would stop that chain at level 2. Assumes the step conditions are
-    * per-row disjoint (every registered funnel uses event-type
-    * equalities); at equal timestamps ClickHouse sorts its (ts,
-    * condition-number) entries with breakers first, where this family's
-    * (ts, event_id) total order decides — unobservable on
-    * microsecond-resolution corpora, pinned in FunnelModesSpec.
+    * and the scan has TWO termination rules, both armed only once a
+    * step-1 event has been seen (`first_event`):
+    *
+    *   1. '''condition-less break''' — the first event matching no step
+    *      condition stops the whole scan (`if (first_event) break`);
+    *      the result is whatever the fallback bottom loop reads from the
+    *      slots written so far.
+    *   2. '''skip-level termination''' (round-18 ADVICE fix — this
+    *      branch was omitted in round 17): an event matching condition
+    *      j ≥ 3 whose level-(j−1) slot has NEVER been written (no
+    *      strictly-earlier event completed a window-valid chain of
+    *      steps 1..j−1) terminates the scan, returning the first
+    *      unfilled slot — i.e. the contiguous level reached so far
+    *      (`strict_order && first_event &&
+    *      !events_timestamp[event_idx - 1].has_value()` in the shipped
+    *      loop). So view,purchase,click is level 1 (the purchase finds
+    *      no click slot and stops the scan before the click arrives),
+    *      and a later clean chain never revives it. Condition-2 events
+    *      can never trigger it: `first_event` implies slot 1 is
+    *      written. A step-j event whose slot j−1 IS written but whose
+    *      anchor window fails writes nothing and does NOT terminate
+    *      (the fill branch has no break).
+    *
+    * Everything scanned before the first termination chains exactly
+    * like [[Default]] (re-anchoring on every step-1 event, anchor-window
+    * checks, ties in the family's (ts, event_id) order). So A→B→D→C
+    * stops at the non-matching D with level 2 (the ClickHouse docs'
+    * example), while view,click,view,purchase reaches level 3 — the
+    * second view matches condition 1 and the purchase's click slot is
+    * already written. [[StrictOrder]] (this repo's stricter
+    * full-consecutiveness variant, pinned by r29) would stop that chain
+    * at level 2. Assumes the step conditions are per-row disjoint
+    * (every registered funnel uses event-type equalities) — the
+    * termination rules read "the row's condition index" off them; at
+    * equal timestamps ClickHouse sorts its (ts, condition-number)
+    * entries with breakers first, where this family's (ts, event_id)
+    * total order decides — unobservable on microsecond-resolution
+    * corpora, pinned in FunnelModesSpec.
     */
   case object StrictOrderCH extends FunnelMode
 
@@ -301,12 +324,22 @@ object SequenceMatch {
     *
     * == The ClickHouse-true pair (round 17) ==
     *
-    * [[StrictOrderCH]] is the Default chain over break-masked flags
-    * (see [[StrictOrderCH]]'s scaladoc): two extra window passes on the
-    * SAME per-user sort compute "a step-1 event has been seen" and "a
-    * condition-less event has been seen since", and rows past the first
-    * break simply lose their flags — the census, the shuffle count and
-    * the running-anchor engine are untouched. [[StrictDedupCH]] is
+    * [[StrictOrderCH]] is the Default chain's window-checked claims
+    * plus a first-termination mask (see [[StrictOrderCH]]'s scaladoc
+    * for the two shipped termination rules). Claims computed on the
+    * UNMASKED sequence agree with the stopped scan on every row
+    * strictly before the first termination (claims only read
+    * strictly-earlier rows), so the first candidate termination row —
+    * a condition-less event after the first anchor, or a step-j (j ≥ 3)
+    * event with no strictly-earlier level-(j−1) claim — found with
+    * unmasked claims IS the scan's true stop, and the user's level is
+    * the max claim strictly before it (claims are contiguous: a level-j
+    * claim forces an earlier level-(j−1) claim, because the carried
+    * anchor A satisfying A ≥ tsⱼ − w also satisfies A ≥ ts_{j−1} − w at
+    * the chain's step-(j−1) row — so the max claim equals ClickHouse's
+    * first-unfilled-slot result). All of it is K+2 extra window passes
+    * on the SAME per-user sort — the census, the shuffle count and the
+    * running-anchor engine are untouched. [[StrictDedupCH]] is
     * [[dedupScanLevels]] — the literal published scan re-expressed as
     * level-claim flags (the Default fold's window-checked claims ARE
     * the scan's slot writes — the unconditional anchor carry is
@@ -317,7 +350,7 @@ object SequenceMatch {
     *
     * Returns (user, level) with EVERY user censused (level 0 = no
     * step-1 event). Scale shape, all modes: K−1 (StrictDedup: 2K−2,
-    * StrictDedupCH: 2K−2, StrictOrderCH: K+1) stacked window passes
+    * StrictDedupCH: 2K−2, StrictOrderCH: 2K−1) stacked window passes
     * over ONE user-keyed sort, no joins, O(1) per-row state; a bot user
     * is one sorted run.
     */
@@ -353,25 +386,50 @@ object SequenceMatch {
       (df, lvl)
     }
 
-    // StrictOrderCH's scan-stop as a flag mask: the first
-    // no-condition-matches event AFTER the first step-1 event kills
-    // every later row's flags (a masked row still flows through the
-    // Default windows as a no-op, so the census and the shared per-user
-    // sort are untouched — two extra window passes, zero extra shuffles)
-    def maskAfterBreak(b: DataFrame): DataFrame = {
-      val anyStep = (1 to k)
-        .map(i => coalesce(col(s"_s$i"), lit(false))).reduce(_ || _)
+    // StrictOrderCH: the Default chain's window-checked claims plus the
+    // shipped scan's TWO termination rules as a first-stop mask, all on
+    // the one per-user sort (see funnelLevels' scaladoc for why unmasked
+    // claims locate the true first stop and why max-claim-before-stop is
+    // the scan's first-unfilled-slot result)
+    def strictOrderCH(b: DataFrame): (DataFrame, Column) = {
       val prevAll = seqWindow.rowsBetween(Window.unboundedPreceding, -1L)
       val upToCur = seqWindow.rowsBetween(Window.unboundedPreceding, 0L)
-      val masked = b
-        .withColumn("_seen1",
-          max(when(coalesce(col("_s1"), lit(false)), lit(1))).over(prevAll))
-        .withColumn("_dead",
-          max(when(!anyStep && col("_seen1") === 1, lit(1))).over(upToCur))
-      masked.select(
-        col("_u") +: col("_t") +: col("_k") +: (1 to k).map(i =>
-          when(col("_dead").isNull, col(s"_s$i"))
-            .otherwise(lit(false)).as(s"_s$i")): _*)
+      var df = b.withColumn("_a1", when(col("_s1"), col("_t")))
+      for (i <- 2 to k) {
+        df = df.withColumn(s"_m$i", max(col(s"_a${i - 1}")).over(prevAll))
+          .withColumn(s"_a$i", when(col(s"_s$i"), col(s"_m$i")))
+          .withColumn(s"_c$i",
+            coalesce(col(s"_s$i") && col(s"_m$i") >= col("_t") - wUs,
+              lit(false)))
+      }
+      // "slot i has been written strictly before this row", for the
+      // slots the skip-level rule inspects (levels 2..k−1)
+      for (i <- 2 until k)
+        df = df.withColumn(s"_rb$i",
+          coalesce(max(when(col(s"_c$i"), lit(1))).over(prevAll) === 1,
+            lit(false)))
+      val anyStep = (1 to k)
+        .map(i => coalesce(col(s"_s$i"), lit(false))).reduce(_ || _)
+      df = df.withColumn("_seen1",
+        coalesce(max(when(coalesce(col("_s1"), lit(false)), lit(1)))
+          .over(prevAll) === 1, lit(false)))
+      // rule 1: condition-less event after the first anchor; rule 2:
+      // step-j (j ≥ 3) event whose level-(j−1) slot was never written
+      // (condition-2 events can't trigger it — first_event IS slot 1)
+      val stop = col("_seen1") && (!anyStep ||
+        (3 to k).map(j => coalesce(col(s"_s$j"), lit(false)) &&
+          !col(s"_rb${j - 1}")).foldLeft(lit(false))(_ || _))
+      df = df.withColumn("_dead",
+        max(when(stop, lit(1))).over(upToCur) === 1)
+      val lvl = (2 to k).foldLeft(
+        when(col("_s1"), 1L).otherwise(0L)) { (tail, i) =>
+        when(col(s"_c$i"), i.toLong).otherwise(tail)
+      }
+      // the stop row itself claims nothing (a condition-less row never
+      // does; a skip-level row's only possible claim is the level whose
+      // predecessor slot is missing — impossible under disjoint
+      // conditions), so masking AT the stop is exact
+      (df, when(coalesce(col("_dead"), lit(false)), 0L).otherwise(lvl))
     }
 
     mode match {
@@ -386,7 +444,7 @@ object SequenceMatch {
         defaultChain(base, strictInc = mode == StrictIncrease)
 
       case StrictOrderCH =>
-        defaultChain(maskAfterBreak(base), strictInc = false)
+        strictOrderCH(base)
 
       case StrictDedupCH =>
         throw new IllegalStateException("handled above")

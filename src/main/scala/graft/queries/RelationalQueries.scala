@@ -1950,25 +1950,31 @@ object RelationalQueries extends QueryPack {
 
   /** r37 — ClickHouse-TRUE `strict_order` windowed funnel (the shipped
     * scan, next to r29's deliberately-stricter full-consecutiveness
-    * variant): only an event matching NO step condition breaks — and it
-    * stops the user's whole scan the first time it appears after a
-    * step-1 event, so later anchors never restart it. Everything before
-    * that point chains like r27's default EXISTS mode. The two readings
-    * split exactly on interleaved IN-FAMILY events: view, click, view,
-    * purchase is level 3 here (the second view matches condition 1 and
-    * passes) and level 2 under r29; A→B→D→C (D out-of-family) is level
-    * 2 under both — the ClickHouse docs' own example. Reported as users
-    * per furthest level, every user censused, like the rest of the
-    * family.
+    * variant), with BOTH of the published loop's termination rules
+    * (round 18 completes the second, per ADVICE): (1) an event matching
+    * NO step condition stops the user's whole scan the first time it
+    * appears after a step-1 event; (2) an event matching condition
+    * j ≥ 3 whose level-(j−1) slot was never written (no earlier
+    * window-valid chain reached j−1) terminates the scan at the
+    * contiguous level reached so far — view, purchase, click is level 1
+    * (the purchase finds no click slot and stops the scan), and a later
+    * clean chain never revives it. Everything before the first stop
+    * chains like r27's default EXISTS mode. The readings split exactly
+    * on interleaved IN-FAMILY events: view, click, view, purchase is
+    * level 3 here (the second view matches condition 1 and the
+    * purchase's click slot is written) and level 2 under r29; A→B→D→C
+    * (D out-of-family) is level 2 under both — the ClickHouse docs' own
+    * example. Reported as users per furthest level, every user
+    * censused, like the rest of the family.
     *
     * Scale shape: [[graft.operators.SequenceMatch.funnelLevels]] with
-    * the [[graft.operators.SequenceMatch.StrictOrderCH]] mode — the
-    * break rule is a two-window-pass flag mask on the SAME per-user
-    * (ts, event_id) sort the default chain runs on (zero extra
-    * shuffles), so the whole query is still one user-keyed sort, no
-    * joins, O(1) per-row state. The oracle is an independent
-    * formulation: the same prefix mask in SQL, then r27's
-    * EXISTS-over-joins derivation on the surviving rows.
+    * the [[graft.operators.SequenceMatch.StrictOrderCH]] mode — claims,
+    * slot-written flags and the first-stop mask are all window passes
+    * on the SAME per-user (ts, event_id) sort the default chain runs on
+    * (zero extra shuffles), so the whole query is still one user-keyed
+    * sort, no joins, O(1) per-row state. The oracle replays the same
+    * scan in SQL windows (r38Sql's style): anchor maxima, window-checked
+    * claims, the two stop rules, then max-claim-before-stop per user.
     */
   private def r37(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -1987,38 +1993,42 @@ object RelationalQueries extends QueryPack {
 
   private val r37Sql =
     """WITH u AS (SELECT DISTINCT user_id FROM events),
-      |s AS (SELECT user_id, ts, event_id, event_type,
-      |    MAX(CASE WHEN event_type = 'view' THEN 1 END) OVER
-      |      (PARTITION BY user_id ORDER BY ts, event_id
-      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen1
-      |  FROM events),
-      |k AS (SELECT user_id, ts, event_id, event_type FROM (
-      |    SELECT *, MAX(CASE WHEN event_type NOT IN
-      |        ('view', 'click', 'purchase') AND seen1 = 1 THEN 1 END) OVER
-      |      (PARTITION BY user_id ORDER BY ts, event_id
-      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
-      |    FROM s)
-      |  WHERE dead IS NULL AND event_type IN ('view', 'click', 'purchase')),
-      |v AS (SELECT user_id, ts AS t1, event_id AS i1 FROM k WHERE event_type = 'view'),
-      |c AS (SELECT user_id, ts AS t2, event_id AS i2 FROM k WHERE event_type = 'click'),
-      |p AS (SELECT user_id, ts AS t3, event_id AS i3 FROM k WHERE event_type = 'purchase'),
-      |l1 AS (SELECT DISTINCT user_id FROM v),
-      |vc AS (SELECT v.user_id, v.t1, c.t2, c.i2 FROM v JOIN c ON c.user_id = v.user_id
-      |  AND (c.t2 > v.t1 OR (c.t2 = v.t1 AND c.i2 > v.i1))
-      |  AND c.t2 <= v.t1 + INTERVAL 24 HOUR),
-      |l2 AS (SELECT DISTINCT user_id FROM vc),
-      |l3 AS (SELECT DISTINCT vc.user_id FROM vc JOIN p ON p.user_id = vc.user_id
-      |  AND (p.t3 > vc.t2 OR (p.t3 = vc.t2 AND p.i3 > vc.i2))
-      |  AND p.t3 <= vc.t1 + INTERVAL 24 HOUR)
+      |w1 AS (SELECT user_id, ts, event_id, event_type,
+      |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER sp AS m2,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 END) OVER sp AS seen1
+      |  FROM events
+      |  WINDOW sp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |w2 AS (SELECT *,
+      |    (event_type = 'click' AND m2 IS NOT NULL
+      |     AND ts <= m2 + INTERVAL 24 HOUR) AS c2,
+      |    CASE WHEN event_type = 'click' THEN m2 END AS a2
+      |  FROM w1),
+      |w3 AS (SELECT *,
+      |    MAX(a2) OVER sp AS m3,
+      |    MAX(CASE WHEN c2 THEN 1 END) OVER sp AS rb2
+      |  FROM w2
+      |  WINDOW sp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |w4 AS (SELECT *,
+      |    (event_type = 'purchase' AND m3 IS NOT NULL
+      |     AND ts <= m3 + INTERVAL 24 HOUR) AS c3,
+      |    CASE WHEN seen1 = 1 AND
+      |      (event_type NOT IN ('view', 'click', 'purchase')
+      |       OR (event_type = 'purchase' AND rb2 IS NULL))
+      |      THEN 1 END AS brk
+      |  FROM w3),
+      |w5 AS (SELECT *,
+      |    MAX(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      |  FROM w4),
+      |lv AS (SELECT user_id, MAX(CASE WHEN dead = 1 THEN 0
+      |    WHEN c3 THEN 3 WHEN c2 THEN 2
+      |    WHEN event_type = 'view' THEN 1 ELSE 0 END) AS level
+      |  FROM w5 GROUP BY user_id)
       |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
-      |  SELECT CAST(
-      |      CASE WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END
-      |    + CASE WHEN l2.user_id IS NOT NULL THEN 1 ELSE 0 END
-      |    + CASE WHEN l3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
-      |  FROM u
-      |  LEFT JOIN l1 ON l1.user_id = u.user_id
-      |  LEFT JOIN l2 ON l2.user_id = u.user_id
-      |  LEFT JOIN l3 ON l3.user_id = u.user_id)
+      |  SELECT CAST(COALESCE(lv.level, 0) AS BIGINT) AS level
+      |  FROM u LEFT JOIN lv ON lv.user_id = u.user_id)
       |GROUP BY level ORDER BY level""".stripMargin
 
   /** r38 — ClickHouse-TRUE `strict_deduplication` windowed funnel (the

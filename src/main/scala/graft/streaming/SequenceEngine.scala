@@ -53,6 +53,19 @@ object SequenceEngine {
   def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
+  /** The inverse of [[micros]]: a Timestamp carrying the FULL
+    * microsecond value (the `new Timestamp(ms)` constructor sets nanos
+    * from the millis alone, so the sub-ms part must be added back —
+    * round-18 ADVICE: the expiry-flush emissions in
+    * StreamingDedupFunnelCH / StreamingSeqNextNode were ms-truncating
+    * their machine's µs clock). `micros(toTimestamp(us)) == us`.
+    */
+  def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos(t.getNanos + (Math.floorMod(us, 1000L) * 1000L).toInt)
+    t
+  }
+
   /** One live sequence operator: a deterministic per-user fold over the
     * family's (event-time µs, tie) total order.
     *

@@ -133,7 +133,7 @@ object StreamingDedupFunnelCH extends Serializable {
       if (st.resolvedAt == NoTs) {
         val lvl = if (st.r2) 2 else if (st.seenView) 1 else 0
         out += FunnelResolution(user, lvl, "expiry",
-          new Timestamp(st.maxTs / 1000L))
+          SequenceEngine.toTimestamp(st.maxTs))
       }
   }
 

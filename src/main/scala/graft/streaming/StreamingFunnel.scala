@@ -121,13 +121,19 @@ object StreamingFunnel {
   /** The funnel fold as a [[SequenceEngine.Machine]] — the
     * default/strict-increase knob lives entirely in [[before]], and
     * `breakOnNonStep` turns the SAME frontier machine into the
-    * ClickHouse-true strict_order scan (r37's live twin): step-0 events
-    * (condition-less, kept by [[StreamingFunnel.funnelEventsAll]]) stop
-    * the user's whole scan the first time one arrives after an anchor —
-    * the frontiers clear and the `dead` flag suppresses every later
-    * event, exactly the published `if (first_event) break`. "An anchor
-    * has been seen" is `reached ≥ 1` (any step-1 event raises it
-    * immediately), so the break rule needs no extra state.
+    * ClickHouse-true strict_order scan (r37's live twin), with BOTH of
+    * the published terminations: step-0 events (condition-less, kept by
+    * [[StreamingFunnel.funnelEventsAll]]) stop the user's whole scan
+    * the first time one arrives after an anchor — exactly the published
+    * `if (first_event) break` — and (round-18 ADVICE fix) a step-j
+    * event (j ≥ 3) arriving with the level-(j−1) slot never written
+    * freezes the scan at the contiguous level, exactly the published
+    * skip-level `return first-unfilled-slot` branch. In both cases the
+    * frontiers clear and the `dead` flag suppresses every later event.
+    * "An anchor has been seen" is `reached ≥ 1` (any step-1 event
+    * raises it immediately), and `reached` IS the written-slot count
+    * (it advances exactly on window-valid chain writes), so neither
+    * rule needs extra state.
     */
   private[streaming] final class Machine(windowMs: Long,
                                          strictIncrease: Boolean,
@@ -179,6 +185,17 @@ object StreamingFunnel {
             math.max(st.maxTs, t), dead = true)
         else st.copy(maxTs = math.max(st.maxTs, t))
       }
+      // strict-order-CH's SECOND termination (round-18 ADVICE fix): a
+      // step-j event (j ≥ 3) arriving after the first anchor with the
+      // level-(j−1) slot never written (reached < j−1 — `reached` IS the
+      // contiguous slot count, since it advances exactly on window-valid
+      // chain writes) freezes the scan at the pre-row contiguous level,
+      // exactly the shipped `strict_order && first_event &&
+      // !events_timestamp[event_idx - 1].has_value()` branch. Step-2
+      // events can never trigger it: reached ≥ 1 is slot 1 itself.
+      if (breakOnNonStep && st.reached >= 1 && st.reached < e.step - 1)
+        return FunnelUserState(Nil, Nil, st.reached,
+          math.max(st.maxTs, t), dead = true)
       var f1 = st.f1
       var f2 = st.f2
       var reached = st.reached

@@ -135,7 +135,7 @@ object StreamingSeqNextNode extends Serializable {
                           out: ArrayBuffer[SeqNode]): Unit =
       if (st.pendingN > 0)
         out += SeqNode(user, st.pendingN, "forward", "none",
-          new Timestamp(st.maxTs / 1000L))
+          SequenceEngine.toTimestamp(st.maxTs))
   }
 
   private implicit val stEnc: Encoder[SeqNodeState] =

@@ -60,11 +60,14 @@ class FunnelModesSpec extends SparkSpecBase {
         4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
       "r29_strict_funnel" -> Map(1L -> Seq(2L), 2L -> Seq(1L), 3L -> Seq(3L),
         4L -> Seq(3L), 5L -> Seq(1L), 6L -> Seq(0L), 7L -> Seq(1L)),
-      // ClickHouse-TRUE strict_order: only u2's signup breaks (and stops
-      // the whole scan at level 1 — harsher than r29's 1-by-consecutiveness
-      // coincidence); the in-family repeats of u1/u4 pass freely
+      // ClickHouse-TRUE strict_order: u2's signup breaks (stopping the
+      // whole scan at level 1), and u5's out-of-order purchase triggers
+      // the SKIP-LEVEL termination (no click slot written yet → return
+      // the first unfilled slot = 1; round-18 ADVICE re-pin — the
+      // shipped scan reads V,P,C as 1, not 2); the in-family repeats of
+      // u1/u4 pass freely
       "r37_strict_order_ch" -> Map(1L -> Seq(3L), 2L -> Seq(1L), 3L -> Seq(3L),
-        4L -> Seq(3L), 5L -> Seq(2L), 6L -> Seq(0L), 7L -> Seq(1L)),
+        4L -> Seq(3L), 5L -> Seq(1L), 6L -> Seq(0L), 7L -> Seq(1L)),
       // ClickHouse-TRUE strict_dedup: u1's second click repeats reached
       // condition 2 and the scan returns the LITERAL 2−1 = 1 (r31 reads
       // 2); u2's signup is never inserted (3); u4's second view
@@ -214,6 +217,41 @@ class FunnelModesSpec extends SparkSpecBase {
     // interruption reads 2.
     assert(census("r38_strict_dedup_ch", dir) == Map(3L -> 1L),
       "CH-true strict_dedup: condition-1 repeats re-anchor, never terminate")
+  }
+
+  test("r37's skip-level termination: an out-of-order in-family event stops the scan") {
+    // V,P,C: the purchase arrives with no click slot written — the
+    // shipped `strict_order && first_event && !slot[j−1]` branch
+    // returns the first unfilled slot (1) and stops the scan; the later
+    // click must not raise it (round-18 ADVICE discriminator)
+    val d1 = corpus(Seq(
+      (1L, "view", 0L), (1L, "purchase", 10L), (1L, "click", 20L)))
+    assert(census("r37_strict_order_ch", d1) == Map(1L -> 1L))
+    // V,P,C,P plus a later CLEAN chain: the first purchase already
+    // terminated, nothing revives — 1, where the pre-fix mask read 3
+    val d2 = corpus(Seq(
+      (1L, "view", 0L), (1L, "purchase", 10L), (1L, "click", 20L),
+      (1L, "purchase", 30L), (1L, "view", 40L), (1L, "click", 50L),
+      (1L, "purchase", 60L)))
+    assert(census("r37_strict_order_ch", d2) == Map(1L -> 1L))
+    // V, out-of-window C, P: the click fails the anchor window so slot 2
+    // is NEVER written — the purchase still skip-terminates at 1 (slot
+    // presence means a window-VALID write, not any click)
+    val d3 = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 25L * H), (1L, "purchase", 26L * H)))
+    assert(census("r37_strict_order_ch", d3) == Map(1L -> 1L))
+    // control: V,C,P,P — slot 2 is written when the second purchase
+    // scans, so the fill branch (not the termination) handles it: 3
+    val d4 = corpus(Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (1L, "purchase", 30L)))
+    assert(census("r37_strict_order_ch", d4) == Map(3L -> 1L))
+    // a purchase BEFORE any anchor is skipped (first_event false — no
+    // branch fires), and the later clean chain completes: 3
+    val d5 = corpus(Seq(
+      (1L, "purchase", 0L), (1L, "view", 10L), (1L, "click", 20L),
+      (1L, "purchase", 30L)))
+    assert(census("r37_strict_order_ch", d5) == Map(3L -> 1L))
   }
 
   test("r38's literal termination: the repeat returns its condition index − 1") {

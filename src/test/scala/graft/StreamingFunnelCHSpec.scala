@@ -47,10 +47,24 @@ class StreamingFunnelCHSpec extends SparkSpecBase {
       fe(3L, 0, 0, 1), fe(3L, 10, 1, 2), fe(3L, 20, 2, 3), fe(3L, 30, 3, 4),
       // u4: anchor renewal still works pre-break (EXISTS over anchors)
       fe(4L, 0, 1, 1), fe(4L, 24 * h, 1, 2), fe(4L, 25 * h, 2, 3),
-      fe(4L, 26 * h, 3, 4))
+      fe(4L, 26 * h, 3, 4),
+      // u5: V,P,C — the purchase arrives with the click slot unwritten:
+      // the SKIP-LEVEL termination (round-18 ADVICE) freezes the scan
+      // at level 1; the later click must not raise it
+      fe(5L, 0, 1, 1), fe(5L, 10, 3, 2), fe(5L, 20, 2, 3),
+      // u6: a purchase BEFORE any anchor is skipped (first_event is
+      // false), and the later clean chain completes
+      fe(6L, 0, 3, 1), fe(6L, 10, 1, 2), fe(6L, 20, 2, 3),
+      fe(6L, 30, 3, 4),
+      // u7: V,P,C,P + a later clean chain — dead stays dead after the
+      // skip-level stop, exactly like u2's condition-less stop
+      fe(7L, 0, 1, 1), fe(7L, 10, 3, 2), fe(7L, 20, 2, 3),
+      fe(7L, 30, 3, 4), fe(7L, 40, 1, 5), fe(7L, 50, 2, 6),
+      fe(7L, 60, 3, 7))
     val got = StreamingFunnel.detectStrictOrderCH(evs.toDS(), W)
       .collect().groupBy(_.user_id).view.mapValues(_.map(_.level).max).toMap
-    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 3))
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 3, 5L -> 1,
+      6L -> 3, 7L -> 1))
   }
 
   test("strict-order CH: ordered replay censuses to the registered r37 query") {
