@@ -108,65 +108,68 @@ object StreamingBloomDedup {
     def set(bm: Array[Byte], pos: Array[Int]): Unit =
       pos.foreach(p => bm(p >> 3) = (bm(p >> 3) | (1 << (p & 7))).toByte)
 
-    def fn(shard: Int, events: Iterator[T], state: GroupState[BloomGen])
-      : Iterator[T] = {
-      // the current event-time watermark, when the input stream declares
-      // one; getCurrentWatermarkMs throws on batch invocations and on
-      // streams without a watermark — both mean "drop nothing"
-      val wmMs =
-        try state.getCurrentWatermarkMs()
-        catch { case _: UnsupportedOperationException => Long.MinValue }
-      val sorted = events.filter(e => ts(e).getTime >= wmMs)
-        .toSeq.sortBy(e => (ts(e).getTime, key(e)))
-      if (sorted.isEmpty) return Iterator.empty
-      def empty() = new Array[Byte](nBytes)
-      var st = state.getOption.getOrElse(
-        BloomGen(ts(sorted.head).getTime / windowMs, empty(), empty(), empty()))
-      val kept = Seq.newBuilder[T]
-      sorted.foreach { e =>
-        val g = ts(e).getTime / windowMs
-        if (g > st.gen) {
-          // rotate by the ACTUAL generation delta, keeping bitmaps aligned
-          // to their generation tags — a skip (delta 2) parks the pre-skip
-          // bitmap in prev2 instead of forgetting it
-          st = (g - st.gen) match {
-            case 1 => BloomGen(g, empty(), st.cur, st.prev)
-            case 2 => BloomGen(g, empty(), empty(), st.cur)
-            case _ => BloomGen(g, empty(), empty(), empty())
+    // the engine hands the fold the current event-time watermark (or
+    // Long.MinValue on batch invocations and unwatermarked streams —
+    // both mean "drop nothing"); Unchanged on an all-late slice keeps
+    // the store write-free where the old early-return did
+    val sketch = new SketchEngine.Sketch[Int, T, BloomGen, T] {
+      private def empty() = new Array[Byte](nBytes)
+      override def init: BloomGen =
+        BloomGen(Long.MinValue, Array.empty, Array.empty, Array.empty)
+      override def onSlice(shard: Int, events: Iterator[T], st0: BloomGen,
+                           wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[T])
+        : SketchEngine.Next[BloomGen] = {
+        val sorted = events.filter(e => ts(e).getTime >= wmMs)
+          .toSeq.sortBy(e => (ts(e).getTime, key(e)))
+        if (sorted.isEmpty) return SketchEngine.Unchanged
+        var st =
+          if (st0.gen == Long.MinValue)
+            BloomGen(ts(sorted.head).getTime / windowMs,
+              empty(), empty(), empty())
+          else st0
+        sorted.foreach { e =>
+          val g = ts(e).getTime / windowMs
+          if (g > st.gen) {
+            // rotate by the ACTUAL generation delta, keeping bitmaps aligned
+            // to their generation tags — a skip (delta 2) parks the pre-skip
+            // bitmap in prev2 instead of forgetting it
+            st = (g - st.gen) match {
+              case 1 => BloomGen(g, empty(), st.cur, st.prev)
+              case 2 => BloomGen(g, empty(), empty(), st.cur)
+              case _ => BloomGen(g, empty(), empty(), empty())
+            }
+          }
+          val pos = bitPositions(key(e))
+          // the event's own window horizon: generations g and g-1, resolved
+          // against the retained slots (g may trail st.gen after disorder)
+          val lag = st.gen - g
+          val own = lag match {
+            case 0 => st.cur
+            case 1 => st.prev
+            case 2 => st.prev2
+            case _ => null
+          }
+          val older = lag match {
+            case 0 => st.prev
+            case 1 => st.prev2
+            case _ => null
+          }
+          val seen = (own != null && allSet(own, pos)) ||
+            (older != null && allSet(older, pos))
+          if (!seen) {
+            // record the key in its OWN generation's bitmap (an event beyond
+            // the retained horizon admits unchecked and unrecorded)
+            if (own != null) set(own, pos)
+            out += e
           }
         }
-        val pos = bitPositions(key(e))
-        // the event's own window horizon: generations g and g-1, resolved
-        // against the retained slots (g may trail st.gen after disorder)
-        val lag = st.gen - g
-        val own = lag match {
-          case 0 => st.cur
-          case 1 => st.prev
-          case 2 => st.prev2
-          case _ => null
-        }
-        val older = lag match {
-          case 0 => st.prev
-          case 1 => st.prev2
-          case _ => null
-        }
-        val seen = (own != null && allSet(own, pos)) ||
-          (older != null && allSet(older, pos))
-        if (!seen) {
-          // record the key in its OWN generation's bitmap (an event beyond
-          // the retained horizon admits unchecked and unrecorded)
-          if (own != null) set(own, pos)
-          kept += e
-        }
+        SketchEngine.Update(st)
       }
-      state.update(st)
-      kept.result().iterator
     }
-
-    val timeout = GroupStateTimeout.NoTimeout
-    ds.groupByKey(e =>
+    SketchEngine.run(ds, (e: T) =>
         math.floorMod(scala.util.hashing.MurmurHash3
-          .stringHash(key(e), 0x1b873593), shards))
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+          .stringHash(key(e), 0x1b873593), shards),
+      sketch, expiring = false)
   }
 }

@@ -67,39 +67,33 @@ object StreamingDedup {
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     val windowMs = window.millis
 
-    def fn(k: String, events: Iterator[T], state: GroupState[FirstSeen]): Iterator[T] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
+    // Eviction note (now owned by SketchEngine): the timeout lands once
+    // the watermark passes the window end, clamped to watermark+1 — with
+    // EventTimeTimeout Spark filters rows behind the watermark before
+    // they reach the fold (StreamingSpec pins that), but a row landing
+    // exactly ON the boundary can still yield opened + windowMs <=
+    // watermark, and setTimeoutTimestamp throws on a timeout <= the
+    // current watermark.
+    val sketch = new SketchEngine.Sketch[String, T, FirstSeen, T] {
+      override def init: FirstSeen = FirstSeen(Long.MinValue)
+      override def onSlice(k: String, events: Iterator[T], st: FirstSeen,
+                           wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[T])
+        : SketchEngine.Next[FirstSeen] = {
         val sorted = events.toSeq.sortBy(e => ts(e).getTime)
-        val kept = Seq.newBuilder[T]
-        var opened = state.getOption.map(_.openedAt).getOrElse(Long.MinValue)
+        var opened = st.openedAt
         sorted.foreach { e =>
           val t = ts(e).getTime
           if (opened == Long.MinValue || t >= opened + windowMs) {
-            kept += e
+            out += e
             opened = t
           } // else: inside the window of the current first — suppress
         }
-        if (opened != Long.MinValue) {
-          state.update(FirstSeen(opened))
-          // Evict once the watermark passes the window end. Clamp to
-          // watermark+1: with EventTimeTimeout Spark filters rows behind the
-          // watermark before they reach this function (StreamingSpec pins
-          // that), but a row landing exactly ON the boundary can still yield
-          // opened + windowMs <= watermark, and setTimeoutTimestamp throws
-          // on a timeout <= the current watermark.
-          if (streaming && state.getCurrentWatermarkMs() >= 0)
-            state.setTimeoutTimestamp(
-              math.max(opened + windowMs, state.getCurrentWatermarkMs() + 1))
-        }
-        kept.result().iterator
+        if (opened != Long.MinValue) SketchEngine.Update(FirstSeen(opened))
+        else SketchEngine.Unchanged
       }
+      override def horizonMs(st: FirstSeen): Long = st.openedAt + windowMs
     }
-
-    val timeout =
-      if (streaming) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    ds.groupByKey(key)
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+    SketchEngine.run(ds, key, sketch, expiring = streaming)
   }
 }

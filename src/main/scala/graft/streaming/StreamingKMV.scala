@@ -110,21 +110,17 @@ object StreamingKMV extends Serializable {
     */
   def fracOf(h: Long): Double = h / Domain
 
-  /** The stateful stage: per group, fold the batch's distinct prefixes
-    * into the k-minimum set and emit one snapshot per group per
-    * micro-batch. Consumers keep the row with the largest n_total per
-    * group.
+  /** The slice fold as a [[SketchEngine.Sketch]] — order-free (a min-k
+    * set), so the iterator folds in one pass, no sort, no
+    * materialization.
     */
-  def track(events: Dataset[KeyedHash], k: Int = DefaultK)
-    : Dataset[KmvSnapshot] = {
-    require(k >= 2, "(k-1)/kth_frac needs k >= 2")
-    implicit val keyEnc: Encoder[String] = Encoders.STRING
-    implicit val stEnc: Encoder[KmvState] = Encoders.product[KmvState]
-    implicit val outEnc: Encoder[KmvSnapshot] = Encoders.product[KmvSnapshot]
-
-    def fn(group: String, evs: Iterator[KeyedHash],
-           state: GroupState[KmvState]): Iterator[KmvSnapshot] = {
-      val st = state.getOption.getOrElse(KmvState(Nil, 0L))
+  private final class KmvSketch(k: Int)
+    extends SketchEngine.Sketch[String, KeyedHash, KmvState, KmvSnapshot] {
+    override def init: KmvState = KmvState(Nil, 0L)
+    override def onSlice(group: String, evs: Iterator[KeyedHash],
+                         st: KmvState, wmMs: Long,
+                         out: scala.collection.mutable.ArrayBuffer[KmvSnapshot])
+      : SketchEngine.Next[KmvState] = {
       var n = st.n_total
       val cur = st.hashes // sorted ascending, distinct, ≤ k
       // once the synopsis is full, a value ≥ the kth minimum can never
@@ -140,7 +136,6 @@ object StreamingKMV extends Serializable {
       val merged =
         if (cand.isEmpty) cur
         else (cand ++ cur).toIndexedSeq.sorted.distinct.take(k)
-      state.update(KmvState(merged, n))
       val tracked = merged.length.toLong
       val (frac, est) =
         if (tracked < k) (-1.0, tracked.toDouble) // synopsis IS the set
@@ -148,12 +143,25 @@ object StreamingKMV extends Serializable {
           val f = fracOf(merged.last)
           (f, (k - 1).toDouble / f)
         }
-      Iterator.single(KmvSnapshot(group, n, tracked, frac, est))
+      out += KmvSnapshot(group, n, tracked, frac, est)
+      SketchEngine.Update(KmvState(merged, n))
     }
+  }
 
-    events.groupByKey(_.group)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+  /** The stateful stage: per group, fold the batch's distinct prefixes
+    * into the k-minimum set and emit one snapshot per group per
+    * micro-batch. Consumers keep the row with the largest n_total per
+    * group. An instance of [[SketchEngine]] since round 18 — the
+    * timeout/emit/state plumbing is the sketch family's shared core.
+    */
+  def track(events: Dataset[KeyedHash], k: Int = DefaultK)
+    : Dataset[KmvSnapshot] = {
+    require(k >= 2, "(k-1)/kth_frac needs k >= 2")
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[KmvState] = Encoders.product[KmvState]
+    implicit val outEnc: Encoder[KmvSnapshot] = Encoders.product[KmvSnapshot]
+    SketchEngine.run(events, (_: KeyedHash).group, new KmvSketch(k),
+      expiring = false)
   }
 
   /** The latest snapshot per group of a collected snapshot stream — the

@@ -81,43 +81,37 @@ object StreamingNearDup {
     implicit val outEnc: Encoder[BandClaim] = Encoders.product[BandClaim]
     val windowMs = window.millis
 
-    def fn(key: (Int, Long), evs: Iterator[BandEvent],
-           state: GroupState[BandOwner]): Iterator[BandClaim] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
+    // watermark clamp and timeout plumbing owned by SketchEngine
+    val sketch = new SketchEngine.Sketch[(Int, Long), BandEvent, BandOwner,
+      BandClaim] {
+      override def init: BandOwner = BandOwner(Long.MinValue, Long.MinValue)
+      override def onSlice(key: (Int, Long), evs: Iterator[BandEvent],
+                           st0: BandOwner, wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[BandClaim])
+        : SketchEngine.Next[BandOwner] = {
         // fast path: most band keys see exactly one event per batch — skip
         // the sort's tuple-key allocations for singleton groups
         val seq = evs.toSeq
         val sorted =
           if (seq.lengthCompare(2) < 0) seq
           else seq.sortBy(e => (e.ts.getTime, e.doc_id))
-        var st = state.getOption
-        val out = sorted.map { e =>
+        var st = Option(st0).filter(_.openedAt != Long.MinValue)
+        sorted.foreach { e =>
           val t = e.ts.getTime
-          st match {
+          out += (st match {
             case Some(o) if t < o.openedAt + windowMs =>
               BandClaim(e.doc_id, e.ts, e.band_idx, owned = e.doc_id == o.ownerId)
             case _ => // no claim, or the previous claim's window has lapsed
               st = Some(BandOwner(e.doc_id, t))
               BandClaim(e.doc_id, e.ts, e.band_idx, owned = true)
-          }
+          })
         }
-        st.foreach { o =>
-          state.update(o)
-          // Same watermark clamp as StreamingDedup.keepFirstStateful.
-          if (streaming && state.getCurrentWatermarkMs() >= 0)
-            state.setTimeoutTimestamp(
-              math.max(o.openedAt + windowMs, state.getCurrentWatermarkMs() + 1))
-        }
-        out.iterator
+        st.map(SketchEngine.Update(_)).getOrElse(SketchEngine.Unchanged)
       }
+      override def horizonMs(st: BandOwner): Long = st.openedAt + windowMs
     }
-
-    val timeout =
-      if (streaming) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    events.groupByKey(e => (e.band_idx, e.band_val))
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+    SketchEngine.run(events, (e: BandEvent) => (e.band_idx, e.band_val),
+      sketch, expiring = streaming)
   }
 
   /** Batch combiner: per-doc verdict over its band claims. Kept iff every

@@ -132,24 +132,30 @@ object StreamingQuantileHist extends Serializable {
     implicit val outEnc: Encoder[QHistSnapshot] =
       Encoders.product[QHistSnapshot]
 
-    def fn(group: String, evs: Iterator[GroupedValue],
-           state: GroupState[QHistState]): Iterator[QHistSnapshot] = {
-      val counts = state.getOption.map(_.counts)
-        .getOrElse(new Array[Long](cfg.buckets + 2))
-      evs.foreach { e => counts(cfg.bucketOf(e.v)) += 1L }
-      state.update(QHistState(counts))
-      var n = 0L
-      var i = 0
-      while (i < counts.length) { n += counts(i); i += 1 }
-      Iterator.single(QHistSnapshot(group, n,
-        quantileOf(cfg, counts, n, 50),
-        quantileOf(cfg, counts, n, 90),
-        quantileOf(cfg, counts, n, 99)))
+    // order-free slice fold (bucket increments commute) on the sketch
+    // family's shared core — one pass over the iterator, no sort
+    val sketch = new SketchEngine.Sketch[String, GroupedValue, QHistState,
+      QHistSnapshot] {
+      override def init: QHistState =
+        QHistState(new Array[Long](cfg.buckets + 2))
+      override def onSlice(group: String, evs: Iterator[GroupedValue],
+                           st: QHistState, wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[QHistSnapshot])
+        : SketchEngine.Next[QHistState] = {
+        val counts = st.counts
+        evs.foreach { e => counts(cfg.bucketOf(e.v)) += 1L }
+        var n = 0L
+        var i = 0
+        while (i < counts.length) { n += counts(i); i += 1 }
+        out += QHistSnapshot(group, n,
+          quantileOf(cfg, counts, n, 50),
+          quantileOf(cfg, counts, n, 90),
+          quantileOf(cfg, counts, n, 99))
+        SketchEngine.Update(QHistState(counts))
+      }
     }
-
-    events.groupByKey(_.group)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+    SketchEngine.run(events, (_: GroupedValue).group, sketch,
+      expiring = false)
   }
 
   /** The latest snapshot per group of a collected snapshot stream — the

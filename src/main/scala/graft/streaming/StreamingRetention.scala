@@ -122,25 +122,45 @@ object StreamingRetention extends Serializable {
     stateful(events.withWatermark("ts", s"$watermarkDelayMs milliseconds"),
       nOffsets, expire = Some(watermarkDelayMs))
 
-  private def stateful(events: Dataset[RetentionEvent], nOffsets: Int,
-                       expire: Option[Long]): Dataset[RetentionDelta] = {
+  /** The retention fold as a [[SketchEngine.Sketch]], with the hot-user
+    * slice collapse (round-18, VERDICT task 1 — the hot-key matrix
+    * measured hot/uniform 0.433 on the old per-event fold):
+    *
+    * Retention's deltas depend only on THREE order-free statistics of a
+    * micro-batch slice — the min signup µs, the per-week (min, max) µs
+    * of the purchases, and the max µs overall — because credits are
+    * idempotent per (user, offset) and the cohort is the min-µs signup
+    * (the old (µs, kind) sort made "first signup arrived" deterministic;
+    * the min IS that event, and kind 1 sorting before kind 2 at ties is
+    * exactly the `µs < sMin` pre-signup test below). So the slice
+    * collapses in ONE O(n) pass with no sort, no per-event state copy
+    * and no per-event emission check: a 400k-event bot user now costs
+    * one primitive-comparison scan plus O(distinct purchase weeks)
+    * state work — bounded by the calendar, not the event count — where
+    * the old fold paid a tuple-key sort plus two allocations per event.
+    *
+    * The collapse replays the old per-event semantics EXACTLY, including
+    * the [[MaxPending]] eviction order: slice purchases strictly before
+    * the slice's first signup merge into `pending` (in ascending week
+    * order — weeks are monotone in µs, so that IS first-occurrence
+    * order) BEFORE the signup credits-and-clears it, and purchases at or
+    * after the signup credit directly. StreamingRetentionSpec's census
+    * agreement pins the equivalence.
+    */
+  private final class RetentionSketch(nOffsets: Int, delayMs: Long)
+    extends SketchEngine.Sketch[Long, RetentionEvent, RetentionState,
+      RetentionDelta] {
     require(nOffsets >= 1 && nOffsets <= 31, "mask is an Int bitfield")
-    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val stEnc: Encoder[RetentionState] =
-      Encoders.product[RetentionState]
-    implicit val outEnc: Encoder[RetentionDelta] =
-      Encoders.product[RetentionDelta]
 
-    def fn(user: Long, evs: Iterator[RetentionEvent],
-           state: GroupState[RetentionState]): Iterator[RetentionDelta] = {
-      if (state.hasTimedOut) {
-        state.remove()
-        return Iterator.empty
-      }
-      var st = state.getOption
-        .getOrElse(RetentionState(Long.MinValue, 0, Nil, Long.MinValue))
-      val out = scala.collection.mutable.ArrayBuffer.empty[RetentionDelta]
-      def cohortTs = new Timestamp(st.cohortUs / 1000L)
+    override def init: RetentionState =
+      RetentionState(Long.MinValue, 0, Nil, Long.MinValue)
+
+    override def onSlice(user: Long, evs: Iterator[RetentionEvent],
+                         st0: RetentionState, wmMs: Long,
+                         out: scala.collection.mutable.ArrayBuffer[RetentionDelta])
+      : SketchEngine.Next[RetentionState] = {
+      var st = st0
+      def cohortTs = new Timestamp(st.cohortUs / 1000L) // week-aligned: no sub-ms
       def credit(weekUs: Long): Unit = {
         val off = ((weekUs - st.cohortUs) / WeekUs).toInt
         if (weekUs >= st.cohortUs && off < nOffsets &&
@@ -149,40 +169,68 @@ object StreamingRetention extends Serializable {
           st = st.copy(creditedMask = st.creditedMask | (1 << off))
         }
       }
-      // batches are sets, not sequences, for retention (credits are
-      // order-independent within a batch ONCE the cohort is known), but
-      // sorting keeps "first signup arrived" deterministic inside a batch
-      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.kind))
-      sorted.foreach { e =>
+      // the O(n) collapse: min signup µs, per-week (min, max) purchase
+      // µs, max µs overall
+      var maxT = st.maxTs
+      var sMin = Long.MaxValue
+      val weeks = scala.collection.mutable.TreeMap.empty[Long, (Long, Long)]
+      evs.foreach { e =>
         val t = micros(e.ts)
-        st = st.copy(maxTs = math.max(st.maxTs, t))
-        if (e.kind == 1) {
-          if (st.cohortUs == Long.MinValue) {
-            st = st.copy(cohortUs = weekStartUs(t))
-            out += RetentionDelta(cohortTs, SizeDelta, user)
-            st.pending.foreach(credit)
-            st = st.copy(pending = Nil)
-          } // a later signup never re-cohorts (arrival contract)
-        } else {
+        if (t > maxT) maxT = t
+        if (e.kind == 1) { if (t < sMin) sMin = t }
+        else {
           val wk = weekStartUs(t)
-          if (st.cohortUs != Long.MinValue) credit(wk)
-          else if (!st.pending.contains(wk))
-            st = st.copy(pending = (st.pending :+ wk).takeRight(MaxPending))
+          weeks.get(wk) match {
+            case Some((mn, mx)) =>
+              weeks(wk) = (math.min(mn, t), math.max(mx, t))
+            case None => weeks(wk) = (t, t)
+          }
         }
       }
-      state.update(st)
-      expire.foreach { delay =>
-        val horizonMs = st.maxTs / 1000L + nOffsets * (WeekUs / 1000L) + delay + 1
-        state.setTimeoutTimestamp(
-          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+      st = st.copy(maxTs = maxT)
+      if (st.cohortUs != Long.MinValue) {
+        // cohort already known: every purchase week credits directly
+        weeks.keysIterator.foreach(credit)
+      } else if (sMin != Long.MaxValue) {
+        // the slice's first signup fixes the cohort. Pre-signup weeks
+        // (first instance strictly before it) merge into pending FIRST —
+        // replaying the old fold's eviction order — then the signup
+        // credits-and-clears pending, then post-signup weeks credit.
+        var p = st.pending
+        weeks.foreach { case (wk, (mn, _)) =>
+          if (mn < sMin && !p.contains(wk))
+            p = (p :+ wk).takeRight(MaxPending)
+        }
+        st = st.copy(cohortUs = weekStartUs(sMin), pending = p)
+        out += RetentionDelta(cohortTs, SizeDelta, user)
+        st.pending.foreach(credit)
+        st = st.copy(pending = Nil)
+        weeks.foreach { case (wk, (_, mx)) => if (mx >= sMin) credit(wk) }
+      } else {
+        // no cohort and no signup: all purchase weeks are pending
+        var p = st.pending
+        weeks.keysIterator.foreach { wk =>
+          if (!p.contains(wk)) p = (p :+ wk).takeRight(MaxPending)
+        }
+        st = st.copy(pending = p)
       }
-      out.iterator
+      SketchEngine.Update(st)
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (expire.isDefined) GroupStateTimeout.EventTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
+    override def horizonMs(st: RetentionState): Long =
+      st.maxTs / 1000L + nOffsets * (WeekUs / 1000L) + delayMs + 1
+  }
+
+  private def stateful(events: Dataset[RetentionEvent], nOffsets: Int,
+                       expire: Option[Long]): Dataset[RetentionDelta] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[RetentionState] =
+      Encoders.product[RetentionState]
+    implicit val outEnc: Encoder[RetentionDelta] =
+      Encoders.product[RetentionDelta]
+    SketchEngine.run(events, (_: RetentionEvent).user_id,
+      new RetentionSketch(nOffsets, expire.getOrElse(0L)),
+      expiring = expire.isDefined)
   }
 
   /** Fold a delta stream (collected, or inside foreachBatch over the sunk

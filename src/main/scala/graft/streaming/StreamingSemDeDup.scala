@@ -123,19 +123,25 @@ object StreamingSemDeDup {
     final class LiveRep(val docId: Long, val v: Array[Long], val nrm: Double,
                         val at: Long)
 
-    def fn(key: Long, evs: Iterator[CellDoc],
-           state: GroupState[CellReps]): Iterator[SemVerdict] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
+    // watermark clamp and timeout plumbing owned by SketchEngine; the
+    // Drop verdict replaces the old in-place state.remove() for an
+    // emptied cell
+    val sketch = new SketchEngine.Sketch[Long, CellDoc, CellReps,
+      SemVerdict] {
+      override def init: CellReps = CellReps(Nil)
+      override def onSlice(key: Long, evs: Iterator[CellDoc], st: CellReps,
+                           wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[SemVerdict])
+        : SketchEngine.Next[CellReps] = {
         val seq = evs.toSeq
         val sorted =
           if (seq.lengthCompare(2) < 0) seq
           else seq.sortBy(e => (e.ts.getTime, e.doc_id))
         val live = new java.util.ArrayDeque[LiveRep]()
         // state keeps reps newest-first; the deque wants oldest-first
-        state.getOption.foreach(_.reps.reverseIterator.foreach(r =>
-          live.addLast(new LiveRep(r.docId, r.v.toArray, r.nrm, r.at))))
-        val out = sorted.map { e =>
+        st.reps.reverseIterator.foreach(r =>
+          live.addLast(new LiveRep(r.docId, r.v.toArray, r.nrm, r.at)))
+        sorted.foreach { e =>
           val tms = e.ts.getTime
           while (!live.isEmpty && live.peekFirst.at + windowMs <= tms)
             live.removeFirst()
@@ -155,9 +161,9 @@ object StreamingSemDeDup {
             live.addLast(new LiveRep(e.doc_id, ev, en, tms))
             if (live.size > maxReps) live.removeFirst()
           }
-          SemVerdict(e.doc_id, e.ts, key, kept, math.round(maxCos * 1000))
+          out += SemVerdict(e.doc_id, e.ts, key, kept, math.round(maxCos * 1000))
         }
-        if (live.isEmpty) state.remove()
+        if (live.isEmpty) SketchEngine.Drop
         else {
           var reps = List.empty[CellRep] // newest-first, as stored
           val it = live.iterator()
@@ -165,21 +171,13 @@ object StreamingSemDeDup {
             val r = it.next()
             reps = CellRep(r.docId, r.v.toSeq, r.nrm, r.at) :: reps
           }
-          state.update(CellReps(reps))
-          // Same watermark clamp as StreamingDedup/StreamingNearDup.
-          if (streaming && state.getCurrentWatermarkMs() >= 0) {
-            val newest = live.peekLast.at
-            state.setTimeoutTimestamp(
-              math.max(newest + windowMs, state.getCurrentWatermarkMs() + 1))
-          }
+          SketchEngine.Update(CellReps(reps))
         }
-        out.iterator
       }
+      override def horizonMs(st: CellReps): Long =
+        // reps are stored newest-first — the head's `at` is the newest
+        st.reps.head.at + windowMs
     }
-
-    val timeout =
-      if (streaming) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    cells.groupByKey(_.c_id).flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+    SketchEngine.run(cells, (_: CellDoc).c_id, sketch, expiring = streaming)
   }
 }

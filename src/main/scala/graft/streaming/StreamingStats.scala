@@ -90,25 +90,37 @@ object StreamingStats {
     implicit val stEnc: Encoder[MomentState] = Encoders.product[MomentState]
     implicit val outEnc: Encoder[ValueVerdict] = Encoders.product[ValueVerdict]
 
-    def fn(key: String, evs: Iterator[ValueEvent],
-           state: GroupState[MomentState]): Iterator[ValueVerdict] = {
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
-      val out = sorted.map { e =>
-        val z = if (st.n >= minN) zOf(e.vq, st.n, st.s1, st.s2) else 0.0
-        val flagged = st.n >= minN && math.abs(z) >= zThreshold
-        st = MomentState(st.n + 1, st.s1 + e.vq, st.s2 + e.vq * e.vq)
-        ValueVerdict(e.event_id, e.ts, key, e.vq, st.n - 1, z, flagged)
+    // per-event verdicts need the family's (ts, event_id) order (each
+    // row is judged against the moments STRICTLY before it), so this
+    // sketch sorts its slice; the moments themselves are primitives —
+    // no per-event state allocation beyond the verdict row
+    val sketch = new SketchEngine.Sketch[String, ValueEvent, MomentState,
+      ValueVerdict] {
+      override def init: MomentState = MomentState(0L, 0L, 0L)
+      override def onSlice(key: String, evs: Iterator[ValueEvent],
+                           st0: MomentState, wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[ValueVerdict])
+        : SketchEngine.Next[MomentState] = {
+        val seq = evs.toSeq
+        val sorted =
+          if (seq.lengthCompare(2) < 0) seq
+          else seq.sortBy(e => (e.ts.getTime, e.event_id))
+        var n = st0.n
+        var s1 = st0.s1
+        var s2 = st0.s2
+        sorted.foreach { e =>
+          val z = if (n >= minN) zOf(e.vq, n, s1, s2) else 0.0
+          val flagged = n >= minN && math.abs(z) >= zThreshold
+          out += ValueVerdict(e.event_id, e.ts, key, e.vq, n, z, flagged)
+          n += 1
+          s1 += e.vq
+          s2 += e.vq * e.vq
+        }
+        SketchEngine.Update(MomentState(n, s1, s2))
       }
-      state.update(st)
-      out.iterator
     }
-
-    events.groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    SketchEngine.run(events, (_: ValueEvent).event_type, sketch,
+      expiring = false)
   }
 
   /** The batch equivalent: cumulative strictly-preceding window sums per

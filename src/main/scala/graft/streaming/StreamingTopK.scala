@@ -85,48 +85,56 @@ object StreamingTopK {
     implicit val stEnc: Encoder[TopKState] = Encoders.product[TopKState]
     implicit val outEnc: Encoder[TopKSnapshot] = Encoders.product[TopKSnapshot]
 
-    def fn(key: String, evs: Iterator[KeyedItem],
-           state: GroupState[TopKState]): Iterator[TopKSnapshot] = {
-      val seq = evs.toSeq
-      val sorted =
-        if (seq.lengthCompare(2) < 0) seq
-        else seq.sortBy(e => (e.ts.getTime, e.seq))
-      val st = state.getOption.getOrElse(
-        TopKState(Array.empty, Array.empty, Array.empty, 0L))
-      val items = scala.collection.mutable.ArrayBuffer(st.items: _*)
-      val counts = scala.collection.mutable.ArrayBuffer(st.counts: _*)
-      val errs = scala.collection.mutable.ArrayBuffer(st.errs: _*)
-      var n = st.n_total
-      sorted.foreach { e =>
-        n += 1
-        val at = items.indexOf(e.item)
-        if (at >= 0) counts(at) += 1
-        else if (items.size < capacity) {
-          items += e.item; counts += 1L; errs += 0L
-        } else {
-          // deterministic victim: smallest (count, item)
-          var v = 0
-          var i = 1
-          while (i < items.size) {
-            if (counts(i) < counts(v) ||
-              (counts(i) == counts(v) && items(i) < items(v))) v = i
-            i += 1
+    // SpaceSaving's admission is arrival-order-sensitive (who holds a
+    // counter when the table is full depends on the order), so the
+    // slice sorts by the family's (ts, seq) order for deterministic
+    // replay — then folds on mutable parallel arrays
+    val sketch = new SketchEngine.Sketch[String, KeyedItem, TopKState,
+      TopKSnapshot] {
+      override def init: TopKState =
+        TopKState(Array.empty, Array.empty, Array.empty, 0L)
+      override def onSlice(key: String, evs: Iterator[KeyedItem],
+                           st: TopKState, wmMs: Long,
+                           out: scala.collection.mutable.ArrayBuffer[TopKSnapshot])
+        : SketchEngine.Next[TopKState] = {
+        val seq = evs.toSeq
+        val sorted =
+          if (seq.lengthCompare(2) < 0) seq
+          else seq.sortBy(e => (e.ts.getTime, e.seq))
+        val items = scala.collection.mutable.ArrayBuffer(st.items: _*)
+        val counts = scala.collection.mutable.ArrayBuffer(st.counts: _*)
+        val errs = scala.collection.mutable.ArrayBuffer(st.errs: _*)
+        var n = st.n_total
+        sorted.foreach { e =>
+          n += 1
+          val at = items.indexOf(e.item)
+          if (at >= 0) counts(at) += 1
+          else if (items.size < capacity) {
+            items += e.item; counts += 1L; errs += 0L
+          } else {
+            // deterministic victim: smallest (count, item)
+            var v = 0
+            var i = 1
+            while (i < items.size) {
+              if (counts(i) < counts(v) ||
+                (counts(i) == counts(v) && items(i) < items(v))) v = i
+              i += 1
+            }
+            errs(v) = counts(v)
+            counts(v) = counts(v) + 1
+            items(v) = e.item
           }
-          errs(v) = counts(v)
-          counts(v) = counts(v) + 1
-          items(v) = e.item
         }
-      }
-      state.update(TopKState(items.toArray, counts.toArray, errs.toArray, n))
-      val ranked = items.indices
-        .sortBy(i => (-counts(i), items(i)))
-      ranked.iterator.zipWithIndex.map { case (i, rk) =>
-        TopKSnapshot(key, n, rk + 1L, items(i), counts(i), errs(i))
+        val ranked = items.indices
+          .sortBy(i => (-counts(i), items(i)))
+        ranked.zipWithIndex.foreach { case (i, rk) =>
+          out += TopKSnapshot(key, n, rk + 1L, items(i), counts(i), errs(i))
+        }
+        SketchEngine.Update(
+          TopKState(items.toArray, counts.toArray, errs.toArray, n))
       }
     }
-
-    items.groupByKey(_.group)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    SketchEngine.run(items, (_: KeyedItem).group, sketch, expiring = false)
   }
 
   /** The exact batch equivalent the agreement spec pins against: true
