@@ -1113,7 +1113,9 @@ object TextQueries extends QueryPack {
     QueryDef("t42_bpe_learn", t42, Some(t42Sql)),
     QueryDef("t43_learned_fertility", t43, Some(t43Sql)),
     QueryDef("t44_unigram_learn", t44, Some(t44Sql)),
-    QueryDef("t45_unigram_fertility", t45, Some(t45Sql)))
+    QueryDef("t45_unigram_fertility", t45, Some(t45Sql)),
+    QueryDef("t46_wordpiece_learn", t46, Some(t46Sql)),
+    QueryDef("t47_wordpiece_fertility", t47, Some(t47Sql)))
 
   /** t41 — token-budget greedy data selection (the doc-level knapsack of
     * data-selection pipelines): spend a fixed token budget (half the
@@ -1603,6 +1605,131 @@ object TextQueries extends QueryPack {
        |  CAST(SUM(u) AS BIGINT) AS n_units,
        |  CAST(SUM(u) AS DOUBLE) / CAST(SUM(wcnt) AS DOUBLE) AS fertility
        |FROM du GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** WordPiece merge rounds (t46/t47) — the same knob class as
+    * [[BpeLearnRounds]]; a real run raises it without changing the plan.
+    */
+  private val WordPieceRounds = 8
+
+  /** t46 — WordPiece vocabulary LEARNING (the BERT trainer — the third
+    * canonical tokenizer trainer, completing the triad next to t42's
+    * BPE and t44's unigram-LM): the BPE merge loop with the
+    * likelihood-gain winner rule score(a,b) = count(ab) /
+    * (count(a)·count(b)), compared as the exact integer-quantized
+    * scoreQ = floor(count(ab)·10¹⁵ / (count(a)·count(b))) with ties by
+    * gram — algorithm, determinism discipline and the BPE-vs-WordPiece
+    * divergence argument in [[graft.operators.WordPieceLearn]]'s
+    * scaladoc. Output is the learned merge table with pair counts and
+    * quantized scores at selection time.
+    *
+    * Scale shape: identical to t42 — one distributed corpus scan, one
+    * bounded top-[[BpeTypeCap]] type collect, driver-side fit (the
+    * alphabet-bounded distributed twin
+    * [[graft.operators.WordPieceLearn.learn]] is spec-pinned
+    * bit-identical). The oracle replays the identical rounds as
+    * unrolled CTEs — same overlap pair stats, same per-symbol stats,
+    * the same HUGEINT floor-division score, same exhaustion no-op
+    * guard as t42/t43's.
+    */
+  private def t46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.WordPieceLearn
+      .learnLocal(bpeTypes(s, dir), WordPieceRounds)
+      .map(m => (m.rank + 1L, m.decoded, m.count, m.scoreQ))
+      .toDF("rk", "merged", "n_pairs", "score_q")
+      .orderBy(col("rk"))
+  }
+
+  /** The unrolled WordPiece replay t46/t47 oracles share: the t42 CTE
+    * skeleton plus a per-round symbol-count CTE and the quantized-score
+    * winner (HUGEINT multiply + floor division — exactly
+    * [[graft.operators.WordPieceLearn]]'s BigInt arithmetic). Unlike
+    * bpeLearnCtes, each generation w$r is referenced THREE times (pair
+    * stats, symbol stats, next generation), so the caller must wrap
+    * with [[materializedCtes]] — inlined, the chain would go 3^rounds.
+    */
+  private def wpLearnCtes: String = {
+    val head =
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |w0 AS (SELECT w AS enc, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+         |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w
+         |  ORDER BY f DESC, w LIMIT $BpeTypeCap)""".stripMargin
+    val gens = (0 until WordPieceRounds).map { r =>
+      val dec = (0 until r).foldLeft("g")((acc, j) =>
+        s"replace($acc, ${bpePh(j)}, (SELECT merged FROM d$j))")
+      s""",
+         |p$r AS (SELECT g, CAST(SUM(f) AS BIGINT) AS cnt FROM
+         |  (SELECT substr(enc, CAST(i AS INTEGER), 2) AS g, f FROM
+         |    (SELECT enc, f, unnest(generate_series(1, length(enc) - 1)) AS i
+         |     FROM w$r)) GROUP BY g),
+         |s$r AS (SELECT sym, CAST(SUM(f) AS BIGINT) AS cnt FROM
+         |  (SELECT substr(enc, CAST(i AS INTEGER), 1) AS sym, f FROM
+         |    (SELECT enc, f, unnest(generate_series(1, length(enc))) AS i
+         |     FROM w$r)) GROUP BY sym),
+         |m$r AS (SELECT g, cnt,
+         |    CAST((CAST(cnt AS HUGEINT) * 1000000000000000) //
+         |      (CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS BIGINT) AS sq
+         |  FROM (SELECT p.g AS g, p.cnt AS cnt, sa.cnt AS sa, sb.cnt AS sb
+         |    FROM p$r p
+         |    JOIN s$r sa ON sa.sym = substr(p.g, 1, 1)
+         |    JOIN s$r sb ON sb.sym = substr(p.g, 2, 1))
+         |  ORDER BY sq DESC, g LIMIT 1),
+         |w${r + 1} AS (SELECT
+         |  replace(enc, COALESCE((SELECT g FROM m$r), chr(${0xEFFF})), ${bpePh(r)}) AS enc, f
+         |  FROM w$r),
+         |d$r AS (SELECT $dec AS merged, cnt, sq FROM m$r)""".stripMargin
+    }.mkString
+    head + gens
+  }
+
+  private def t46Sql: String = {
+    val union = (0 until WordPieceRounds).map(r =>
+      s"SELECT CAST(${r + 1} AS BIGINT) AS rk, merged, cnt AS n_pairs, sq AS score_q FROM d$r")
+      .mkString("\n UNION ALL ")
+    materializedCtes(s"$wpLearnCtes\n$union\nORDER BY rk")
+  }
+
+  /** t47 — per-language fertility under the LEARNED WordPiece table:
+    * t46's train step composed with the corpus-wide measurement,
+    * completing the trainer-triad fertility row (t43 = BPE,
+    * t45 = unigram-LM, t47 = WordPiece). The apply side is BpeApply
+    * over the learned grams in rank order — the merge-replay encoder
+    * (BERT's runtime greedy longest-match encoder is the
+    * deployment-time variant; see WordPieceLearn's scaladoc). Scale
+    * shape identical to t43: fit = one corpus scan + bounded collect,
+    * measurement = one more codegen corpus pass + a ≤#languages rollup.
+    */
+  private def t47(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BpeApply
+    val vocab = graft.operators.WordPieceLearn
+      .learnLocal(bpeTypes(s, dir), WordPieceRounds).map(_.gram)
+    Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("w"),
+        BpeApply(col("text"), vocab).getItem(0).as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("u")).as("n_units"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private def t47Sql: String = {
+    // the same rank-ordered replace encode as t43Sql, needles from the
+    // WordPiece m-CTEs, same exhaustion sentinel no-op
+    val enc = (0 until WordPieceRounds).foldLeft("text")((acc, r) =>
+      s"replace($acc, COALESCE((SELECT g FROM m$r), chr(${0xEFFF})), ${bpePh(r)})")
+    materializedCtes(s"""$wpLearnCtes,
+       |m2x AS (SELECT lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |  CAST(length($enc) AS BIGINT) AS u FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(u) AS BIGINT) AS n_units,
+       |  CAST(SUM(u) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
+       |FROM m2x GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** t37 — tokenizer fertility per language: encoded units per word
