@@ -237,6 +237,12 @@ object StreamBench {
     if (op == "dedupfunnel") {
       runDedupFunnel(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
+    if (op == "funnelorderch") {
+      runFunnelOrderCH(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
+    if (op == "dedupfunnelch") {
+      runDedupFunnelCH(spark, rps, secs, sinkDir, ckpt, stateStore); return
+    }
     if (op == "passthrough") {
       runPassthrough(spark, rps, secs, sinkDir, ckpt, stateStore); return
     }
@@ -900,6 +906,127 @@ object StreamBench {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val sustained = math.round(inRows / elapsed)
     println(s"""{"metric":"dedup_funnel_rps","value":$sustained,"hot_key":$hotKey,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=funnelorderch measures the live
+    * ClickHouse-TRUE strict_order funnel (r37's twin — the default
+    * frontier machine with both shipped termination rules). The ladder
+    * is the strict arm's: view → click → purchase in consecutive rounds
+    * then two noise rounds, and like that arm there is NO pre-filter —
+    * this mode's break rule is ABOUT condition-less events, so every
+    * row flows through the state store (funnelEventsAll's contract);
+    * the reported rate is rows through the STATE STORE per second. Each
+    * user converts in its first cycle, then the first noise row would
+    * stop a non-converted scan — so the steady state measures the
+    * active-scan fold plus the converted/dead suppression path, the mix
+    * a long-lived deployment sees.
+    */
+  private def runFunnelOrderCH(spark: org.apache.spark.sql.SparkSession,
+                               rps: Long, secs: Int, sinkDir: String,
+                               ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingFunnel
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    // round r ∈ [0,5): r=0 view, r=1 click, r=2 purchase, r∈{3,4} noise
+    // (step 0, KEPT — the break rule needs them to cross the shuffle)
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val step = when(round === 0, 1).when(round === 1, 2)
+      .when(round === 2, 3).otherwise(0)
+    val events = raw.select(userExpr(users).as("user_id"),
+        col("timestamp").as("ts"), step.as("step"),
+        col("value").as("event_id"))
+      .as[graft.streaming.FunnelEvent](
+        org.apache.spark.sql.Encoders.product[graft.streaming.FunnelEvent])
+    val transitions = StreamingFunnel.detectStrictOrderCHExpiring(
+      events, 24L * 3600 * 1000, 5000L)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = transitions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nTrans = out.map(_.count()).getOrElse(0L)
+    val nConverted = out.map(_.filter(col("level") === 3).count()).getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"funnel_order_ch_rps","value":$sustained,"hot_key":$hotKey,"unit":"state-store rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"transitions":$nTrans,"converted":$nConverted,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
+    spark.stop()
+  }
+
+  /** SPARK_GRAFT_STREAM_OP=dedupfunnelch measures the live
+    * ClickHouse-TRUE strict_deduplication funnel (r38's twin — the
+    * literal scan with emit-on-resolution). Same ladder and codegen
+    * pre-filter as the dedupfunnel arm (this mode ignores unrelated
+    * types, so the 40% noise drops before the state store; reported
+    * rate is SOURCE rows/s), state is six numbers per user, and each
+    * user resolves via "complete" in its first cycle — steady state is
+    * the scan fold plus resolved-user suppression.
+    */
+  private def runDedupFunnelCH(spark: org.apache.spark.sql.SparkSession,
+                               rps: Long, secs: Int, sinkDir: String,
+                               ckpt: String, stateStore: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{StreamingDedupFunnel, StreamingDedupFunnelCH}
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString).load()
+    val users = 100000L
+    val round = pmod(expr(s"value div $users"), lit(5))
+    val etype = when(round === 0, "view").when(round === 1, "click")
+      .when(round === 2, "purchase").otherwise("other")
+    val events = StreamingDedupFunnel.dedupEvents(
+      raw.select(userExpr(users).as("u"),
+        col("timestamp").as("ts"), etype.as("et"), col("value").as("id")),
+      col("u"), col("ts"), col("et"), col("id"),
+      Seq("view", "click", "purchase"))
+    val resolutions =
+      StreamingDedupFunnelCH.detectExpiring(events, 24L * 3600 * 1000, 5000L)
+    val sink = new IdempotentParquetSink(sinkDir)
+    var elapsed = 0.0
+    val progress = withProgressLog(spark) {
+      val q = resolutions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(1000))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id); ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(secs * 1000L)
+      stopQuietly(q)
+      elapsed = (System.nanoTime() - t0) / 1e9
+    }
+    val capacity = capacityOf(progress)
+    val inRows = progress.map(_.numInputRows).sum
+    val out = sunkOrEmpty(sink, spark)
+    val nRes = out.map(_.count()).getOrElse(0L)
+    val nComplete = out.map(_.filter(col("via") === "complete").count())
+      .getOrElse(0L)
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = progress.lastOption
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val sustained = math.round(inRows / elapsed)
+    println(s"""{"metric":"dedup_funnel_ch_rps","value":$sustained,"hot_key":$hotKey,"unit":"source rows/sec","capacity_rps":$capacity,"input_rows":$inRows,"resolutions":$nRes,"completed":$nComplete,"state_rows":$stateRows,"state_bytes":$stateBytes,"elapsed_sec":$elapsed,"offered_rps":$rps,"state_store":"${stateStore.toLowerCase}"}""")
     spark.stop()
   }
 
