@@ -178,6 +178,17 @@ object Stress {
 
     val stressDir = java.nio.file.Files
       .createTempDirectory("graft_stress").toString
+    // the inflated corpus is GBs at ×100 — delete it when the run ends
+    // (and on abnormal exit), like the funnel arm's dirs; repeated stress
+    // invocations must not accumulate tmp disk
+    def sweepStressDir(): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(stressDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case _: Throwable => () } // best-effort
+    val stressSweepHook = new Thread(() => sweepStressDir(), "graft-stress-sweep")
+    Runtime.getRuntime.addShutdownHook(stressSweepHook)
     val tCorpus =
       if (skewOnly) 0.0
       else once(StressCorpus.write(spark, baseDir, stressDir, factor))
@@ -505,6 +516,9 @@ object Stress {
       s""""skew_keepfirst_sec":${f"${minOk(tPlain)}%.2f"},""" +
       s""""skew_salted_sec":${f"${minOk(tSalted)}%.2f"},""" +
       s""""skew_ranked_sec":${f"${minOk(tRanked)}%.2f"}}""")
+    sweepStressDir()
+    try Runtime.getRuntime.removeShutdownHook(stressSweepHook)
+    catch { case _: IllegalStateException => () } // already shutting down
     spark.stop()
   }
 }

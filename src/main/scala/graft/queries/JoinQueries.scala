@@ -664,7 +664,8 @@ object JoinQueries extends QueryPack {
     QueryDef("j16_interval_islands", j16, Some(j16Sql)),
     QueryDef("j17_event_trigrams", j17, Some(j17Sql)),
     QueryDef("j18_event_cadence", j18, Some(j18Sql)),
-    QueryDef("j19_attribution_policies", j19, Some(j19Sql)))
+    QueryDef("j19_attribution_policies", j19, Some(j19Sql)),
+    QueryDef("j20_range_enrich", j20, Some(j20Sql)))
 
   /** j19 — attribution-policy comparison: the purchase→preceding-24h
     * click candidates (j13's machinery, wider lookback so multi-touch
@@ -1039,4 +1040,81 @@ object JoinQueries extends QueryPack {
        |  CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us,
        |  CAST(MAX(end_us - start_us) AS BIGINT) AS longest_us
        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** j20 — range-enrichment lookup (point-in-interval join, NO equi key):
+    * every lineitem priced into the 64 equal-frequency spend brackets
+    * derived from o_totalprice, reported as per-bracket line counts and
+    * cents mass. The bracket table is a stand-in for any external
+    * interval dimension — CIDR→geo blocks, tax brackets, sensor
+    * calibration bands — the lookups a pipeline must do WITHOUT an equi
+    * key; disjoint half-open [lo, hi) brackets mean each line matches ≤1
+    * interval, so join output ≤ |fact| by construction.
+    *
+    * Scale shape — deliberately DECLARATIVE: the join is written as the
+    * natural `cents >= lo AND cents < hi` predicate and the physical
+    * strategy is the planner's call. At this dim size (64 rows) the
+    * [[graft.plans.RangeJoinRule]] stats gate correctly leaves it on
+    * BroadcastNestedLoopJoin — a 64-entry broadcast probe per row beats
+    * two explodes plus a shuffle. Against a big interval dim (1M CIDR
+    * blocks) the SAME code re-plans through the rule into the
+    * bin-exploded hash equi-join with the exact predicate re-checked
+    * inside the bin match (RangeJoinRuleSpec pins result identity both
+    * ways; j10 measured the rewrite at 25 s → ~1 s on the overlap form).
+    * Hand-banding the join here would freeze ONE physical strategy into
+    * the query — the rule exists so the logical plan stays this simple.
+    *
+    * The bracket BUILD uses one global ntile window over orders — a
+    * deliberate, documented one-off on the dim SOURCE (150k rows at
+    * sf0.1; production interval dims arrive as data, they are not
+    * derived from the fact table).
+    */
+  private def j20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val tiles = o.select(col("cents"),
+      ntile(64).over(Window.orderBy(col("cents"), col("o_orderkey")))
+        .cast("long").as("bracket"))
+      .groupBy(col("bracket")).agg(min(col("cents")).as("lo_cents"))
+    val mxp1 = o.agg((max(col("cents")) + 1L).as("mxp1"))
+    // half-open [lo, hi): hi = next bracket's lo, last bracket = max+1;
+    // ties split across a tile boundary can zero a bracket's width —
+    // filter those (they can match nothing)
+    val brackets = tiles
+      .select(col("bracket"), col("lo_cents"),
+        lead(col("lo_cents"), 1).over(Window.orderBy(col("bracket")))
+          .as("hi_lead"))
+      .crossJoin(broadcast(mxp1))
+      .select(col("bracket"), col("lo_cents"),
+        coalesce(col("hi_lead"), col("mxp1")).as("hi_cents"))
+      .filter(col("lo_cents") < col("hi_cents"))
+    val fact = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    fact.join(brackets,
+        col("cents") >= col("lo_cents") && col("cents") < col("hi_cents"))
+      .groupBy(col("bracket"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bracket"))
+  }
+
+  private val j20Sql =
+    """WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |  o_orderkey FROM orders),
+      |t AS (SELECT cents,
+      |  NTILE(64) OVER (ORDER BY cents, o_orderkey) AS bracket FROM o),
+      |b0 AS (SELECT bracket, MIN(cents) AS lo_cents FROM t GROUP BY bracket),
+      |b AS (SELECT bracket, lo_cents,
+      |  COALESCE(LEAD(lo_cents) OVER (ORDER BY bracket),
+      |    (SELECT MAX(cents) + 1 FROM o)) AS hi_cents
+      | FROM b0),
+      |l AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT b.bracket, b.lo_cents, b.hi_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(l.cents) AS BIGINT) AS sum_cents
+      |FROM b JOIN l ON l.cents >= b.lo_cents AND l.cents < b.hi_cents
+      |WHERE b.lo_cents < b.hi_cents
+      |GROUP BY b.bracket, b.lo_cents, b.hi_cents
+      |ORDER BY b.bracket""".stripMargin
 }

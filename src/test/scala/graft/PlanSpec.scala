@@ -932,6 +932,39 @@ class PlanSpec extends SparkSpecBase {
       "the query sample must broadcast into both arms")
   }
 
+  test("j20 range enrich: tiny dim keeps BNLJ; big×big re-plans via RangeJoinRule") {
+    // two BroadcastNestedLoopJoins by design: the 1-row max+1 cross join
+    // and the 64-interval lookup the rule's stats gate correctly refuses
+    // to rewrite (a 64-entry broadcast probe beats two explodes + shuffle)
+    val base = planString(run("j20_range_enrich"))
+    assert(!base.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(base).size >= 2,
+      "tiny interval dim must stay on the broadcast nested loop")
+    val rows = SparkEntry.queries("j20_range_enrich")(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1") // big×big: nothing passes the stats gate
+    try {
+      val df = SparkEntry.queries("j20_range_enrich")(spark, sf("sf0.001"))
+      df.collect()
+      val s = planString(df)
+      // the rewrite's three-branch union keeps two (empty) nested-loop
+      // fallback branches by design — what must appear is the bin key
+      // driving a shuffled equi-join for the small×small branch
+      assert(s.contains("__graft_bin"),
+        "big×big interval lookup must re-plan through RangeJoinRule's bin key")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        "the binned branch must be an equi-join, not a nested loop")
+      assert(!s.contains("CartesianProduct"))
+      assert(df.collect().map(_.toSeq).toSeq == rows,
+        "RangeJoinRule rewrite must be result-identical")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("r07 cube computes all grouping sets in one pass (Expand, no re-scan)") {
     val s = planString(run("r07_cube_datacard"))
     assert(s.contains("Expand"),
