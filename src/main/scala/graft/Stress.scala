@@ -139,7 +139,11 @@ object Stress {
     "d20_contamination_runs" -> "documents",
     "q29_priority_counts" -> "lineitem",
     "s04_ann_ivf" -> "embeddings",
-    "t41_budget_selection" -> "documents")
+    "t41_budget_selection" -> "documents",
+    // round-18: the new no-equi-key interval lookup joins the pack the
+    // round it ships (its 64-interval broadcast probe costs O(|fact|·64)
+    // by design — the ×N arm proves that constant survives corpus growth)
+    "j20_range_enrich" -> "lineitem")
 
   /** Queries whose ×N arm runs under the cell-size-constant k-means
     * production profile.
