@@ -1063,31 +1063,69 @@ object JoinQueries extends QueryPack {
     * Hand-banding the join here would freeze ONE physical strategy into
     * the query — the rule exists so the logical plan stays this simple.
     *
-    * The bracket BUILD uses one global ntile window over orders — a
-    * deliberate, documented one-off on the dim SOURCE (150k rows at
-    * sf0.1; production interval dims arrive as data, they are not
-    * derived from the fact table).
+    * The bracket BUILD refuses the global sort (same rule as t33/t41): a
+    * naive `ntile(64) OVER (ORDER BY cents)` moves the whole dim source
+    * into ONE task. Each bracket floor is really just the VALUE at a
+    * known global rank (ntile's tile-start rank — with ties the rank's
+    * value is unique even though which row holds it is not), so it is
+    * computed by exact distributed rank selection instead: one bounded
+    * stats row, one ≤4096-bucket histogram collect (bucket count fixed by
+    * the value RANGE, not the corpus — t41's coarse-bucket pattern), a
+    * driver walk locating each of the 64 tile-start ranks in its bucket,
+    * and one row_number window over ONLY the ≤64 boundary buckets. The
+    * oracle keeps the readable ntile spec; the results are bit-identical
+    * by the rank argument above.
     */
   private def j20(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir).select(
-      round(col("o_totalprice") * 100).cast("long").as("cents"),
-      col("o_orderkey"))
-    val tiles = o.select(col("cents"),
-      ntile(64).over(Window.orderBy(col("cents"), col("o_orderkey")))
-        .cast("long").as("bracket"))
-      .groupBy(col("bracket")).agg(min(col("cents")).as("lo_cents"))
-    val mxp1 = o.agg((max(col("cents")) + 1L).as("mxp1"))
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val st = o.agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
+      max(col("cents")).as("mx")).head()
+    val n = st.getLong(0)
+    require(n > 0, "j20 needs a non-empty orders table")
+    val mn = st.getLong(1)
+    val mx = st.getLong(2)
+    // ntile(64): the first (n mod 64) tiles take ceil(n/64) rows — the
+    // tile-start global ranks are pure arithmetic
+    val q64 = n / 64
+    val r64 = n % 64
+    val starts: Seq[(Long, Long)] = // (bracket, 1-indexed start rank)
+      (1L to math.min(64L, n)).map(t =>
+        t -> ((t - 1) * q64 + math.min(t - 1, r64) + 1))
+    val width = math.max(1L, (mx - mn) / 4096L + 1L)
+    val hist = o.groupBy(expr(s"(cents - $mn) div $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // driver walk: (bucket, local rank) of each tile-start global rank
+    val targets: Seq[(Long, Long, Long)] = { // (bucket, local rank, bracket)
+      var cum = 0L
+      val cums = hist.map { case (b, c) => val lo = cum; cum += c; (b, lo, c) }
+      starts.map { case (t, k) =>
+        val (b, before, _) = cums.find { case (_, lo, c) => k <= lo + c }.get
+        (b, k - before, t)
+      }
+    }
+    val bset = targets.map(_._1).distinct
+    import s.implicits._
+    val tgt = targets.toDF("tb", "l", "bracket")
+    // the l-th smallest cents inside a boundary bucket IS the tile floor:
+    // row_number over cents is value-deterministic at every rank (ties
+    // share the value), and only boundary-bucket rows pay the sort
+    val lows = o
+      .withColumn("b", expr(s"(cents - $mn) div $width"))
+      .filter(col("b").isin(bset: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("cents"))).cast("long"))
+      .join(broadcast(tgt), col("b") === col("tb") && col("rn") === col("l"))
+      .select(col("bracket"), col("cents").as("lo_cents"))
     // half-open [lo, hi): hi = next bracket's lo, last bracket = max+1;
     // ties split across a tile boundary can zero a bracket's width —
-    // filter those (they can match nothing)
-    val brackets = tiles
+    // filter those (they can match nothing). 64 rows: window is free.
+    val brackets = lows
       .select(col("bracket"), col("lo_cents"),
-        lead(col("lo_cents"), 1).over(Window.orderBy(col("bracket")))
-          .as("hi_lead"))
-      .crossJoin(broadcast(mxp1))
-      .select(col("bracket"), col("lo_cents"),
-        coalesce(col("hi_lead"), col("mxp1")).as("hi_cents"))
+        coalesce(lead(col("lo_cents"), 1).over(Window.orderBy(col("bracket"))),
+          lit(mx + 1L)).as("hi_cents"))
       .filter(col("lo_cents") < col("hi_cents"))
     val fact = Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))

@@ -933,13 +933,17 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("j20 range enrich: tiny dim keeps BNLJ; big×big re-plans via RangeJoinRule") {
-    // two BroadcastNestedLoopJoins by design: the 1-row max+1 cross join
-    // and the 64-interval lookup the rule's stats gate correctly refuses
-    // to rewrite (a 64-entry broadcast probe beats two explodes + shuffle)
+    // the 64-interval lookup is the one BroadcastNestedLoopJoin the
+    // rule's stats gate correctly refuses to rewrite (a 64-entry
+    // broadcast probe beats two explodes + shuffle); the bracket build
+    // must never sort the dim source globally (rank selection instead)
     val base = planString(run("j20_range_enrich"))
     assert(!base.contains("CartesianProduct"))
-    assert("BroadcastNestedLoopJoin".r.findAllIn(base).size >= 2,
+    assert(base.contains("BroadcastNestedLoopJoin"),
       "tiny interval dim must stay on the broadcast nested loop")
+    assert(!base.contains("Exchange SinglePartition, ORDER BY") &&
+      !"ntile".r.findAllIn(base).exists(_ => true),
+      "bracket floors must come from bounded rank selection, not a global ntile sort")
     val rows = SparkEntry.queries("j20_range_enrich")(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSeq
     val key = "spark.sql.autoBroadcastJoinThreshold"
