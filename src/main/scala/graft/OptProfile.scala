@@ -45,6 +45,23 @@ object OptProfile {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val prof = Profiling.attach(spark)
+    // SPARK_GRAFT_OPT_JOBS=1: per-job submission→completion lines, to see how
+    // much of a query's wall clock is serialized stage-job latency
+    if (sys.env.get("SPARK_GRAFT_OPT_JOBS").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = Option(t0.remove(j.jobId)).map(n =>
+              (System.nanoTime() - n) / 1e9).getOrElse(-1.0)
+            println(f"[job] id=${j.jobId} wall=$s%.3f")
+          }
+        })
+    }
     val qs = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
@@ -58,10 +75,23 @@ object OptProfile {
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(outDir.resolve(s"$name.txt"),
           plan.getBytes(StandardCharsets.UTF_8))
+        // SPARK_GRAFT_OPT_PHASES=1: split each run into plan-build /
+        // analyze+optimize / execute, to separate driver plan work from jobs
+        val phases = sys.env.get("SPARK_GRAFT_OPT_PHASES").contains("1")
         val recs = (1 to runs).map { _ =>
           prof.reset()
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          if (phases) {
+            val b0 = System.nanoTime()
+            val df2 = fn(spark, sfDir)
+            val b1 = System.nanoTime()
+            df2.queryExecution.executedPlan // force analysis + optimization
+            val b2 = System.nanoTime()
+            df2.count()
+            val b3 = System.nanoTime()
+            println(f"[phase] $name build=${(b1 - b0) / 1e9}%.3f " +
+              f"plan=${(b2 - b1) / 1e9}%.3f exec=${(b3 - b2) / 1e9}%.3f")
+          } else fn(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
           val line = f"wall=$wall%.3f taskSec=${prof.taskTimeMs.sum / 1000.0}%.2f " +
             f"gcSec=${prof.gcTimeMs.sum / 1000.0}%.2f " +

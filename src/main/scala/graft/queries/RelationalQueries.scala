@@ -1170,19 +1170,26 @@ object RelationalQueries extends QueryPack {
     * the 1-row order total broadcasts; top-20 is TakeOrderedAndProject.
     */
   private def r26(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // ONE basket shuffle replaces the round-17 shape's three lineitem-sized
+    // exchanges (distinct + both self-join sides): group to sorted distinct
+    // per-order baskets once, then generate each basket's ordered pairs
+    // in-place with the d26 transform/slice kernel (pairs per order still
+    // basket²/2 — the same multiset the o-keyed self-join produced, with
+    // a.p < b.p guaranteed by the sorted array). Supports and the order
+    // total both derive from the materialized basket table, so lineitem is
+    // scanned exactly once — at 100 TB that one scan is the cost floor.
+    val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      // referenced FOUR times below (order total, per-part supports, both
-      // self-join sides): materialize the distinct once instead of paying
-      // the scan+shuffle+agg per consumer — at 100 TB the basket table is
-      // the small derived frame, the lineitem scan is the cost
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
       .localCheckpoint()
-    val tot = li.agg(countDistinct(col("o")).as("n_orders"))
-    val pc = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val pc = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairExpr = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), (i + lit(2)).cast("int"), size(col("ps"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    baskets.select(explode(pairExpr).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
       .join(pc.withColumnRenamed("p", "pa").withColumnRenamed("n_p", "na"),

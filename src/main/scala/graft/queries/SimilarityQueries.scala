@@ -1288,35 +1288,58 @@ object SimilarityQueries extends QueryPack {
     */
   private def s18(s: SparkSession, dir: String): DataFrame = {
     val base = baseVecs(s, dir)
-    val probe = sampleIds(s, dir, 1)
-    val rel = bruteScoredPairs(base, probe)
-      .select(col("neighbor_id").as("vec_id"), col("cos").as("rel"))
-      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
-      .localCheckpoint()
-    val poolVecs = base.join(broadcast(rel.select(col("vec_id"))), "vec_id")
-    val pp = poolVecs.as("a")
-      .join(broadcast(poolVecs.as("b")),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+    // the probe row straight off the quantized base (same md5-order row
+    // sampleIds picks, with v/nrm already attached — saves the join-back)
+    val probe = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+    val rel = base.as("b")
+      .join(broadcast(probe.as("a")), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
         (dotLong(col("a.v"), col("b.v")).cast("double")
-          / (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .localCheckpoint()
-    var selected = rel.orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
-        lit(1L).as("rank"))
-    for (step <- 2 to MmrK) {
-      val chosenIds = selected.select(col("vec_id"))
-      val maxSim = pp.join(broadcast(chosenIds.withColumnRenamed("vec_id", "j")), "j")
-        .groupBy(col("i")).agg(max(col("sim")).as("max_sim"))
-      val next = rel.join(broadcast(chosenIds), Seq("vec_id"), "left_anti")
-        .join(maxSim, col("vec_id") === col("i"))
-        .select(col("vec_id"), col("rel"),
-          (col("rel") * 0.7 - col("max_sim") * 0.3).as("mmr"))
-        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-        .withColumn("rank", lit(step.toLong))
-      selected = selected.unionAll(next).localCheckpoint()
+          / (col("a.nrm") * col("b.nrm"))).as("rel"),
+        col("b.v").as("v"), col("b.nrm").as("nrm"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+    // ONE job: the O(n) corpus scoring pass builds the pool, and the ≤
+    // MmrPool-row pool (ids, relevances, quantized vectors, norms) is a
+    // bounded collect — the same discipline as the codebook collects. The
+    // pool×pool similarity matrix and the inherently-sequential greedy
+    // argmax loop then run driver-side over ≤ MmrPool² doubles with
+    // bit-identical arithmetic (exact long dots; rel·0.7 − maxSim·0.3 in
+    // the same IEEE order), replacing the former per-step DataFrame
+    // iteration (2 localCheckpoints + MmrK−1 join/argmax/checkpoint rounds
+    // ≈ 20 scheduled jobs for ≤ 50 live rows — round-18 measured 1.2 s of
+    // pure orchestration on a 0.03 s-of-task query).
+    val pool = rel
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Long](2).toArray, r.getDouble(3)))
+      .sortBy(p => (-p._2, p._1)) // (rel DESC, vec_id) — the argmax order
+    def sim(i: Int, j: Int): Double = {
+      val (vi, ni) = (pool(i)._3, pool(i)._4)
+      val (vj, nj) = (pool(j)._3, pool(j)._4)
+      var d = 0L; var k = 0
+      val n = math.min(vi.length, vj.length)
+      while (k < n) { d += vi(k) * vj(k); k += 1 }
+      d.toDouble / (ni * nj)
     }
-    selected.select(col("rank"), col("vec_id"), col("rel"), col("mmr"))
+    val selIdx = scala.collection.mutable.ArrayBuffer(0) // head = top rel
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1L, pool(0)._1, pool(0)._2, pool(0)._2)) // first pick: mmr = rel
+    for (step <- 2 to MmrK) {
+      var bi = -1; var bMmr = 0.0
+      for (c <- pool.indices if !selIdx.contains(c)) {
+        var ms = Double.NegativeInfinity
+        selIdx.foreach { j => val sv = sim(c, j); if (sv > ms) ms = sv }
+        val mmr = pool(c)._2 * 0.7 - ms * 0.3
+        // (mmr DESC, vec_id ASC) argmax; pool order already breaks rel ties
+        if (bi == -1 || mmr > bMmr ||
+            (mmr == bMmr && pool(c)._1 < pool(bi)._1)) { bi = c; bMmr = mmr }
+      }
+      selIdx += bi
+      out += ((step.toLong, pool(bi)._1, pool(bi)._2, bMmr))
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "vec_id", "rel", "mmr")
       .orderBy(col("rank"))
   }
 
