@@ -114,7 +114,7 @@ object GraphQueries extends QueryPack {
     * own neighborhood.
     */
   private def g02(s: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(s, dir).localCheckpoint()
+    val pairs = MaterializedPairs.nearDupPinned(s, dir).select(col("i"), col("j"))
     val tri = pairs.as("e1")
       .join(pairs.as("e2"), col("e2.i") === col("e1.j"))
       .join(pairs.as("e3"),
@@ -161,7 +161,7 @@ object GraphQueries extends QueryPack {
     * degrees on the node key. No node ever sees beyond its neighborhood.
     */
   private def g03(s: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(s, dir).localCheckpoint()
+    val pairs = MaterializedPairs.nearDupPinned(s, dir).select(col("i"), col("j"))
     val tris = pairs.as("e1")
       .join(pairs.as("e2"), col("e2.i") === col("e1.j"))
       .join(pairs.as("e3"),
@@ -216,7 +216,7 @@ object GraphQueries extends QueryPack {
     * a component-keyed join. No step widens beyond the edge list.
     */
   private def g04(s: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(s, dir).localCheckpoint()
+    val pairs = MaterializedPairs.nearDupPinned(s, dir).select(col("i"), col("j"))
     val comp = ConnectedComponents.components(pairs)
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -373,7 +373,7 @@ object GraphQueries extends QueryPack {
     */
   private def g07(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val pairs = nearDupPairs(s, dir).localCheckpoint()
+    val pairs = MaterializedPairs.nearDupPinned(s, dir).select(col("i"), col("j"))
     val m = pairs.count() // one scalar: total undirected edges
     val withSrc = pairs
       .join(src.withColumnRenamed("doc_id", "i")

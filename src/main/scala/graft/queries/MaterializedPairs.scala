@@ -40,4 +40,16 @@ object MaterializedPairs {
     if (!graft.config.Scale.graphEdgeCache) build
     else SessionCache.readThrough(s, dir, "pairs")(build)
   }
+
+  /** [[nearDup]] pinned for multi-reference consumers: when the cache knob
+    * is on the table is parquet-backed and re-scanning it per reference is
+    * cheaper than an extra localCheckpoint job per query (round-18: each
+    * checkpoint of the tiny pair table cost one more scheduled job in every
+    * graph query); when off, localCheckpoint so the full MinHash build never
+    * runs once per reference.
+    */
+  def nearDupPinned(s: SparkSession, dir: String): DataFrame = {
+    val df = nearDup(s, dir)
+    if (graft.config.Scale.graphEdgeCache) df else df.localCheckpoint()
+  }
 }

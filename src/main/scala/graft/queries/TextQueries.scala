@@ -2156,33 +2156,21 @@ object TextQueries extends QueryPack {
     * bounded by document length, not data distribution.
     */
   private def t29(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "w")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
-    val nst = tok.filter(!col("w").isin(RakeStops: _*))
-    val rw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = nst.withColumn("grp", col("pos") - row_number().over(rw))
-    val ph = runs.groupBy(col("doc_id"), col("grp"))
-      .agg(count(lit(1)).as("plen"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("phrase"))
-    val occ = runs.join(ph, Seq("doc_id", "grp"))
-      .select(col("doc_id"), col("grp"), col("w"), col("plen"))
-    val wordSc = occ.groupBy(col("doc_id"), col("w"))
-      .agg(expr("(SUM(plen) * 1000000) DIV COUNT(*)").as("sc"))
-    val phraseSc = occ.join(wordSc, Seq("doc_id", "w"))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(sum(col("sc")).as("score_scaled"))
-    val tw = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_scaled").desc, col("phrase"))
-    ph.join(phraseSc, Seq("doc_id", "grp"))
-      .withColumn("rk", row_number().over(tw).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk"), col("phrase"),
-        col("plen").as("n_words"), col("score_scaled"),
-        (col("score_scaled").cast("double") / 1000000.0).as("score"))
+    // One native pass per document (graft.functions.RakeTopK): RAKE never
+    // leaves the document, so the former relational form's six doc-keyed
+    // exchanges (run-id window, phrase agg, two joins, two aggregates, rank
+    // window) were pure data movement — the kernel computes the identical
+    // integer-exact scores and (score DESC, phrase ASC) top-3 inside the
+    // scan projection. The DuckDB oracle keeps the relational form.
+    val rake = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.RakeTopK(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          tokens(col("text"))), RakeStops, 3))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(rake).as("r"))
+      .select(col("doc_id"), col("r.rk").as("rk"), col("r.phrase").as("phrase"),
+        col("r.n_words").as("n_words"), col("r.score_scaled").as("score_scaled"),
+        (col("r.score_scaled").cast("double") / 1000000.0).as("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
 

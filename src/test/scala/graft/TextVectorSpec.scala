@@ -149,4 +149,34 @@ class TextVectorSpec extends SparkSpecBase {
     assert(enc("𝄞𝄞") == (2L, 0L))
     assert(enc("the𝄞the") == (3L, 2L))
   }
+
+  test("RakeTopK: one-pass kernel — runs, integer scores, tie order") {
+    import graft.functions.RakeTopK
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def rake(text: String, k: Int = 3): Seq[(Long, String, Long, Long)] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(explode(ColumnBridge.column(RakeTopK(
+          ColumnBridge.expression(split(col("text"), " ")),
+          Seq("the", "a", "of", "and", "is"), k))).as("r"))
+        .select(col("r.rk"), col("r.phrase"), col("r.n_words"),
+          col("r.score_scaled"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // two identical runs: freq(red)=2, deg(red)=2+2 → sc 2e6; phrase 4e6;
+    // duplicate phrase instances stay distinct rows (the (doc,grp) key)
+    assert(rake("red fox of red fox") ==
+      Seq((1L, "red fox", 2L, 4000000L), (2L, "red fox", 2L, 4000000L)))
+    // all stopwords → no candidate phrases at all
+    assert(rake("the a of and is").isEmpty)
+    // one run spanning the doc: each word sc 3e6, phrase 9e6
+    assert(rake("big blue sky") == Seq((1L, "big blue sky", 3L, 9000000L)))
+    // score tie across different phrases breaks by phrase ASC
+    assert(rake("zz of aa") ==
+      Seq((1L, "aa", 1L, 1000000L), (2L, "zz", 1L, 1000000L)))
+    // floor division: "x y of x" → freq(x)=2 deg(x)=2+1=3 → 1500000;
+    // y: 2000000; phrase "x y" = 3500000, phrase "x" = 1500000
+    assert(rake("x y of x") ==
+      Seq((1L, "x y", 2L, 3500000L), (2L, "x", 1L, 1500000L)))
+  }
 }
