@@ -574,23 +574,32 @@ object CoreQueries extends QueryPack {
     * is scanned exactly once however many probes consume it.
     */
   private def q20(s: SparkSession, dir: String): DataFrame = {
-    val pf = Tables.lineitem(s, dir)
+    // The semi+anti self-join pair is a PER-ORDER PREDICATE in disguise:
+    // a returned pair survives iff its order has ≥ 2 suppliers and exactly
+    // one returned supplier — and that one row is then the order's unique
+    // returned pair. One second-level aggregation over the grouped scan
+    // (n_supp, n_ret, the lone returned suppkey) replaces all three probe
+    // joins, cutting the 16-byte-pair shuffles from six to two; the oracle
+    // keeps the readable EXISTS/NOT-EXISTS form.
+    // one exchange on l_orderkey serves BOTH aggregation levels (hash
+    // partitioning on a subset of the grouping keys satisfies the
+    // clustering requirement) — partial aggregation wouldn't reduce this
+    // shuffle anyway, since (l_orderkey, l_suppkey) is nearly unique per
+    // lineitem row
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").as("r"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-      .localCheckpoint()
-    val pairs = pf.select(col("l_orderkey"), col("l_suppkey"))
-    val ret = pf.filter(col("has_r") === 1)
-      .select(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("r"), 1).otherwise(0)).as("has_r"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret"),
+        max(when(col("has_r") === 1, col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_ret") === 1 && col("n_supp") >= 2)
     val finished = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
-    val cand = ret.join(finished,
+    val sole = perOrder.join(finished,
       col("l_orderkey") === col("o_orderkey"), "left_semi")
-    val withOther = cand.as("r").join(pairs.as("p"),
-      col("r.l_orderkey") === col("p.l_orderkey") &&
-        col("r.l_suppkey") =!= col("p.l_suppkey"), "left_semi")
-    val sole = withOther.as("r").join(ret.as("r2"),
-      col("r.l_orderkey") === col("r2.l_orderkey") &&
-        col("r.l_suppkey") =!= col("r2.l_suppkey"), "left_anti")
     sole.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -1136,6 +1145,10 @@ object CoreQueries extends QueryPack {
       .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("decimal(12,2)").as("qty"))
+      // one exchange on l_partkey serves the pair aggregate, the per-part
+      // rollup AND the threshold self-join (hash partitioning on a subset
+      // of the grouping/join keys satisfies all three distributions)
+      .repartition(col("l_partkey"))
     val pairQty = sliced.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("qty")).as("pair_qty"))
     val partQty = pairQty.groupBy(col("l_partkey"))

@@ -1611,13 +1611,17 @@ object DedupQueries extends QueryPack {
     val benchIds = docs.select(col("doc_id"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .limit(BenchDocsK)
+    // positional 5-gram hashes via the one-pass digest-reusing kernel
+    // (identical 60-bit values to the former per-element md5 subtree —
+    // PositionalShingleHashes scaladoc pins the formula); size(hs) ≥ 1 ⇔
+    // len(ws) ≥ 5 and n_pos = len(ws) − 4 = size(hs)
     val pos = docs
-      .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"), (size(col("ws")) - 4).cast("long").as("n_pos"),
-        posexplode(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(5)))),
-            1, 15), 16, 10).cast("long"))).as(Seq("p0", "sng")))
+      .select(col("doc_id"),
+        graft.functions.PositionalShingleHashes(tokens(col("text")), 5)
+          .as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_pos"),
+        posexplode(col("hs")).as(Seq("p0", "sng")))
       .select(col("doc_id"), col("n_pos"),
         (col("p0") + 1).cast("long").as("pos"), col("sng"))
     val bs = docs.join(broadcast(benchIds), "doc_id")
