@@ -49,12 +49,26 @@ object GraftSession {
         "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session: local[N] with shuffle partitions = N. */
+  /** Local session: local[N] with shuffle partitions = N.
+    *
+    * `spark.buffer.pageSize` is pinned (default 4m, `SPARK_GRAFT_PAGE_SIZE`
+    * overrides): Spark derives page size as maxMemory/cores/16 capped at
+    * 64 MiB, and on this profile's ~100 GiB single-JVM heap the cap wins —
+    * then EVERY sort/aggregate task allocates 64 MiB pages, which on G1
+    * (32 MiB max region) are humongous objects. Round-18 measured the
+    * resulting allocation storm at 26-100 task-seconds for a 5,500-row
+    * keep-first dedup, with 12-21 s GC pauses and run-over-run degradation;
+    * at 4 MiB the same query is stable at a tenth of that. 4 MiB is what a
+    * normal 8 GiB / 4-core executor derives anyway, so cluster semantics
+    * are unchanged — this only removes the big-heap pathology.
+    */
   def local(appName: String = "graft"): SparkSession = {
     val n = cpus
     val s = builder(appName)
       .master(s"local[$n]")
       .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "4m"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     quietRocksDbNativeLogger()
