@@ -273,14 +273,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"))
   }
 
-  test("q20 sole-failing-supplier: semi+anti self-join on key pairs only") {
+  test("q20 sole-failing-supplier: per-order predicate on one keyed exchange") {
     val s = planString(run("q20_sole_failing_supplier"))
-    assert(s.contains("LeftSemi"), "the EXISTS probes must plan as semi joins")
-    assert(s.contains("LeftAnti"),
-      "the NOT EXISTS probe must plan as an anti join")
+    assert(s.contains("LeftSemi"),
+      "the finished-order EXISTS plans as a semi join")
+    assert(!s.contains("LeftAnti"),
+      "round 18 folded the NOT-EXISTS probe into the per-order aggregate " +
+        "(n_supp >= 2 AND n_ret = 1) — no anti join, no probe-side " +
+        "broadcast that couldn't exist at scale")
     assert(!s.contains("CartesianProduct") &&
-        !s.contains("BroadcastNestedLoopJoin"),
-      "the <> suppkey conjunct rides the orderkey equi-join as a residual")
+        !s.contains("BroadcastNestedLoopJoin"))
   }
 
   test("j08 SCD2 intervals: keyed windows, no corpus-wide window partition") {
