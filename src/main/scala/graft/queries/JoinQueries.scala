@@ -1119,14 +1119,20 @@ object JoinQueries extends QueryPack {
         Window.partitionBy(col("b")).orderBy(col("cents"))).cast("long"))
       .join(broadcast(tgt), col("b") === col("tb") && col("rn") === col("l"))
       .select(col("bracket"), col("cents").as("lo_cents"))
+      // ≤64 rows, and the range-join rewrite references the bracket table
+      // from BOTH its branches (binned equi-join + residual) — round 18
+      // measured the whole rank-selection subtree executing twice per run.
+      // Collect the bounded bracket list and finish it driver-side so the
+      // join consumes a LocalRelation the branches duplicate for free.
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // half-open [lo, hi): hi = next bracket's lo, last bracket = max+1;
     // ties split across a tile boundary can zero a bracket's width —
     // filter those (they can match nothing). 64 rows: window is free.
-    val brackets = lows
-      .select(col("bracket"), col("lo_cents"),
-        coalesce(lead(col("lo_cents"), 1).over(Window.orderBy(col("bracket"))),
-          lit(mx + 1L)).as("hi_cents"))
-      .filter(col("lo_cents") < col("hi_cents"))
+    val brackets = lows.zipWithIndex.map { case ((t, lo), i) =>
+        val hi = if (i + 1 < lows.length) lows(i + 1)._2 else mx + 1L
+        (t, lo, hi)
+      }.filter { case (_, lo, hi) => lo < hi }
+      .toSeq.toDF("bracket", "lo_cents", "hi_cents")
     val fact = Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
     fact.join(brackets,

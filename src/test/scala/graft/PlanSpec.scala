@@ -934,7 +934,7 @@ class PlanSpec extends SparkSpecBase {
       "the query sample must broadcast into both arms")
   }
 
-  test("j20 range enrich: tiny dim keeps BNLJ; big×big re-plans via RangeJoinRule") {
+  test("j20 range enrich: bounded bracket dim keeps BNLJ at any threshold") {
     // the 64-interval lookup is the one BroadcastNestedLoopJoin the
     // rule's stats gate correctly refuses to rewrite (a 64-entry
     // broadcast probe beats two explodes + shuffle); the bracket build
@@ -946,11 +946,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!base.contains("Exchange SinglePartition, ORDER BY") &&
       !"ntile".r.findAllIn(base).exists(_ => true),
       "bracket floors must come from bounded rank selection, not a global ntile sort")
+    // round 18: the bracket table is finished driver-side, so the join
+    // consumes a ≤64-row LocalRelation. Before, the rewrite's three-branch
+    // union referenced the bracket SUBTREE from two branches and executed
+    // the whole rank selection twice per run; a LocalRelation the branches
+    // duplicate is free. Under big×big simulation the rewrite still fires
+    // and must stay result-identical. binSize is pinned to its default
+    // here because the bin-cap filter on a LocalRelation folds STATICALLY:
+    // a leaked tiny binSize (RangeJoinRuleSpec uses 10) would make every
+    // bracket exceed maxBinsPerRow and prune the bin branch at plan time.
     val rows = SparkEntry.queries("j20_range_enrich")(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSeq
     val key = "spark.sql.autoBroadcastJoinThreshold"
+    val bKey = "spark.graft.rangeJoin.binSize"
     val prev = spark.conf.getOption(key)
+    val bPrev = spark.conf.getOption(bKey)
     spark.conf.set(key, "-1") // big×big: nothing passes the stats gate
+    spark.conf.set(bKey, "3600")
     try {
       val df = SparkEntry.queries("j20_range_enrich")(spark, sf("sf0.001"))
       df.collect()
@@ -965,9 +977,15 @@ class PlanSpec extends SparkSpecBase {
       assert(!s.contains("CartesianProduct"))
       assert(df.collect().map(_.toSeq).toSeq == rows,
         "RangeJoinRule rewrite must be result-identical")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      bPrev match {
+        case Some(v) => spark.conf.set(bKey, v)
+        case None => spark.conf.unset(bKey)
+      }
     }
   }
 

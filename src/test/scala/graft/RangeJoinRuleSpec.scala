@@ -10,7 +10,16 @@ import org.apache.spark.sql.functions._
   * conditions whose bounds mix axes (type gate). Rows with pathological
   * spans take the per-row nested-loop fallback instead of exploding.
   */
-class RangeJoinRuleSpec extends SparkSpecBase {
+class RangeJoinRuleSpec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  // several tests here pin binSize=10 for tiny fixtures; the session is
+  // JVM-shared across suites (SparkSpecBase), so restore the default or
+  // later plan-shape tests see 10-unit bins
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.rangeJoin.binSize")
+    super.afterAll()
+  }
 
   private def withRule[A](on: Boolean)(f: => A): A = {
     val key = "spark.graft.rangeJoin.enabled"
