@@ -14,9 +14,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Round-18: memoized relation resolution. Every `spark.read.parquet`
+    * resolves the source eagerly — file listing plus a footer-reading
+    * schema-inference JOB — measured at ~50 ms per call on this box; the
+    * bench builds ~2-3 table reads per query × 219 queries, so re-resolving
+    * was ~20 s of pure metadata overhead per sweep. The resolved DataFrame
+    * (schema + InMemoryFileIndex — METADATA only, never rows or results) is
+    * reused per (session, path): exactly what a catalog-backed table gives
+    * a production cluster, where the metastore owns the schema and the scan
+    * still reads every byte from parquet at execution time. Safe here
+    * because the corpus dirs are immutable for a JVM's lifetime (testdata
+    * is read-only; stress/inflate corpora write to fresh temp dirs — and
+    * [[invalidate]] exists for any future writer that reuses a path).
+    * Keyed by the owning SparkSession: a new session never sees plans from
+    * a stopped one.
+    */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") eventsNorm(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    dfCache.computeIfAbsent((spark, s"$sfDir/$name"), _ =>
+      if (name == "events") eventsNorm(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Drop memoized relations under `sfDir` (call after overwriting a corpus
+    * path in place — no current writer does; all stress corpora are fresh
+    * temp dirs).
+    */
+  def invalidate(sfDir: String): Unit =
+    dfCache.keySet.removeIf(_._2.startsWith(sfDir + "/"))
 
   /** events.ts normalization, robust to the two physical types the driver
     * has shipped: parquet TIMESTAMP(NANOS) (Spark 4 refuses it as a

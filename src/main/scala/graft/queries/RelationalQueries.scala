@@ -1182,7 +1182,11 @@ object RelationalQueries extends QueryPack {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
       .localCheckpoint()
-    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    // the order total is ONE exact long off the already-materialized basket
+    // table — a driver-side count replaces the 1-row agg subtree + its
+    // broadcast stage in the final job (round 18; same bounded-collect
+    // discipline as j20's brackets)
+    val nOrders = baskets.count()
     val pc = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairExpr = flatten(transform(col("ps"), (x, i) =>
@@ -1196,9 +1200,8 @@ object RelationalQueries extends QueryPack {
         Seq("pa"))
       .join(pc.withColumnRenamed("p", "pb").withColumnRenamed("n_p", "nb"),
         Seq("pb"))
-      .crossJoin(broadcast(tot))
       .select(col("pa"), col("pb"), col("n_ab"), col("na"), col("nb"),
-        ((col("n_ab") * col("n_orders")).cast("double") /
+        ((col("n_ab") * lit(nOrders)).cast("double") /
           (col("na") * col("nb")).cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("pa"), col("pb"))
       .limit(20)

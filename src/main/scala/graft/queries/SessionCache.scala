@@ -28,7 +28,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[queries] object SessionCache {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), () => String]
+    (String, String, String), () => DataFrame]
 
   /** Cache roots created this JVM, swept by [[cleanupHook]] on exit. Each
     * entry carries the Hadoop conf it was written with so remote-FS roots
@@ -102,18 +102,22 @@ private[queries] object SessionCache {
     val key = (sessionId(s), dir, tag)
     val holder = cache.computeIfAbsent(key, _ => {
       // lazy val: the build runs on FIRST dereference, under the holder's
-      // monitor — NOT under the ConcurrentHashMap bin lock
-      lazy val path: String = {
+      // monitor — NOT under the ConcurrentHashMap bin lock. The RESOLVED
+      // DataFrame is memoized with the path (round 18): the written files
+      // are immutable for the key's lifetime, and a fresh s.read.parquet
+      // per consumer paid a ~50 ms footer-inference job — metadata reuse
+      // only, execution still scans the parquet every run.
+      lazy val df: DataFrame = {
         val root = cacheRoot(s)
         cacheRoots.putIfAbsent(root, s.sparkContext.hadoopConfiguration)
         // one subdir per source dir under the session root; the dir string
         // is hashed so URIs/slashes can't break the path
         val p = s"$root/${java.lang.Integer.toHexString(dir.hashCode)}/$tag"
         build.write.mode("overwrite").parquet(p)
-        p
+        s.read.parquet(p)
       }
-      () => path
+      () => df
     })
-    s.read.parquet(holder())
+    holder()
   }
 }
