@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[MaterializedPairs]] (the near-dup pair table) and
   * [[MaterializedShingles]] (the per-doc shingle table).
   *
-  * The cache holds PATHS, not DataFrames — parquet on disk survives the
-  * bench harness's per-query unpersist sweep, which would truncate a
-  * cached localCheckpoint's blocks. Keys are a per-session-INSTANCE UUID
+  * The cache memoizes each built table's PARQUET PATH plus its resolved
+  * DataFrame (round 18 — metadata only: schema + file index; execution
+  * still scans the written parquet, so the bench harness's per-query
+  * unpersist sweep cannot truncate anything, unlike a cached
+  * localCheckpoint's blocks). Keys are a per-session-INSTANCE UUID
   * (never an identity hash: those are non-unique across live sessions and
   * reusable after GC, which could serve a stale table built under a
   * different conf), the location is shared between driver and executors

@@ -39,4 +39,30 @@ class TablesCacheSpec extends SparkSpecBase {
       org.apache.spark.sql.types.TimestampType)
     assert(Tables.events(spark, dir) eq ev)
   }
+
+  test("invalidate drops the dir's memoized row counts too") {
+    val dir = sf("sf0.001")
+    val n = Tables.rowCount(spark, dir, "region")
+    assert(Tables.rowCountCache.containsKey(s"$dir/region"))
+    Tables.invalidate(dir)
+    assert(!Tables.rowCountCache.containsKey(s"$dir/region"),
+      "invalidate must drop row counts under the dir (a future in-place " +
+        "writer would otherwise serve stale counts)")
+    assert(Tables.rowCount(spark, dir, "region") == n,
+      "re-count over the immutable dir sees the same value")
+  }
+
+  test("a stopped session's entries are evicted (released, not pinned)") {
+    val dir = sf("sf0.001")
+    val a = Tables.nation(spark, dir)
+    // the suite shares ONE live context, so the spec injects the
+    // stopped-predicate; production apply() sweeps with
+    // sparkContext.isStopped on every read-through
+    Tables.evictStopped(_ => true)
+    val b = Tables.nation(spark, dir)
+    assert(!(a eq b),
+      "entries of a stopped session must be dropped so the session and " +
+        "its plans can be collected")
+    assert(Tables.nation(spark, dir) eq b, "live-session memoization intact")
+  }
 }
