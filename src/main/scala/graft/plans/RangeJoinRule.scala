@@ -90,12 +90,8 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
     * where |small|·|big| comparisons still undercut per-row shuffle cost]);
     * threshold < 0 (broadcast disabled) means nothing qualifies.
     */
-  private def broadcastSmall(p: LogicalPlan): Boolean = {
-    val t = conf.autoBroadcastJoinThreshold
-    val cap = conf
-      .getConfString("spark.graft.rangeJoin.smallSideBytes", "262144").toLong
-    t >= 0 && p.stats.sizeInBytes <= math.min(t, cap)
-  }
+  private def broadcastSmall(p: LogicalPlan): Boolean =
+    RangeJoinRule.smallSide(p, conf)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -217,6 +213,27 @@ case class RangeJoinRule(session: org.apache.spark.sql.SparkSession)
       Join(genL, genR, Inner, Some(newCond), JoinHint.NONE))
     if (fallback.isEmpty) binJoin
     else Union(binJoin +: fallback, byName = false, allowMissingCol = false)
+  }
+}
+
+object RangeJoinRule {
+  /** The [[RangeJoinRule]] stats gate, shared with query code: a consumer
+    * about to feed BOTH sides of an overlap join from one subtree can ask
+    * the same question the rule will — "would this side take the
+    * nested-loop path?" — and materialize (localCheckpoint) the shared
+    * subtree ONLY when the rewrite is coming. The rewrite's three-branch
+    * union references each side up to three times, so leaving the subtree
+    * lazy re-executes it per branch (j10 measured 6 session-window
+    * aggregations for one query); materializing it unconditionally would
+    * instead blind the gate (a LogicalRDD has no stats) and turn the
+    * tiny-side BNLJ plan — which beats explode+shuffle — into the rewrite.
+    */
+  def smallSide(p: LogicalPlan,
+                conf: org.apache.spark.sql.internal.SQLConf): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    val cap = conf
+      .getConfString("spark.graft.rangeJoin.smallSideBytes", "262144").toLong
+    t >= 0 && p.stats.sizeInBytes <= math.min(t, cap)
   }
 }
 

@@ -761,6 +761,13 @@ object DedupQueries extends QueryPack {
     val ranked = tok.join(dfw, Seq("w"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+    // NOTE (round 19, measured negative result): materializing the prefix
+    // table (localCheckpoint before the self-join) looks like the §2.4 win —
+    // the textual plan carries the tokenize→df→rank→window pipeline twice —
+    // but AQE's exchange/stage reuse already deduplicates the identical
+    // subtrees at runtime: task time was unchanged (≈1.9 s warm) while the
+    // forced materialization added ~0.65 s of build wall and the same at
+    // x20. Kept lazy deliberately.
     val prefix = ranked.filter(
       col("rn") <= col("len") - ceil(lit(ApssTau) * col("len")) + 1)
     val cand = prefix.as("a").join(prefix.as("b"),

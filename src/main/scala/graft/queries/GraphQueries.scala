@@ -450,9 +450,17 @@ object GraphQueries extends QueryPack {
       val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= CoreK)
         .select(col("u"))
+      // checkpoint each round's surviving edge list (round 19): `surv` is
+      // referenced twice and `e` feeds the next round, so the lazy form
+      // tripled the subtree per round — 3^PeelRounds copies, 108 Exchange
+      // nodes in the before-plan, with every round's degree aggregate
+      // re-executed by each later round. Per-iteration materialization is
+      // the standard iterative-graph shape (g01 does the same for its base
+      // tables); each round now runs exactly once over a shrinking list.
       e = e.join(surv, Seq("u"))
         .join(surv.select(col("u").as("v")), Seq("v"))
         .select(col("u"), col("v"))
+        .localCheckpoint()
     }
     e.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("doc_id"), col("core_deg"))

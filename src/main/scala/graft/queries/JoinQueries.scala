@@ -398,11 +398,23 @@ object JoinQueries extends QueryPack {
     * path (RangeJoinRuleSpec covers the integer path).
     */
   private def j10(s: SparkSession, dir: String): DataFrame = {
-    val sess = Tables.events(s, dir)
+    val sessLazy = Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(max(col("ts")).as("session_end"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("session_end"))
+    // Materialize the session table ONCE when the rule is about to rewrite
+    // (round 19): the rewrite's three-branch union referenced the lazy
+    // subtree six times — six event-table session aggregations per run
+    // (before-plan: 6× Exchange→Sort→MergingSessions→HashAggregate).
+    // The gate mirrors the rule's own stats gate exactly, so the tiny-side
+    // case (PlanSpec's sf0.001 pin) keeps its stats-visible lazy form and
+    // the planner's BNLJ choice.
+    val sess =
+      if (graft.plans.RangeJoinRule.smallSide(
+        sessLazy.queryExecution.optimizedPlan,
+        s.sessionState.conf)) sessLazy
+      else sessLazy.localCheckpoint()
     val a = sess.select(col("user_id").as("a_user"),
       col("session_start").as("a_start"), col("session_end").as("a_end"))
     val b = sess.select(col("user_id").as("b_user"),

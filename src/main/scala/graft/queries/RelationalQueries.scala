@@ -1187,8 +1187,14 @@ object RelationalQueries extends QueryPack {
     // broadcast stage in the final job (round 18; same bounded-collect
     // discipline as j20's brackets)
     val nOrders = baskets.count()
+    // per-part supports materialized once (round 19): pc is joined on BOTH
+    // pair endpoints, and the lazy form re-executed the basket explode +
+    // count per reference (the before-plan carried the subtree twice); the
+    // checkpoint is |parts| rows — corpus-vocabulary-sized, far below the
+    // pair table
     val pc = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      .localCheckpoint()
     val pairExpr = flatten(transform(col("ps"), (x, i) =>
       transform(slice(col("ps"), (i + lit(2)).cast("int"), size(col("ps"))),
         y => struct(x.as("pa"), y.as("pb")))))

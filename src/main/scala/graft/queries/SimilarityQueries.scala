@@ -477,8 +477,12 @@ object SimilarityQueries extends QueryPack {
 
   private def recallStats(exact: DataFrame, base: DataFrame,
       ann: DataFrame, name: String): DataFrame = {
+    // both sides are ≤ QueryK·k rows by construction (exact is the top-3
+    // truth, ann a per-query top-k) — broadcast the probe side explicitly:
+    // the planner can't see the bound through the ANN pipeline and planned
+    // a SortMergeJoin (sort + exchange per arm) in the round-18 shape
     val hits = exact.join(
-      ann.select(col("query_id"), col("neighbor_id")),
+      broadcast(ann.select(col("query_id"), col("neighbor_id"))),
       Seq("query_id", "neighbor_id"), "left_semi")
     base.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
       .select(lit(name).as("method"), col("n_queries"), col("n_hits"),
@@ -512,7 +516,17 @@ object SimilarityQueries extends QueryPack {
     val bands = lshBands(vecs, p).localCheckpoint()
     val lsh = topkRank(lshPairsFromBands(bands, ids, p, multiProbe = false), 3)
     val lshMp = topkRank(lshPairsFromBands(bands, ids, p, multiProbe = true), 3)
-    val ivf = s04From(vecs, ids)
+    // the IVF arm shares the session-materialized index under the same knob
+    // s04 runs with (round 19): the self-built arm re-ran the codebook
+    // aggregate and the O(n·IvfK) assignment fold inside every s05
+    // execution — the one index build is the deployment contract, and
+    // ScaleConfSpec pins cached ≡ uncached. Cache off: self-contained as
+    // before.
+    val ivf =
+      if (graft.config.Scale.ivfCache) {
+        val cents = MaterializedIvfCells.codebook(s, dir)
+        s04From(vecs, ids, MaterializedIvfCells.assigned(s, dir, cents), cents)
+      } else s04From(vecs, ids)
     stats(lsh, "lsh")
       .unionAll(stats(lshMp, "lsh_mp"))
       .unionAll(stats(ivf, "ivf"))
@@ -907,34 +921,33 @@ object SimilarityQueries extends QueryPack {
   private def s13(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-    val subIdx = array((0 until SubSpaces).map(i => lit(i)): _*)
-    val sliced = vecs.select(col("vec_id"),
-      posexplode(transform(subIdx,
-        i => slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))))
-        .as(Seq("sub", "sv")))
-    val centIds = vecs.select(col("vec_id"))
+    // ONE setup collect (round 19): the CodeK '#pq' codebook sample and the
+    // QueryK query vectors are both fixed-k — gather them through one
+    // role-tagged broadcast join (the before-shape paid a separate codebook
+    // collect AND re-derived the same codebook a second time as the in-plan
+    // `book` aggregate feeding the LUT subtree, with two more corpus scans
+    // for the query side).
+    val roles = vecs.select(col("vec_id"))
       .orderBy(md5(concat(col("vec_id").cast("string"), lit("#pq"))),
         col("vec_id"))
       .limit(CodeK)
-    // ONE broadcast row: book[sub] = c_id-sorted candidate array for that
-    // subspace (sort_array on struct(sub, cands) orders by sub).
-    val book = sliced.join(broadcast(centIds), "vec_id")
-      .select(col("sub"),
-        struct(col("vec_id").as("c_id"), col("sv").as("c_sv")).as("cand"))
-      .groupBy(col("sub"))
-      .agg(sort_array(collect_list(col("cand"))).as("cands"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("cands"))))
-        .as("book"))
-    // Exact L2²(sv, candidate) — the one distance formula both the encoder
-    // and the lookup tables use.
-    def d2(sv: Column, c: Column): Column =
-      dotLong(sv, sv) - lit(2L) * dotLong(sv, c.getField("c_sv")) +
-        dotLong(c.getField("c_sv"), c.getField("c_sv"))
+      .select(col("vec_id"), lit("pq").as("role"))
+      .unionAll(sampleIds(s, dir, QueryK)
+        .select(col("vec_id"), lit("q").as("role")))
+    val sampled: Array[(String, Long, Array[Long])] =
+      vecs.join(broadcast(roles), "vec_id").collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getSeq[Long](1).toArray))
+    def byRole(role: String): Array[(Long, Array[Long])] =
+      sampled.collect { case (`role`, id, v) => id -> v }.sortBy(_._1)
+    // per-subspace codebooks, c_id-sorted (same order pqCodebooks produced)
+    val pq = byRole("pq")
+    val centsBySub: IndexedSeq[Array[(Long, Array[Long])]] =
+      (0 until SubSpaces).map(i =>
+        pq.map { case (id, v) => (id, v.slice(i * SubDim, (i + 1) * SubDim)) })
     // Corpus → codes: the O(n) hot pass — per-subspace NearestCell codegen
     // argmin (same strict-less / smaller-c_id tie rule as the interpreted
-    // fold it replaces; the ≤QueryK LUT side below keeps the fold since it
-    // touches only the fixed query sample).
-    val centsBySub = pqCodebooks(vecs, centIds)
+    // fold it replaces); with the LUT side now driver-built this is the
+    // ONLY corpus pass in the plan.
     val coded = vecs
       .select(col("vec_id"), array((0 until SubSpaces).map { i =>
         val sub = centsBySub(i)
@@ -942,16 +955,25 @@ object SimilarityQueries extends QueryPack {
           slice(col("v"), i * SubDim + 1, SubDim),
           sub.map(_._1), sub.map(_._2))
       }: _*).as("codes"))
-    // Query lookup tables: luts[sub] = map(c_id → L2²(query_sv, c_sv)).
-    val luts = vecs.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
-      .crossJoin(broadcast(book))
-      .withColumn("luts", transform(subIdx, i => {
-        val sv = slice(col("v"), i * lit(SubDim) + lit(1), lit(SubDim))
-        val cands = element_at(col("book"), i + 1).getField("cands")
-        map_from_entries(transform(cands,
-          c => struct(c.getField("c_id"), d2(sv, c))))
-      }))
-      .select(col("vec_id").as("query_id"), col("luts"))
+    // Query lookup tables: luts[sub] = map(c_id → L2²(query_sv, c_sv)),
+    // computed driver-side over the collected fixed-k sample in the same
+    // exact integer arithmetic (Σ(a−b)² ≡ ‖a‖²−2a·b+‖b‖² on longs) and
+    // shipped as a QueryK-row local relation (j20/s18 bounded-collect
+    // discipline).
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val lutRows: Seq[(Long, Seq[Map[Long, Long]])] =
+      byRole("q").toSeq.map { case (qid, qv) =>
+        val luts = (0 until SubSpaces).map { si =>
+          val sv = qv.slice(si * SubDim, (si + 1) * SubDim)
+          centsBySub(si).map { case (cid, csv) => cid -> l2(sv, csv) }.toMap
+        }
+        (qid, luts)
+      }
+    val luts = s.createDataFrame(lutRows).toDF("query_id", "luts")
     val pairs = coded.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1720,15 +1742,28 @@ object SimilarityQueries extends QueryPack {
   private def s20(s: SparkSession, dir: String): DataFrame = {
     val vq = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-    // IVF codebook: fixed-IvfK salted sample, collected once (O(IvfK·64))
-    val centIds = vq.select(col("vec_id"))
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#ivf"))),
-        col("vec_id"))
-      .limit(IvfK)
-    val cents: Array[(Long, Array[Long])] =
-      vq.join(broadcast(centIds), "vec_id").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-        .sortBy(_._1)
+    // ONE setup collect (round 19): the '#ivf'/'#pq' codebook samples and
+    // the QueryK query vectors are all fixed-k — gather them through one
+    // role-tagged broadcast join instead of two separate collect jobs plus
+    // an in-plan query side (the before-plan re-scanned embeddings five
+    // times inside the final job alone; now the only corpus pass left is
+    // the encode itself).
+    def salted(salt: String, k: Int): DataFrame =
+      vq.select(col("vec_id"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit(salt))),
+          col("vec_id"))
+        .limit(k)
+    val roles = salted("#ivf", IvfK).select(col("vec_id"), lit("ivf").as("role"))
+      .unionAll(salted("#pq", CodeK).select(col("vec_id"), lit("pq").as("role")))
+      .unionAll(sampleIds(s, dir, QueryK)
+        .select(col("vec_id"), lit("q").as("role")))
+    val sampled: Array[(String, Long, Array[Long])] =
+      vq.join(broadcast(roles), "vec_id").collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getSeq[Long](1).toArray))
+    def byRole(role: String): Array[(Long, Array[Long])] =
+      sampled.collect { case (`role`, id, v) => id -> v }.sortBy(_._1)
+    // IVF codebook: fixed-IvfK salted sample (O(IvfK·64))
+    val cents = byRole("ivf")
     val cIds = cents.map(_._1)
     val cVecs = cents.map(_._2)
     def l2(a: Array[Long], b: Array[Long]): Long = {
@@ -1745,18 +1780,11 @@ object SimilarityQueries extends QueryPack {
       best
     }
     // PQ codebook over RESIDUALS of the '#pq'-salted CodeK sample
-    val pqIds = vq.select(col("vec_id"))
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("#pq"))),
-        col("vec_id"))
-      .limit(CodeK)
     val pqSample: Array[(Long, Array[Long])] =
-      vq.join(broadcast(pqIds), "vec_id").collect()
-        .map { r =>
-          val v = r.getSeq[Long](1).toArray
-          val cv = cVecs(nearestCell(v))
-          r.getLong(0) -> v.indices.map(i => v(i) - cv(i)).toArray
-        }
-        .sortBy(_._1)
+      byRole("pq").map { case (id, v) =>
+        val cv = cVecs(nearestCell(v))
+        id -> v.indices.map(i => v(i) - cv(i)).toArray
+      }
     val subBooks: IndexedSeq[(Array[Long], Array[Array[Long]])] =
       (0 until SubSpaces).map { i =>
         (pqSample.map(_._1),
@@ -1779,36 +1807,36 @@ object SimilarityQueries extends QueryPack {
           slice(col("r"), i * SubDim + 1, SubDim),
           subBooks(i)._1, subBooks(i)._2)
       }: _*).as("codes"))
-    // query side: probe the IvfPqProbe nearest cells, build one LUT per
-    // (query, probed cell) from the query's residual AGAINST THAT CELL.
-    // The codebook ships as ONE array<struct> literal (typedLit), same
-    // plan-build rationale as centMap.
-    val centArr = typedLit(cents.map { case (id, cv) => (id, cv.toSeq) })
-    val topc = TopKByScore(IvfPqProbe)
-    val qv = vq.join(broadcast(sampleIds(s, dir, QueryK)), "vec_id")
-      .select(col("vec_id").as("query_id"), col("v"))
-    val probes = qv.select(col("query_id"), col("v"),
-        explode(centArr).as("c"))
-      .select(col("query_id"), col("v"), col("c._1").as("cell"),
-        (dotLong(col("v"), col("v"))
-          - lit(2L) * dotLong(col("v"), col("c._2"))
-          + dotLong(col("c._2"), col("c._2"))).as("d2"))
-      .groupBy(col("query_id"))
-      .agg(topc(col("cell"), -col("d2").cast("double")).as("pc"))
-      .select(col("query_id"), explode(col("pc.id")).as("cell"))
-    def d2sub(sv: Column, csv: Column): Column =
-      dotLong(sv, sv) - lit(2L) * dotLong(sv, csv) + dotLong(csv, csv)
-    val luts = probes.join(qv, "query_id")
-      .withColumn("qr",
-        zip_with(col("v"), element_at(centMap, col("cell")), (a, b) => a - b))
-      .withColumn("luts", array((0 until SubSpaces).map { i =>
-        val sv = slice(col("qr"), i * SubDim + 1, SubDim)
-        map_from_entries(array(subBooks(i)._1.indices.map { j =>
-          struct(lit(subBooks(i)._1(j)),
-            d2sub(sv, typedLit(subBooks(i)._2(j).toSeq)))
-        }: _*))
-      }: _*))
-      .select(col("query_id"), col("cell"), col("luts"))
+    // query side, all driver-side over the collected fixed-k sample
+    // (round 19 — the j20/s18 bounded-collect discipline): probe the
+    // IvfPqProbe nearest cells per query (same (d2 asc, cell asc) order the
+    // TopKByScore form used — its score was the exact double −d2), build
+    // one LUT per (query, probed cell) from the query's residual AGAINST
+    // THAT CELL in the identical exact integer L2² arithmetic, and ship the
+    // QueryK·IvfPqProbe-row result as a local relation. This removes the
+    // probe/LUT subtree's four extra corpus scans, its SortMergeJoin, and
+    // two ObjectHashAggregate exchanges from every run.
+    def l2sub(a: Array[Long], b: Array[Long]): Long = l2(a, b)
+    val lutRows: Seq[(Long, Long, Seq[Map[Long, Long]])] =
+      byRole("q").toSeq.flatMap { case (qid, qvec) =>
+        val probes = cIds.indices
+          .map(i => (l2(qvec, cVecs(i)), cIds(i), i))
+          .sortBy(t => (t._1, t._2))
+          .take(IvfPqProbe)
+        probes.map { case (_, cellId, ci) =>
+          val cv = cVecs(ci)
+          val qr = Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+          val luts = (0 until SubSpaces).map { si =>
+            val ids = subBooks(si)._1
+            val svs = subBooks(si)._2
+            val sv = qr.slice(si * SubDim, (si + 1) * SubDim)
+            ids.indices.map(j => ids(j) -> l2sub(sv, svs(j))).toMap
+          }
+          (qid, cellId, luts)
+        }
+      }
+    val luts = s.createDataFrame(lutRows)
+      .toDF("query_id", "cell", "luts")
     // the IVF payoff: candidates via EQUI-JOIN on the cell id
     val pairs = coded.join(broadcast(luts), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
