@@ -308,6 +308,11 @@ object Bench {
     val ivfCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_IVF_CACHE").contains("0")
     if (ivfCacheOn)
       spark.conf.set("spark.graft.scale.ivfCache", "1")
+    // ...and the banded sign-LSH index: s02/s05/s06/d11 share one corpus
+    // signature pass (SPARK_GRAFT_BENCH_LSH_CACHE=0 for A/B) — round 19
+    val lshCacheOn = !sys.env.get("SPARK_GRAFT_BENCH_LSH_CACHE").contains("0")
+    if (lshCacheOn)
+      spark.conf.set("spark.graft.scale.lshBandsCache", "1")
 
     // after the burn (mode=all) the box may be in its degraded regime:
     // gc + cooldown, then hold the sweep behind the sentinel gate

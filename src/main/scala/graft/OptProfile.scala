@@ -38,7 +38,7 @@ object OptProfile {
     val spark = GraftSession.local("graft-optprofile")
     // the bench sweep's session caches — cost attribution must match the sweep
     Seq("graphEdgeCache", "shingleCache", "groundTruthCache", "kmeansCache",
-      "alignCache", "ivfCache").foreach(k =>
+      "alignCache", "ivfCache", "lshBandsCache").foreach(k =>
       spark.conf.set(s"spark.graft.scale.$k", "1"))
     // same JVM warmup as the bench
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -153,4 +153,20 @@ object Scale {
     * deployed-IVF contract; see [[graft.queries.MaterializedIvfCells]].
     */
   def ivfCache: Boolean = get("ivfCache", 0) == 1
+
+  /** Share one materialized banded sign-LSH index — `(vec_id, v, nrm, bi,
+    * bv)`, every vector's quantized components, norm, and its
+    * [[graft.functions.VectorFunctions.LshBands]] (band, value) keys —
+    * across its FOUR consumers (s02 single-probe ANN, s06 multi-probe ANN,
+    * s05's two recall arms, d11 semantic dedup's candidate side) within a
+    * session ("1" = on; test-profile default off so every oracle-checked
+    * query stays self-contained). The signature computation is Bands ×
+    * planesFor(n) exact integer dot products per vector — the dominant
+    * per-row cost of every banded-LSH pipeline, and "hash the corpus once,
+    * probe it many times" is the deployed-LSH contract; see
+    * [[graft.queries.MaterializedLshBands]] (results are bit-identical
+    * either way — longs, long arrays and IEEE doubles round-trip parquet
+    * exactly, pinned by ScaleConfSpec).
+    */
+  def lshBandsCache: Boolean = get("lshBandsCache", 0) == 1
 }

@@ -454,8 +454,15 @@ object DedupQueries extends QueryPack {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
-    val bands = q.select(col("vec_id"),
-      posexplode(lshBandVals(col("v"), LshBands, p, 64)).as(Seq("bi", "bv")))
+    // candidate side: the session-materialized banded index under
+    // lshBandsCache (the identical lshBandVals frame s02/s05/s06 read,
+    // projected to the bucket keys), the self-contained build otherwise
+    val bands =
+      if (graft.config.Scale.lshBandsCache)
+        MaterializedLshBands.bands(s, dir)
+          .select(col("vec_id"), col("bi"), col("bv"))
+      else q.select(col("vec_id"),
+        posexplode(lshBandVals(col("v"), LshBands, p, 64)).as(Seq("bi", "bv")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id"))

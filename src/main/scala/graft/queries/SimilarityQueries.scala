@@ -144,10 +144,6 @@ object SimilarityQueries extends QueryPack {
     * · TargetBucketSize candidate rows. Scoring before the distinct is safe:
     * a pair colliding in several bands produces bit-identical cos values.
     */
-  private def lshPairsFrom(base: DataFrame, ids: DataFrame, p: Int,
-                           multiProbe: Boolean): DataFrame =
-    lshPairsFromBands(lshBands(base, p), ids, p, multiProbe)
-
   /** The banded corpus frame [[lshPairsFromBands]] consumes — split out so
     * a harness running BOTH probe variants over the same corpus (s05) can
     * compute the Bands×p hyperplane signatures once and feed the two arms
@@ -157,6 +153,16 @@ object SimilarityQueries extends QueryPack {
   private def lshBands(base: DataFrame, p: Int): DataFrame =
     base.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(lshBandVals(col("v"), Bands, p, Dims)).as(Seq("bi", "bv")))
+
+  /** The banded corpus frame for a standalone probe query: the session-
+    * materialized index under [[graft.config.Scale.lshBandsCache]] (one
+    * signature pass per session — the deployed-LSH "hash once, probe many"
+    * contract), the self-contained build otherwise. Bit-identical either
+    * way (ScaleConfSpec).
+    */
+  private def bandsFor(s: SparkSession, dir: String, p: Int): DataFrame =
+    if (graft.config.Scale.lshBandsCache) MaterializedLshBands.bands(s, dir)
+    else lshBands(baseVecs(s, dir), p)
 
   private def lshPairsFromBands(bands: DataFrame, ids: DataFrame, p: Int,
                                 multiProbe: Boolean): DataFrame = {
@@ -192,8 +198,8 @@ object SimilarityQueries extends QueryPack {
     */
   private def s02(s: SparkSession, dir: String): DataFrame = {
     val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
-    topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK), p,
-      multiProbe = false), 3)
+    topkRank(lshPairsFromBands(bandsFor(s, dir, p), sampleIds(s, dir, QueryK),
+      p, multiProbe = false), 3)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -397,8 +403,8 @@ object SimilarityQueries extends QueryPack {
     */
   private def s06(s: SparkSession, dir: String): DataFrame = {
     val p = planesFor(Tables.rowCount(s, dir, "embeddings"))
-    topkRank(lshPairsFrom(baseVecs(s, dir), sampleIds(s, dir, QueryK), p,
-      multiProbe = true), 3)
+    topkRank(lshPairsFromBands(bandsFor(s, dir, p), sampleIds(s, dir, QueryK),
+      p, multiProbe = true), 3)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -512,8 +518,12 @@ object SimilarityQueries extends QueryPack {
     val (vecs, ids, exact, base) = recallBase(s, dir)
     def stats(ann: DataFrame, name: String): DataFrame =
       recallStats(exact, base, ann, name)
-    // one banded index build feeds BOTH probe variants (see lshBands)
-    val bands = lshBands(vecs, p).localCheckpoint()
+    // one banded index build feeds BOTH probe variants (see lshBands);
+    // under lshBandsCache it is the same session-materialized table
+    // s02/s06/d11 read (round 19) — no per-run checkpoint at all
+    val bands =
+      if (graft.config.Scale.lshBandsCache) MaterializedLshBands.bands(s, dir)
+      else lshBands(vecs, p).localCheckpoint()
     val lsh = topkRank(lshPairsFromBands(bands, ids, p, multiProbe = false), 3)
     val lshMp = topkRank(lshPairsFromBands(bands, ids, p, multiProbe = true), 3)
     // the IVF arm shares the session-materialized index under the same knob

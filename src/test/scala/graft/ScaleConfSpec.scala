@@ -34,6 +34,29 @@ class ScaleConfSpec extends SparkSpecBase {
     assert(!Scale.kmeansCache)
     assert(!Scale.alignCache)
     assert(!Scale.ivfCache)
+    assert(!Scale.lshBandsCache)
+  }
+
+  test("lshBandsCache changes cost attribution, never results") {
+    // s02/s06/s05/d11 share one materialized banded sign-LSH index when
+    // the knob is on; the committed oracles run with it OFF — this parity
+    // pins that the quantized-long vectors, IEEE-double norms and the
+    // (band, value) bucket keys reproduce all four consumers' results
+    // bit-identically through the parquet round-trip (s05's recall doubles
+    // and d11's component census included)
+    def run(name: String) = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val names = Seq("s02_ann_lsh", "s06_ann_lsh_mp", "s05_ann_recall",
+      "d11_semantic_dedup")
+    names.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"LSH pack name $n moved — update this spec"))
+    val off = names.map(n => n -> run(n)).toMap
+    val on = withScale("lshBandsCache" -> "1") {
+      names.map(n => n -> run(n)).toMap
+    }
+    names.foreach { n =>
+      assert(on(n) == off(n), s"$n cached != uncached")
+    }
   }
 
   test("graphEdgeCache changes cost attribution, never results") {
