@@ -148,11 +148,12 @@ object DedupQueries extends QueryPack {
       .agg(sort_array(cl(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .filter(size(col("ds")) <= maxDf)
-    val pairExpr = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
-        y => struct(x.as("i"), y.as("j")))))
-    val pairs = groups.select(explode(pairExpr).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+    // pair generation via the SortedPairs kernel (round 19): one exact-size
+    // array per group instead of the flatten/transform/slice chain's ~4×
+    // object churn — same pair multiset, same order
+    val pairs = groups
+      .select(explode(graft.functions.SortedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.pa").as("i"), col("p.pb").as("j"))
       .agg(count(lit(1)).as("c"))
     val c = col("c").cast("double")
     pairs
@@ -405,11 +406,8 @@ object DedupQueries extends QueryPack {
       .agg(sort_array(cl(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .filter(size(col("ds")) <= DefaultMaxDf)
-    val pairExpr = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
-        y => struct(x.as("i"), y.as("j")))))
-    groups.select(explode(pairExpr).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+    groups.select(explode(graft.functions.SortedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.pa").as("i"), col("p.pb").as("j"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("i"), col("j"))
   }
@@ -1202,11 +1200,8 @@ object DedupQueries extends QueryPack {
       .agg(sort_array(cl(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .filter(size(col("ds")) <= DefaultMaxDf)
-    val pairExpr = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
-        y => struct(x.as("i"), y.as("j")))))
-    groups.select(explode(pairExpr).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+    groups.select(explode(graft.functions.SortedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.pa").as("i"), col("p.pb").as("j"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
       .join(sizes.as("fa"), col("i") === col("fa.doc_id"))

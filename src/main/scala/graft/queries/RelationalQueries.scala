@@ -1195,10 +1195,10 @@ object RelationalQueries extends QueryPack {
     val pc = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
       .localCheckpoint()
-    val pairExpr = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), (i + lit(2)).cast("int"), size(col("ps"))),
-        y => struct(x.as("pa"), y.as("pb")))))
-    baskets.select(explode(pairExpr).as("pr"))
+    // pair generation via the SortedPairs kernel (round 19): one exact-size
+    // array per basket instead of the flatten/transform/slice chain's ~4×
+    // object churn — same pair multiset (a.p < b.p off the sorted set)
+    baskets.select(explode(graft.functions.SortedPairs(col("ps"))).as("pr"))
       .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)

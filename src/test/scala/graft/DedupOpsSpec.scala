@@ -80,6 +80,31 @@ class DedupOpsSpec extends SparkSpecBase {
       "the native one-pass expression must match the reference formula exactly")
   }
 
+  test("SortedPairs equals the composable flatten/transform/slice pair formula") {
+    import graft.functions.SortedPairs
+    // the exact expression the round-19 kernel replaced (r26/d26/d10/d02
+    // group-pair generation): every ordered (a(i), a(j)) i < j as structs
+    val composed = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), (i + lit(2)).cast("int"), size(col("ds"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val groups = Seq(
+      Seq(1L, 2L, 3L, 4L),      // 6 pairs
+      Seq(7L),                  // singleton -> none
+      Seq.empty[Long],          // empty -> none
+      Seq(5L, 5L, 9L)           // duplicates preserved as the multiset
+    ).toDF("ds")
+    val both = groups.select(SortedPairs(col("ds")).as("native"),
+      composed.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0,
+      "the kernel must emit the identical pair array (values AND order)")
+    // and through codegen + explode + agg, the multiset is unchanged
+    val agg = groups.select(explode(SortedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.pa"), col("p.pb")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(agg((1L, 2L)) == 1 && agg((3L, 4L)) == 1 && agg((5L, 5L)) == 1 &&
+      agg((5L, 9L)) == 2 && agg.values.sum == 9)
+  }
+
   test("WinnowFingerprints equals the composable transform/array_min/slice formula") {
     import graft.functions.WinnowFingerprints
     val w = 4
