@@ -1168,6 +1168,15 @@ object RelationalQueries extends QueryPack {
     * (pairs per order = basket²/2, bounded by basket size — never a
     * part×part cartesian); per-part supports are map-side-combined counts;
     * the 1-row order total broadcasts; top-20 is TakeOrderedAndProject.
+    *
+    * Skew note (round-18 verdict): the grouped-basket form concentrates
+    * one order's basket²/2 pair GENERATION in the task holding that order
+    * (the old self-join spread the same quadratic output across the join).
+    * Orders are contract-bounded baskets in this schema (every shipped SF
+    * and the ×N stress corpora); a pathologically wide order now fails
+    * loudly in [[graft.functions.SortedPairs]] (pair count must fit one
+    * array) instead of silently owning a straggler task — the fix at that
+    * point is a basket-width guard/split, not a silent slow task.
     */
   private def r26(s: SparkSession, dir: String): DataFrame = {
     // ONE basket shuffle replaces the round-17 shape's three lineitem-sized
