@@ -1090,8 +1090,14 @@ object JoinQueries extends QueryPack {
     */
   private def j20(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the bracket build reads the cents projection THREE times (stats row,
+    // histogram collect, boundary-bucket rank window) — the passes are
+    // sequentially dependent by construction (bucket width needs min/max),
+    // so materialize the one narrow column once instead of re-scanning
+    // orders per pass (round 19; 8 bytes/row, orders-sized)
     val o = Tables.orders(s, dir).select(
       round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .localCheckpoint()
     val st = o.agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
       max(col("cents")).as("mx")).head()
     val n = st.getLong(0)
